@@ -1,0 +1,194 @@
+"""Deterministic synthetic fixtures: mini-ontology + web-page corpus.
+
+FIXTURES.md §1-2: seeded (seed=42), pure — no network, no wall clock.
+The corpus generator emits ``documents`` rows matching the input_hint
+schema where ``text`` is *by construction* the byte-identical output of
+the extractor over ``html`` (we generate html, then derive text with the
+verified ``strip_tags``). Dictionary surface forms are planted in known
+sentences so expected mentions are derivable by hand in tests.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+from onto_text_tag_spark.functions.html_extract import strip_tags
+
+# ---------------------------------------------------------------------------
+# Mini-ontology (FIXTURES.md §2): ≥3 namespaces; includes a stopword label,
+# an irregular plural, a cross-ontology surface collision, and the
+# BCIO:010055-style hard exclusion (reference app.py:623-624).
+# ---------------------------------------------------------------------------
+
+_OBO = "http://purl.obolibrary.org/obo/"
+_ADDICTO = "http://addictovocab.org/"
+_BCIO = "http://humanbehaviourchange.org/ontology/"
+
+
+def _cls(prefix_iri, curie, label, synonyms=(), definition=None, parent=None):
+    local = curie.replace(":", "_")
+    return {
+        "iri": prefix_iri + local,
+        "curie": curie,
+        "label": label,
+        "synonyms": list(synonyms),
+        "definition": definition,
+        "parent_curie": parent,
+    }
+
+
+def mini_ontology() -> list[dict]:
+    """~30 classes across ADDICTO / BCIO / CHEBI / ENVO with an is-a tree."""
+    rows = [
+        # CHEBI chemical hierarchy (closure tests walk this chain)
+        _cls(_OBO, "CHEBI:0001", "chemical entity", definition="Any chemical."),
+        _cls(_OBO, "CHEBI:0010", "alkaloid", parent="CHEBI:0001",
+             definition="Nitrogenous organic compound."),
+        _cls(_OBO, "CHEBI:0011", "nicotine", ("3-(1-methylpyrrolidin-2-yl)pyridine",),
+             "Alkaloid found in tobacco.", "CHEBI:0010"),
+        _cls(_OBO, "CHEBI:0012", "caffeine", ("1,3,7-trimethylxanthine",),
+             "Purine alkaloid.", "CHEBI:0010"),
+        _cls(_OBO, "CHEBI:0020", "ethanol", ("ethyl alcohol", "drinking alcohol"),
+             "Primary alcohol.", "CHEBI:0001"),
+        _cls(_OBO, "CHEBI:0030", "opioid", parent="CHEBI:0001",
+             definition="Opium-like compound."),
+        _cls(_OBO, "CHEBI:0031", "morphine", parent="CHEBI:0030",
+             definition="Opiate analgesic."),
+        _cls(_OBO, "CHEBI:0032", "heroin", ("diamorphine",), "Opioid drug.",
+             "CHEBI:0030"),
+        # ADDICTO behaviours
+        _cls(_ADDICTO, "ADDICTO:0001", "addiction", definition="A disorder."),
+        _cls(_ADDICTO, "ADDICTO:0002", "smoking behaviour", ("smoking",),
+             "Inhaling smoke.", "ADDICTO:0001"),
+        _cls(_ADDICTO, "ADDICTO:0003", "tobacco smoking", (), "Smoking tobacco.",
+             "ADDICTO:0002"),
+        _cls(_ADDICTO, "ADDICTO:0004", "cigarette", ("cig",), "Rolled tobacco."),
+        _cls(_ADDICTO, "ADDICTO:0005", "alcohol dependence", ("alcoholism",),
+             "Dependence on alcohol.", "ADDICTO:0001"),
+        _cls(_ADDICTO, "ADDICTO:0006", "withdrawal symptom", (),
+             "Symptom on cessation.", None),
+        _cls(_ADDICTO, "ADDICTO:0007", "craving", (), "Intense desire.",
+             "ADDICTO:0006"),
+        _cls(_ADDICTO, "ADDICTO:0008", "relapse", (), "Return to use.", None),
+        # a label that is a stopword → dropped from the dictionary
+        # (reference ontotagtext.py:89: stopword labels never match)
+        _cls(_ADDICTO, "ADDICTO:0009", "further", (), "Stopword label."),
+        # irregular plural (criterion → criteria)
+        _cls(_ADDICTO, "ADDICTO:0010", "diagnostic criterion", (),
+             "A criterion.", None),
+        # BCIO interventions
+        _cls(_BCIO, "BCIO:0001", "behaviour change technique", ("BCT",),
+             "Active intervention component."),
+        _cls(_BCIO, "BCIO:0002", "goal setting", (), "Setting goals.",
+             "BCIO:0001"),
+        _cls(_BCIO, "BCIO:0003", "self monitoring", ("self-monitoring",),
+             "Monitoring own behaviour.", "BCIO:0001"),
+        _cls(_BCIO, "BCIO:0004", "intervention", (), "An intervention."),
+        _cls(_BCIO, "BCIO:0005", "smoking cessation", ("quitting smoking",),
+             "Stopping smoking.", "BCIO:0004"),
+        # cross-ontology surface collision: BCIO also defines "craving";
+        # collision policy A5 (SURVEY.md §2.4) decides the winner.
+        _cls(_BCIO, "BCIO:0006", "craving", (), "BCIO sense of craving."),
+        # hard-excluded id (reference app.py:623-624 excludes BCIO:010055)
+        _cls(_BCIO, "BCIO:010055", "excluded term", (), "Never tagged."),
+        # ENVO environments
+        _cls(_OBO, "ENVO:0001", "smoke", (), "Airborne particulates."),
+        _cls(_OBO, "ENVO:0002", "urban environment", ("city environment",),
+             "Built-up area."),
+        _cls(_OBO, "ENVO:0003", "transport feature", (),
+             "Construction enabling movement."),
+    ]
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Synthetic corpus (FIXTURES.md §1)
+# ---------------------------------------------------------------------------
+
+# Sentence templates planting dictionary forms: singular, plural, synonym,
+# multi-word, case-varied, overlapping ("tobacco smoking" ⊃ "smoking"),
+# token-boundary trap ("smoker" must not match "smoke").
+_SENTENCES = [
+    "Nicotine is the primary alkaloid in tobacco products.",
+    "Participants reported cravings during withdrawal.",
+    "Tobacco smoking remains the leading preventable cause of death.",
+    "The smoker cohort was compared with non-smokers.",  # boundary trap
+    "Goal setting and self monitoring are behaviour change techniques.",
+    "Ethyl alcohol, also known as ethanol, was administered.",
+    "CAFFEINE improves alertness in moderate doses.",  # case-varied
+    "Diagnostic criteria for alcohol dependence were applied.",
+    "Smoking cessation programmes reduce relapse rates.",
+    "Heroin and morphine are opioids with high dependence potential.",
+    "Exposure to smoke in urban environments was measured.",
+    "Quitting smoking lowers cardiovascular risk substantially.",
+    "No ontology terms appear in this control sentence.",
+    "The intervention targeted cigarettes and alcohol use.",
+    "Cravings for nicotine peaked after twelve hours.",
+]
+
+_BOILERPLATE_HEAD = (
+    '<!DOCTYPE html><html><head><meta charset="utf-8">'
+    "<title>{title}</title><style>.nav{{display:none}}</style>"
+    '<script>var page_id="{pid}";</script></head><body>'
+    '<div class="nav"><a href="/home">Home</a> | <a href="/about">About</a></div>'
+)
+_BOILERPLATE_TAIL = '<div class="footer">&copy; 2025 Example Corp</div></body></html>'
+
+
+def synth_documents(n_docs: int = 200, seed: int = 42) -> list[dict]:
+    """Deterministic documents rows per input_hint schema.
+
+    ``text`` is derived from ``html`` with the byte-identical extractor, so
+    the per-row invariant holds by construction and downstream stages can
+    also be tested against re-extraction.
+    """
+    rng = random.Random(seed)
+    epoch = _dt.datetime(2025, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(n_docs):
+        k = rng.randint(2, 6)
+        body_sents = [rng.choice(_SENTENCES) for _ in range(k)]
+        paragraphs = []
+        for s in body_sents:
+            # vary markup: entity-encode an ampersand-bearing variant,
+            # sprinkle inline tags, occasionally a literal escape artifact
+            if rng.random() < 0.2:
+                s = s.replace(" and ", " &amp; ")
+            if rng.random() < 0.3:
+                words = s.split(" ")
+                j = rng.randrange(len(words))
+                words[j] = f"<b>{words[j]}</b>"
+                s = " ".join(words)
+            if rng.random() < 0.15:
+                s += " \\x1f"  # literal escape artifact, stripped by extractor
+            paragraphs.append(f"<p>{s}</p>")
+        html = (
+            _BOILERPLATE_HEAD.format(title=f"Document {i}", pid=i)
+            + "".join(paragraphs)
+            + _BOILERPLATE_TAIL
+        )
+        text = strip_tags(html)
+        lang = "en" if rng.random() > 0.05 else rng.choice(["de", "fr", "es"])
+        rows.append(
+            {
+                "url": f"https://example.org/p/{i}",
+                "warc_ts": epoch + _dt.timedelta(seconds=i),
+                "html": html.encode("utf-8"),
+                "text": text,
+                "lang": lang,
+            }
+        )
+    return rows
+
+
+def documents_df(spark, n_docs: int = 200, seed: int = 42):
+    from onto_text_tag_spark.schemas import DOCUMENTS
+
+    return spark.createDataFrame(synth_documents(n_docs, seed), DOCUMENTS)
+
+
+def ontology_df(spark):
+    from onto_text_tag_spark.schemas import ONTOLOGY
+
+    return spark.createDataFrame(mini_ontology(), ONTOLOGY)
