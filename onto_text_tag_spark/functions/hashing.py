@@ -1,0 +1,108 @@
+"""Portable deterministic hashing primitives (Spark ⇄ ANSI-SQL parity).
+
+Every hash-based operator (exact dedup, MinHash-LSH, SimHash, document
+fingerprints) is built on ONE primitive so the DuckDB oracle can compute
+bit-identical values:
+
+    md5_long(s) = first 15 hex chars of md5(utf8(s)) parsed base-16
+                  (60 bits, always fits a signed int64)
+
+Spark:  ``conv(substring(md5(cast(s as binary)), 1, 15), 16, 10)``
+DuckDB: ``('0x' || substr(md5(s), 1, 15))::BIGINT``
+
+Spark's ``xxhash64``/``hash`` are NOT used for any semantically-visible
+value because no other engine reproduces them; they remain fine for
+physical-only concerns (salting).
+
+All helpers return Column expressions built from JVM builtins — no
+Python UDFs anywhere in the hashing path (whole-stage codegen keeps the
+hot loop JVM-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+MOD_PRIME = 2_147_483_647  # 2^31-1, used to fold 60-bit hashes when needed
+
+
+def md5_long(col: Column | str) -> Column:
+    """60-bit deterministic hash of a string column as LongType."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str) -> str:
+    """DuckDB rendering of ``md5_long`` over a SQL expression string."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def seeded_hash(col: Column | str, seed: int) -> Column:
+    """Family of independent hash functions via seed-prefixing — the
+    standard trick for MinHash permutations."""
+    c = F.col(col) if isinstance(col, str) else col
+    return md5_long(F.concat(F.lit(f"{seed}:"), c))
+
+
+def seeded_hash_sql(expr: str, seed: int) -> str:
+    return md5_long_sql(f"'{seed}:' || {expr}")
+
+
+def char_shingles(text_col: str, k: int = 5) -> Column:
+    """Distinct k-character shingles of ``lower(text)`` as array<string>.
+
+    Built with sequence+transform (JVM higher-order functions); documents
+    shorter than k yield a single whole-text shingle so no row is lost.
+    """
+    return F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(1, length(lower({text_col})) - {k - 1})),"
+        f"  i -> substring(lower({text_col}), i, {k})))"
+    )
+
+
+def char_shingles_sql(text_expr: str, k: int = 5) -> str:
+    """DuckDB rendering of ``char_shingles`` (range is end-exclusive)."""
+    return (
+        f"list_distinct(list_transform("
+        f"  range(1, greatest(1, length(lower({text_expr})) - {k - 1}) + 1),"
+        f"  i -> substr(lower({text_expr}), i::int, {k})))"
+    )
+
+
+def word_tokens(text_col: str) -> Column:
+    """Whitespace tokenization of lowercased text, empty tokens dropped."""
+    return F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    )
+
+
+def word_tokens_sql(text_expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({text_expr}), '\\s+'),"
+        f" t -> t != '')"
+    )
+
+
+def minhash_signature(shingles_col: str, num_hashes: int) -> Column:
+    """array<long> MinHash signature: per seed, min over shingle hashes."""
+    mins = [
+        F.array_min(
+            F.expr(
+                f"transform({shingles_col}, s -> "
+                f"cast(conv(substring(md5(cast(concat('{seed}:', s) as binary)),"
+                f" 1, 15), 16, 10) as bigint))"
+            )
+        )
+        for seed in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_signature_sql(shingles_expr: str, num_hashes: int) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({shingles_expr}, "
+        f"s -> ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT))"
+        for seed in range(num_hashes)
+    )
+    return f"[{mins}]"

@@ -1,0 +1,93 @@
+"""Transitive is-a closure (J5) via iterative self-join to fixpoint.
+
+Reference: ``pyhornedowl`` descendant expansion — recursive walk of
+SubClassOf axioms (app.py:116-151).  Spark shape: the ontology DAG is an
+edge DataFrame; closure = iterative path-doubling self-join until no new
+pairs appear.
+
+Scale notes:
+
+* Path doubling (closure ⋈ closure) converges in O(log depth) rounds vs
+  O(depth) for naive edge-extension — ontologies are shallow (≤ ~20
+  levels) so either is fine, but doubling keeps round count tiny even
+  for deep graphs.
+* Each round materializes via ``localCheckpoint`` to cut the growing
+  lineage chain — the classic iterative-algorithm trap on Spark
+  (SURVEY.md §4.3).
+* Ontology closures are small (≤ millions of pairs) → the closure table
+  is broadcast-joined downstream (descendant expansion J5 becomes a
+  broadcast semi-join against selected roots).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def isa_edges_from_ontology(ontology: DataFrame) -> DataFrame:
+    """(child_curie, parent_curie) edge list from ontology class rows."""
+    return ontology.where(F.col("parent_curie").isNotNull()).select(
+        F.col("curie").alias("child_curie"),
+        F.col("parent_curie").alias("parent_curie"),
+    )
+
+
+def transitive_closure(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
+    """All (descendant, ancestor) pairs reachable via is-a edges.
+
+    Path-doubling: closure_{k+1} = closure_k ∪ (closure_k ⋈ closure_k),
+    fixpoint when the pair count stops growing.  Matches the reference's
+    ``get_descendants`` transitive semantics (app.py:124,136) for every
+    root simultaneously.
+    """
+    closure = edges.select(
+        F.col("child_curie").alias("descendant"),
+        F.col("parent_curie").alias("ancestor"),
+    ).distinct().localCheckpoint(eager=True)
+    count = closure.count()
+
+    for _ in range(max_iterations):
+        hop = (
+            closure.alias("l")
+            .join(
+                closure.alias("r"),
+                F.col("l.ancestor") == F.col("r.descendant"),
+            )
+            .select(
+                F.col("l.descendant").alias("descendant"),
+                F.col("r.ancestor").alias("ancestor"),
+            )
+        )
+        new_closure = closure.unionByName(hop).distinct().localCheckpoint(eager=True)
+        new_count = new_closure.count()
+        closure = new_closure
+        if new_count == count:
+            break
+        count = new_count
+    return closure
+
+
+def descendants_of(closure: DataFrame, roots: DataFrame | list[str]) -> DataFrame:
+    """J5 descendant expansion: all descendants of the given root CURIEs,
+    roots included (reference returns the selection ∪ its descendants,
+    app.py:143-150 union + dedupe)."""
+    spark = closure.sparkSession
+    if isinstance(roots, list):
+        roots = spark.createDataFrame([(r,) for r in roots], ["curie"])
+    expanded = (
+        closure.join(
+            F.broadcast(roots.withColumnRenamed("curie", "ancestor")), "ancestor"
+        )
+        .select(F.col("descendant").alias("curie"))
+    )
+    return expanded.unionByName(roots.select("curie")).distinct()
+
+
+def isa_triples(edges: DataFrame) -> DataFrame:
+    """Direct is-a edges → (child, is_a, parent) triples (SURVEY.md §2.9)."""
+    return edges.select(
+        F.col("child_curie").alias("subj"),
+        F.lit("is_a").alias("pred"),
+        F.col("parent_curie").alias("obj"),
+        F.lit(None).cast("long").alias("weight"),
+    )

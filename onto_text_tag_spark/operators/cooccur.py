@@ -1,0 +1,114 @@
+"""Co-occurrence edge construction (J2 + A2) with explicit skew handling.
+
+Reference: ``hv_generate.py:39-58`` — for every ordered term pair,
+``len(PMIDs(a) & PMIDs(b))``, skipping self-pairs and inverse duplicates
+with an O(n²) scan of the already-emitted list.
+
+Spark-first shape: a self equi-join of the de-duplicated (doc, term)
+relation on the doc key, with ``curie_a < curie_b`` replacing the
+inverse-duplicate scan exactly (the relation is symmetric; canonical
+ordering keeps one representative), then a count aggregate.  The
+set-intersection size IS ``countDistinct(doc)`` after the join — same
+value, computed distributed.
+
+Scale analysis (the part the reference never had to face):
+
+* A doc mentioning k distinct terms emits k(k-1)/2 pairs.  Head documents
+  (huge k) blow up quadratically → ``max_terms_per_doc`` caps fan-out,
+  dropping only pathological docs (boilerplate link farms at web scale).
+* Head TERMS (ultra-frequent CURIEs, e.g. "smoke") skew the join AND the
+  groupBy.  Mitigations layered: (1) the join key is the doc id — high
+  cardinality, naturally well-distributed; skew concentrates in the
+  groupBy on pairs, where partial (map-side) aggregation absorbs it;
+  (2) AQE skew-join splitting is enabled in the session; (3) an optional
+  document-frequency cap drops stopword-like terms before the join.
+* The (doc, term) projection is deduplicated BEFORE the self-join
+  (mention multiplicity within a doc must not inflate weights — reference
+  semantics are set-based), shrinking the join input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def doc_term_pairs(mentions: DataFrame, doc_col: str = "url",
+                   term_col: str = "curie") -> DataFrame:
+    """Distinct (doc, term) relation — the reference's inverted-index
+    value sets (load_ontotermentions.py:102-108), kept normalized."""
+    return mentions.select(doc_col, term_col).distinct()
+
+
+def cooccurrence_edges(
+    mentions: DataFrame,
+    doc_col: str = "url",
+    term_col: str = "curie",
+    min_weight: int = 1,
+    max_doc_freq: int | None = None,
+    max_terms_per_doc: int | None = None,
+) -> DataFrame:
+    """(src, dst, weight) co-occurrence edges, ``src < dst`` canonical.
+
+    weight = number of distinct docs mentioning both terms — identical to
+    the reference's ``len(set_a & set_b)`` (hv_generate.py:49-51); the
+    ``src < dst`` predicate reproduces the inverse-dup elimination
+    (hv_generate.py:53-57) declaratively.
+    """
+    dt = doc_term_pairs(mentions, doc_col, term_col)
+
+    if max_doc_freq is not None:
+        # Frequency-capped pair emission (SURVEY.md §4.1): drop head terms
+        # whose document frequency exceeds the cap.  The df table is tiny
+        # (one row per term) → broadcast the keep-list.
+        df_counts = dt.groupBy(term_col).agg(F.count("*").alias("_df"))
+        keep = df_counts.where(F.col("_df") <= max_doc_freq).select(term_col)
+        dt = dt.join(F.broadcast(keep), term_col, "inner")
+
+    if max_terms_per_doc is not None:
+        per_doc = dt.groupBy(doc_col).agg(F.count("*").alias("_k"))
+        keep_docs = per_doc.where(F.col("_k") <= max_terms_per_doc).select(doc_col)
+        dt = dt.join(keep_docs, doc_col, "inner")
+
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = a.join(b, on=doc_col).where(
+        F.col(f"a.{term_col}") < F.col(f"b.{term_col}")  # P11 + canonical order
+    )
+    edges = (
+        pairs.groupBy(
+            F.col(f"a.{term_col}").alias("src"),
+            F.col(f"b.{term_col}").alias("dst"),
+        )
+        .agg(F.count("*").alias("weight"))  # dt is distinct → count == countDistinct(doc)
+        .where(F.col("weight") >= min_weight)
+    )
+    return edges
+
+
+def cooccurrence_triples(edges: DataFrame) -> DataFrame:
+    """Edges → (subj, co_occurs_with, obj, weight) triple rows."""
+    return edges.select(
+        F.col("src").alias("subj"),
+        F.lit("co_occurs_with").alias("pred"),
+        F.col("dst").alias("obj"),
+        F.col("weight").cast("long").alias("weight"),
+    )
+
+
+def term_index(mentions: DataFrame, doc_col: str = "url",
+               term_col: str = "curie") -> DataFrame:
+    """A1 inverted index: curie → sorted distinct doc list + label.
+
+    Matches load_ontotermentions.py:102-113 dedup semantics.  NOTE: at
+    web scale a collected array per head term is the skew/OOM hazard
+    (SURVEY.md §1.1) — this materialization is for parity/fixtures; the
+    scale path keeps the normalized (doc, term) relation.
+    """
+    return (
+        mentions.groupBy(term_col)
+        .agg(
+            F.array_sort(F.collect_set(doc_col)).alias("docs"),
+            F.first("pref_label", ignorenulls=True).alias("pref_label"),
+            F.countDistinct(doc_col).alias("doc_count"),
+        )
+    )

@@ -1,0 +1,241 @@
+"""Deduplication operators for web-scale corpora.
+
+Five strategies, each correct at 100 TB because none ever pairs all
+documents against all documents:
+
+* exact          — hash-groupBy on a normalized-content digest (1 shuffle)
+* minhash_lsh    — shingles → MinHash signature → banded LSH buckets →
+                   candidate pairs only within buckets (shuffle on band
+                   key, quadratic only within a bucket)
+* simhash        — 16-bit SimHash over tokens; near-dups collide on the
+                   exact SimHash value (or Hamming-adjacent probes)
+* ngram_jaccard  — exact Jaccard verification of LSH candidates (the
+                   verify stage of the classic LSH→verify pipeline)
+* embedding near-dup — cosine over an embedding column (see similarity.py)
+
+Everything is deterministic md5-based hashing (functions/hashing.py) so
+the DuckDB oracle reproduces identical values — no Spark-internal
+``hash()`` in any semantically-visible output.
+
+Skew note: a boilerplate-heavy web corpus has mega-buckets (the empty
+page, the default Apache page...).  ``max_bucket_size`` caps candidate
+generation per bucket; the dropped buckets are exact-duplicate groups
+anyway, which the exact pass already collapses cheaply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from onto_text_tag_spark.functions.hashing import (
+    char_shingles,
+    md5_long,
+    minhash_signature,
+    seeded_hash,
+)
+
+
+def content_digest(text_col: str = "text") -> Column:
+    """Normalized content hash: whitespace-collapsed lowercase text."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    return md5_long(normalized)
+
+
+def exact_duplicates(documents: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of exact (normalized) duplicates: digest → ids + count.
+
+    One shuffle on the digest; map-side partial agg absorbs hot digests.
+    """
+    return (
+        documents.select(
+            F.col(id_col), content_digest(text_col).alias("digest")
+        )
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(documents: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per digest group."""
+    w = Window.partitionBy("digest").orderBy(F.col(id_col).asc())
+    return (
+        documents.withColumn("digest", content_digest(text_col))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk", "digest")
+    )
+
+
+def minhash_signatures(documents: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 16,
+                       shingle_k: int = 5) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures."""
+    return _with_shingles(documents, text_col, shingle_k).select(
+        F.col(id_col),
+        minhash_signature("_shingles", num_hashes).alias("sig"),
+    )
+
+
+def _with_shingles(documents: DataFrame, text_col: str, k: int) -> DataFrame:
+    return documents.withColumn("_shingles", char_shingles(text_col, k))
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    num_hashes/bands rows per band; a pair is a candidate iff it agrees
+    on ALL rows of at least one band.  Shuffle key = (band, band-hash) —
+    high cardinality, well distributed except boilerplate mega-buckets,
+    which ``max_bucket_size`` drops (they are exact-dup territory).
+    Output: (id_a, id_b) with id_a < id_b, distinct.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = _with_shingles(documents, text_col, shingle_k).select(
+        F.col(id_col).alias("id"),
+        minhash_signature("_shingles", num_hashes).alias("sig"),
+    )
+    band_rows = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        md5_long(
+                            F.to_json(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1,
+                                    rows_per_band,
+                                )
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    if max_bucket_size is not None:
+        sizes = band_rows.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+        small = sizes.where(F.col("_n") <= max_bucket_size).select("band", "bucket")
+        band_rows = band_rows.join(small, ["band", "bucket"], "inner")
+
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs.
+
+    Joins each side's shingle set in (broadcastable when candidates are
+    few); J = |A∩B| / (|A|+|B|-|A∩B|) via explode + join on shingle —
+    never materializes a cross product.
+    """
+    sh = _with_shingles(documents, text_col, shingle_k).select(
+        F.col(id_col).alias("id"),
+        F.col("_shingles").alias("sh"),
+        F.size("_shingles").alias("n_sh"),
+    )
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    # join the two exploded shingle streams on (candidate pair, shingle)
+    ex_a = candidates.join(
+        ex.withColumnRenamed("id", "id_a"), "id_a"
+    ).select("id_a", "id_b", "s")
+    ex_b = ex.select(F.col("id").alias("id_b"), F.col("s").alias("s"))
+    inter = (
+        ex_a.join(ex_b, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.select("id", "n_sh")
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+SIMHASH_BITS = 16
+
+
+def simhash_col(text_col: str = "text") -> Column:
+    """16-bit SimHash over whitespace tokens, as a LongType value.
+
+    Bit i is set iff sum over tokens of ±1 (sign = bit i of the token's
+    md5_long) is positive.  16 bits keeps the expression tree compact
+    while still separating non-near documents; near-dups collide exactly.
+    """
+    tokens = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    )
+    th = (
+        "transform({toks}, t -> "
+        "cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint))"
+    ).format(toks=f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
+    bit_sums = [
+        F.expr(
+            f"aggregate({th}, 0L, (acc, h) -> acc + "
+            f"(case when (h div {1 << i}) % 2 = 1 then 1 else -1 end))"
+        )
+        for i in range(SIMHASH_BITS)
+    ]
+    value = None
+    for i, s in enumerate(bit_sums):
+        bit = F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        value = bit if value is None else (value + bit)
+    return value.cast("long")
+
+
+def simhash_duplicates(documents: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Groups of documents sharing an identical SimHash (near-dup
+    clusters at this bit width): simhash → ids + count."""
+    return (
+        documents.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+        .groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,177 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's tagging surface, a 100 TB corpus pipeline needs
+per-document text statistics: language identification, quality scoring,
+token counting, and fingerprinting.  Everything here is pure JVM-side
+column expressions (whole-stage codegen; no Python boundary) and every
+operator has an exact ANSI-SQL twin for the DuckDB oracle — see
+``__spark_entry__.py``.
+
+Scale notes: all four are narrow per-row maps — no shuffle, pipelined
+with the scan, trivially linear in corpus size.  The only care point is
+expression width (language profiles are capped, SimHash bits bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from onto_text_tag_spark.functions.hashing import (
+    md5_long,
+    word_tokens,
+)
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Deliberately small and frozen — they are part of the operator's
+# semantics (the SQL oracle embeds the same lists).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+}
+
+# BPE-ish tokenizer regex: letter runs, digit runs, or single punctuation.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count_cols(text_col: str = "text") -> list[Column]:
+    """Whitespace token count + regex (BPE-ish) token count + char count."""
+    return [
+        F.size(word_tokens(text_col)).cast("long").alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{TOKEN_REGEX}', 0)"))
+        .cast("long")
+        .alias("re_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    ]
+
+
+def quality_cols(text_col: str = "text") -> list[Column]:
+    """Heuristic quality signals: mean word length, stopword ratio,
+    punctuation ratio, all rounded for cross-engine comparability."""
+    tokens = word_tokens(text_col)
+    n_tokens = F.size(tokens)
+    en_stop = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    stop_hits = F.size(
+        F.expr(f"filter({_tokens_sql_spark(text_col)}, t -> t in ({en_stop}))")
+    )
+    punct = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '[^A-Za-z0-9\\\\s]', 0)")
+    )
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    mean_word_len = F.round(
+        (F.length(F.regexp_replace(F.col(text_col), "\\s+", ""))).cast("double")
+        / safe_tokens,
+        4,
+    )
+    return [
+        mean_word_len.alias("mean_word_len"),
+        F.round(stop_hits.cast("double") / safe_tokens, 4).alias("stopword_ratio"),
+        F.round(
+            punct.cast("double") / F.greatest(F.length(text_col), F.lit(1)), 4
+        ).alias("punct_ratio"),
+    ]
+
+
+def _tokens_sql_spark(text_col: str) -> str:
+    return f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+
+
+def lang_id_col(text_col: str = "text") -> Column:
+    """Stopword-profile language ID: language with the most distinct
+    profile-word hits among the document's tokens; ties break by language
+    code ascending; zero hits everywhere → 'und'."""
+    scores = []
+    for lang in sorted(LANG_PROFILES):
+        profile = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        hits = F.size(
+            F.expr(
+                f"filter(array_distinct({_tokens_sql_spark(text_col)}),"
+                f" t -> t in ({profile}))"
+            )
+        )
+        scores.append((lang, hits))
+    # argmax with deterministic tie-break: greatest() over structs compares
+    # fieldwise (score, then rank); rank is inverted lexicographic position
+    # so ties resolve to the alphabetically-first language code.
+    langs_sorted = sorted(LANG_PROFILES)
+    rank = {lang: len(langs_sorted) - i for i, lang in enumerate(langs_sorted)}
+    best = F.greatest(
+        *[
+            F.struct(hits.alias("s"), F.lit(rank[lang]).alias("r"),
+                     F.lit(lang).alias("l"))
+            for lang, hits in scores
+        ]
+    )
+    return F.when(best["s"] == 0, F.lit("und")).otherwise(best["l"])
+
+
+def fingerprint_col(text_col: str = "text") -> Column:
+    """64-bit-ish rolling document fingerprint: md5_long of the
+    whitespace-normalized lowercase text — stable under reflow."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    return md5_long(normalized)
+
+
+def text_profile(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """One row per document with all text statistics."""
+    return documents.select(
+        F.col(id_col),
+        *token_count_cols(text_col),
+        *quality_cols(text_col),
+        lang_id_col(text_col).alias("lang_pred"),
+        fingerprint_col(text_col).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL twins (DuckDB oracle) — kept adjacent so semantics stay in lockstep.
+# ---------------------------------------------------------------------------
+
+def lang_id_sql(text_expr: str) -> str:
+    toks = (
+        f"list_distinct(list_filter("
+        f"string_split_regex(lower({text_expr}), '\\s+'), t -> t != ''))"
+    )
+    score = {
+        lang: (
+            f"len(list_filter({toks}, t -> list_contains("
+            f"[{', '.join(chr(39) + w + chr(39) for w in LANG_PROFILES[lang])}],"
+            f" t)))"
+        )
+        for lang in sorted(LANG_PROFILES)
+    }
+    langs_sorted = sorted(LANG_PROFILES)
+    rank = {lang: len(langs_sorted) - i for i, lang in enumerate(langs_sorted)}
+    structs = ", ".join(
+        f"{{'s': {score[lang]}, 'r': {rank[lang]}, 'l': '{lang}'}}"
+        for lang in langs_sorted
+    )
+    return (
+        f"(CASE WHEN (list_max([{structs}])).s = 0 THEN 'und' "
+        f"ELSE (list_max([{structs}])).l END)"
+    )
+
+
+def text_profile_sql(table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    t = text_col
+    toks = f"list_filter(string_split_regex(lower({t}), '\\s+'), x -> x != '')"
+    en_stop = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return f"""
+SELECT {id_col},
+  len({toks})::BIGINT AS ws_tokens,
+  len(regexp_extract_all({t}, '{TOKEN_REGEX}'))::BIGINT AS re_tokens,
+  length({t})::BIGINT AS n_chars,
+  round(length(regexp_replace({t}, '\\s+', '', 'g'))::DOUBLE
+        / greatest(len({toks}), 1), 4) AS mean_word_len,
+  round(len(list_filter({toks}, x -> list_contains([{en_stop}], x)))::DOUBLE
+        / greatest(len({toks}), 1), 4) AS stopword_ratio,
+  round(len(regexp_extract_all({t}, '[^A-Za-z0-9\\s]'))::DOUBLE
+        / greatest(length({t}), 1), 4) AS punct_ratio,
+  {lang_id_sql(t)} AS lang_pred,
+  ('0x' || substr(md5(regexp_replace(trim(lower({t})), '\\s+', ' ', 'g')),
+   1, 15))::BIGINT AS fingerprint
+FROM {table}
+"""

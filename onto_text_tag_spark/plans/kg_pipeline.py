@@ -1,0 +1,118 @@
+"""End-to-end KG construction DAG (SURVEY.md §2.9, §7).
+
+documents → extract (P1) → tag+link (F2/J1) → mentions
+mentions  → mention triples (url, mentions, curie)
+mentions  → co-occurrence edges (J2/A2) → co_occurs_with triples
+ontology  → is-a edges → is_a triples (+ transitive closure J5)
+
+This mirrors the reference's offline build chain
+(build_ontotermentions.py → load_ontotermentions.py → hv_generate.py)
+as one declarative Spark DAG; each stage returns a DataFrame so callers
+can materialize per-stage snapshots for resumability (sinks module).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from onto_text_tag_spark.dictionary import build_dictionary, resolve_collisions
+from onto_text_tag_spark.functions.html_extract import extract_text_udf
+from onto_text_tag_spark.operators.closure import (
+    isa_edges_from_ontology,
+    isa_triples,
+    transitive_closure,
+)
+from onto_text_tag_spark.operators.cooccur import (
+    cooccurrence_edges,
+    cooccurrence_triples,
+)
+from onto_text_tag_spark.operators.tagger import tag_documents
+
+
+@dataclass
+class KGResult:
+    dictionary: DataFrame
+    mentions: DataFrame
+    mention_triples: DataFrame
+    cooccur_edges: DataFrame
+    isa_edges: DataFrame
+    triples: DataFrame
+
+
+def extract_texts(documents: DataFrame) -> DataFrame:
+    """P1: ensure a ``text`` column exists, extracting from html where
+    absent.  Column pruning matters at scale: when ``text`` is already
+    materialized the ``html:binary`` column is never read."""
+    if "text" in documents.columns:
+        return documents.withColumn(
+            "text",
+            F.when(
+                F.col("text").isNull() & F.col("html").isNotNull(),
+                extract_text_udf(F.col("html")),
+            ).otherwise(F.col("text")),
+        )
+    return documents.withColumn("text", extract_text_udf(F.col("html")))
+
+
+def mention_triples(mentions: DataFrame) -> DataFrame:
+    """(url, mentions, curie) rows — distinct per (doc, term), matching
+    the set semantics of the reference's inverted index."""
+    return (
+        mentions.select("url", "curie")
+        .distinct()
+        .select(
+            F.col("url").alias("subj"),
+            F.lit("mentions").alias("pred"),
+            F.col("curie").alias("obj"),
+            F.lit(None).cast("long").alias("weight"),
+        )
+    )
+
+
+def build_kg(
+    documents: DataFrame,
+    ontology: DataFrame,
+    lang_filter: str | None = "en",
+    min_cooccur_weight: int = 1,
+    max_doc_freq: int | None = None,
+) -> KGResult:
+    """The flagship DAG.  Returns every intermediate so callers can
+    snapshot each stage (resumability) or run just a slice."""
+    dictionary = resolve_collisions(build_dictionary(ontology))
+
+    docs = extract_texts(documents)
+    if lang_filter is not None and "lang" in docs.columns:
+        docs = docs.where(F.col("lang") == lang_filter)
+
+    mentions = tag_documents(docs, dictionary)
+
+    m_triples = mention_triples(mentions)
+    edges = cooccurrence_edges(
+        mentions, min_weight=min_cooccur_weight, max_doc_freq=max_doc_freq
+    )
+    co_triples = cooccurrence_triples(edges)
+    isa = isa_edges_from_ontology(ontology)
+    i_triples = isa_triples(isa)
+
+    triples = m_triples.unionByName(co_triples).unionByName(i_triples)
+    return KGResult(
+        dictionary=dictionary,
+        mentions=mentions,
+        mention_triples=m_triples,
+        cooccur_edges=edges,
+        isa_edges=isa,
+        triples=triples,
+    )
+
+
+def closure_triples(isa_edges: DataFrame) -> DataFrame:
+    """Transitive (descendant, is_a_transitive, ancestor) triples."""
+    closure = transitive_closure(isa_edges)
+    return closure.select(
+        F.col("descendant").alias("subj"),
+        F.lit("is_a_transitive").alias("pred"),
+        F.col("ancestor").alias("obj"),
+        F.lit(None).cast("long").alias("weight"),
+    )

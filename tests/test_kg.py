@@ -1,0 +1,113 @@
+"""Co-occurrence, closure, and end-to-end KG tests (J2/A2/J5, §2.9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from onto_text_tag_spark.corpus import documents_df, ontology_df
+from onto_text_tag_spark.operators.closure import (
+    descendants_of,
+    isa_edges_from_ontology,
+    transitive_closure,
+)
+from onto_text_tag_spark.operators.cooccur import cooccurrence_edges, term_index
+from onto_text_tag_spark.plans.kg_pipeline import build_kg
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    result = build_kg(documents_df(spark, n_docs=120), ontology_df(spark))
+    result.mentions.cache().count()
+    return result
+
+
+def test_cooccur_matches_set_intersection_semantics(spark, kg):
+    """Edge weight == |docs(a) ∩ docs(b)| — the reference computation
+    (hv_generate.py:49-51) done via python sets over the same mentions."""
+    rows = kg.mentions.select("url", "curie").distinct().collect()
+    docsets: dict[str, set] = {}
+    for r in rows:
+        docsets.setdefault(r["curie"], set()).add(r["url"])
+    expected = {}
+    curies = sorted(docsets)
+    for i, a in enumerate(curies):
+        for b in curies[i + 1 :]:
+            w = len(docsets[a] & docsets[b])
+            if w:
+                expected[(a, b)] = w
+    got = {(r["src"], r["dst"]): r["weight"] for r in kg.cooccur_edges.collect()}
+    assert got == expected
+
+
+def test_cooccur_canonical_order_no_self_pairs(kg):
+    bad = kg.cooccur_edges.where(F.col("src") >= F.col("dst")).count()
+    assert bad == 0
+
+
+def test_cooccur_frequency_cap(spark, kg):
+    capped = cooccurrence_edges(kg.mentions, max_doc_freq=5)
+    df_counts = (
+        kg.mentions.select("url", "curie").distinct()
+        .groupBy("curie").count().collect()
+    )
+    hot = {r["curie"] for r in df_counts if r["count"] > 5}
+    assert hot, "fixture should have at least one hot term"
+    remaining = {r["src"] for r in capped.collect()} | {
+        r["dst"] for r in capped.collect()
+    }
+    assert remaining.isdisjoint(hot)
+
+
+def test_term_index_dedupes(kg):
+    idx = term_index(kg.mentions)
+    row = idx.where(F.col("curie") == "CHEBI:0011").first()
+    assert row is not None
+    assert len(row["docs"]) == len(set(row["docs"])) == row["doc_count"]
+    assert row["docs"] == sorted(row["docs"])
+
+
+def test_transitive_closure(spark):
+    edges = isa_edges_from_ontology(ontology_df(spark))
+    closure = transitive_closure(edges)
+    pairs = {(r["descendant"], r["ancestor"]) for r in closure.collect()}
+    # chain: morphine -> opioid -> chemical entity
+    assert ("CHEBI:0031", "CHEBI:0030") in pairs
+    assert ("CHEBI:0031", "CHEBI:0001") in pairs
+    # chain: tobacco smoking -> smoking behaviour -> addiction
+    assert ("ADDICTO:0003", "ADDICTO:0001") in pairs
+    # no reflexive pairs
+    assert all(d != a for d, a in pairs)
+
+
+def test_closure_monotone_superset_of_edges(spark):
+    edges = isa_edges_from_ontology(ontology_df(spark))
+    closure = transitive_closure(edges)
+    direct = {(r["child_curie"], r["parent_curie"]) for r in edges.collect()}
+    pairs = {(r["descendant"], r["ancestor"]) for r in closure.collect()}
+    assert direct <= pairs
+
+
+def test_descendants_of(spark):
+    edges = isa_edges_from_ontology(ontology_df(spark))
+    closure = transitive_closure(edges)
+    got = {
+        r["curie"] for r in descendants_of(closure, ["CHEBI:0030"]).collect()
+    }
+    assert got == {"CHEBI:0030", "CHEBI:0031", "CHEBI:0032"}
+
+
+def test_triples_union_shape(kg):
+    preds = {r["pred"] for r in kg.triples.select("pred").distinct().collect()}
+    assert preds == {"mentions", "co_occurs_with", "is_a"}
+    assert kg.triples.columns == ["subj", "pred", "obj", "weight"]
+    # co-occurrence triples carry weights; others are null
+    assert (
+        kg.triples.where(
+            (F.col("pred") == "co_occurs_with") & F.col("weight").isNull()
+        ).count()
+        == 0
+    )
+
+
+def test_mention_triples_set_semantics(kg):
+    m = kg.triples.where(F.col("pred") == "mentions")
+    assert m.count() == m.select("subj", "obj").distinct().count()

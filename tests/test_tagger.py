@@ -1,0 +1,123 @@
+"""Tagger tests (F2, W1, J1) — FIXTURES.md §4 pinned cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from onto_text_tag_spark.corpus import documents_df, ontology_df
+from onto_text_tag_spark.dictionary import build_dictionary, resolve_collisions
+from onto_text_tag_spark.functions.aho_corasick import build_automaton, filter_spans
+from onto_text_tag_spark.operators.tagger import (
+    compile_dictionary,
+    tag_documents,
+    tag_text,
+)
+
+
+@pytest.fixture(scope="module")
+def dictionary(spark):
+    return resolve_collisions(build_dictionary(ontology_df(spark))).cache()
+
+
+@pytest.fixture(scope="module")
+def automaton(spark, dictionary):
+    return compile_dictionary(dictionary.select("surface", "id", "name", "ont").collect())
+
+
+def _curies(rows):
+    return [r[4] for r in rows]
+
+
+def test_case_insensitive_match(automaton):
+    rows = tag_text(automaton, "u", "CAFFEINE improves alertness.")
+    assert _curies(rows) == ["CHEBI:0012"]
+    assert rows[0][3] == "CAFFEINE"  # span text preserves original case
+    assert (rows[0][1], rows[0][2]) == (0, 8)
+
+
+def test_plural_match(automaton):
+    rows = tag_text(automaton, "u", "Cravings for nicotine peaked.")
+    # "craving" is defined by both ADDICTO:0007 and BCIO:0006; the pinned
+    # collision policy (resolve_collisions: ont_order desc, curie desc)
+    # resolves the surface to BCIO:0006 when ont_order ties at 0.
+    assert set(_curies(rows)) == {"BCIO:0006", "CHEBI:0011"}
+
+
+def test_synonym_links_to_same_curie(automaton):
+    rows = tag_text(automaton, "u", "Ethyl alcohol was administered.")
+    assert _curies(rows) == ["CHEBI:0020"]
+    assert rows[0][3] == "Ethyl alcohol"
+
+
+def test_multiword_and_overlap_longest_wins(automaton):
+    # "tobacco smoking" (ADDICTO:0003) ⊃ "smoking" (ADDICTO:0002 synonym):
+    # longest-match-wins keeps only the containing span (W1 filter_spans).
+    rows = tag_text(automaton, "u", "Tobacco smoking remains common.")
+    assert _curies(rows) == ["ADDICTO:0003"]
+
+
+def test_token_boundary_no_substring_match(automaton):
+    # "smoker" must not match "smoke" (ENVO:0001) — FIXTURES.md §4
+    rows = tag_text(automaton, "u", "The smoker cohort was compared.")
+    assert rows == []
+
+
+def test_excluded_curie_never_tagged(automaton):
+    rows = tag_text(automaton, "u", "An excluded term appears here.")
+    assert "BCIO:010055" not in _curies(rows)
+
+
+def test_offsets_and_spans_consistent(automaton):
+    text = "Goal setting and self monitoring are behaviour change techniques."
+    rows = tag_text(automaton, "u", text)
+    for (_u, b, e, span, *_rest) in rows:
+        assert text[b:e] == span
+    assert set(_curies(rows)) == {"BCIO:0002", "BCIO:0003", "BCIO:0001"}
+
+
+def test_filter_spans_equal_length_earliest_wins():
+    # two equal-length overlapping candidates → earliest begin survives
+    spans = [(0, 5, "a", 1), (3, 8, "b", 2)]
+    assert filter_spans(spans) == [(0, 5, "a", 1)]
+
+
+def test_automaton_substring_patterns():
+    ac = build_automaton([("he", 1), ("she", 2), ("hers", 3)])
+    found = {(b, e, s) for b, e, s, _ in ac.find("she hers he")}
+    # token-boundary aligned only: "she" at 0-3, "hers" at 4-8, "he" at 9-11
+    assert found == {(0, 3, "she"), (4, 8, "hers"), (9, 11, "he")}
+
+
+def test_tag_documents_end_to_end(spark, dictionary):
+    docs = documents_df(spark, n_docs=60)
+    mentions = tag_documents(docs, dictionary)
+    got = mentions.cache()
+    assert got.count() > 0
+    # every span matches its document text slice
+    joined = got.join(docs.select("url", "text"), "url")
+    bad = joined.where(
+        F.expr("substring(text, begin + 1, end - begin) != span_text")
+    ).count()
+    assert bad == 0
+    # no overlapping mentions within one doc (W1 invariant)
+    a, b = got.alias("a"), got.alias("b")
+    overlaps = (
+        a.join(b, "url")
+        .where(
+            (F.col("a.begin") < F.col("b.end"))
+            & (F.col("b.begin") < F.col("a.end"))
+            & (
+                (F.col("a.begin") != F.col("b.begin"))
+                | (F.col("a.end") != F.col("b.end"))
+            )
+        )
+        .count()
+    )
+    assert overlaps == 0
+    got.unpersist()
+
+
+def test_tagging_idempotent(spark, dictionary):
+    docs = documents_df(spark, n_docs=20)
+    m1 = tag_documents(docs, dictionary)
+    m2 = tag_documents(docs, dictionary)
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
