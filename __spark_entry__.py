@@ -1,38 +1,41 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG query; ``queries()`` exposes one
+callable per implemented operator (SURVEY.md §2 + training-data
+extensions); ``oracle_sql()`` gives the DuckDB twin for each.
+Implementation lives in onto_text_tag_spark/driver_queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tag sf0.001 documents with the driver ontology dictionary,
+    emit co-occurrence edges ordered by weight (the reference's association
+    graph, hv_generate.py:39-58, as one declarative DAG)."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.driver_queries import q_kg_cooccur
+
+    edges = q_kg_cooccur(spark, "/root/testdata/sf0.001")
+    return edges.orderBy(F.col("weight").desc(), "src", "dst")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from onto_text_tag_spark.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from onto_text_tag_spark.driver_queries import ORACLES
+
+    return dict(ORACLES)

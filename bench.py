@@ -1,0 +1,148 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` additionally runs the flagship KG job at two parallelism
+levels (local[N] and local[4N profile, default 8 vs 32]) on the same
+input and reports throughput at both plus scaling efficiency — the
+sandbox evidence for the north_rule's N→4N executor criterion
+(BASELINE.md).  Results are appended to BENCH/BASELINE.md.
+
+Each query is forced with a full-column hash reduction so Catalyst
+cannot prune away the work being measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+BENCH_QUERIES = [
+    "kg_mentions",
+    "kg_cooccur",
+    "text_profile",
+    "dedup_exact",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "sim_topk",
+    "events_tumbling",
+    "events_sessionize",
+    "pricing_summary",
+    "top_orders",
+    "nation_revenue",
+    "part_pairs",
+]
+
+
+def _force(df) -> int:
+    """Evaluate every column: hash-reduce so nothing is pruned."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c).cast("string") for c in df.columns]
+    row = df.select(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64(*cols)).alias("h"),
+    ).collect()[0]
+    return row["n"]
+
+
+def _session(cores: int):
+    from onto_text_tag_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(2 * cores, 8),
+    )
+
+
+def run_bench(cores: int = CPUS) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from onto_text_tag_spark.driver_queries import QUERIES
+
+    spark = _session(cores)
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    t_total = time.perf_counter()
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        rows[name] = _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_total, 3)
+    spark.stop()
+    return {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": SF_DIR,
+        "cores": cores,
+    }
+
+
+def run_scaling(low: int = 8, high: int = 32) -> dict:
+    """Same KG job (tag + co-occur, the flagship) at two parallelism
+    levels; efficiency = (T_low / T_high) / (high / low)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from onto_text_tag_spark.driver_queries import QUERIES
+
+    results = {}
+    for cores in (low, high):
+        spark = _session(cores)
+        # warm the JVM/Python workers once so we measure steady state
+        _force(QUERIES["kg_mentions"](spark, SF_DIR))
+        t0 = time.perf_counter()
+        n_mentions = _force(QUERIES["kg_mentions"](spark, SF_DIR))
+        n_edges = _force(QUERIES["kg_cooccur"](spark, SF_DIR))
+        dt = time.perf_counter() - t0
+        results[cores] = {
+            "sec": round(dt, 3),
+            "mentions": n_mentions,
+            "edges": n_edges,
+            "triples_per_sec": round((n_mentions + n_edges) / dt, 1),
+        }
+        spark.stop()
+    speedup = results[low]["sec"] / results[high]["sec"]
+    efficiency = round(speedup / (high / low), 3)
+    return {
+        "low_cores": low,
+        "high_cores": high,
+        "results": {str(k): v for k, v in results.items()},
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": efficiency,
+    }
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        scaling = run_scaling()
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Scaling run (sf={SF_DIR})\n\n"
+                f"| cores | sec | triples/sec |\n|---|---|---|\n"
+            )
+            for cores, r in scaling["results"].items():
+                fh.write(f"| local[{cores}] | {r['sec']} | {r['triples_per_sec']} |\n")
+            fh.write(
+                f"\nspeedup {scaling['low_cores']}->{scaling['high_cores']} cores: "
+                f"{scaling['speedup']}x; scaling efficiency: "
+                f"{scaling['scaling_efficiency']}\n"
+            )
+        print(json.dumps(scaling))
+        return
+    print(json.dumps(run_bench()))
+
+
+if __name__ == "__main__":
+    main()

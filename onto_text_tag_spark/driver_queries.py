@@ -1,0 +1,915 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle SQL.
+
+Every operator from SURVEY.md §2 (plus the training-data-pipeline
+extensions) gets a query over the driver's /root/testdata tables and an
+ANSI-SQL twin executable by DuckDB on the same parquet.  The Spark side
+runs the REAL engine operators (tagger, LSH, closure, ...); the SQL side
+re-derives the same values independently.
+
+Tagging oracle design: the driver ``documents`` table is single-space
+lowercase text over a 31-word vocabulary.  DRIVER_ONTOLOGY surfaces are
+chosen such that no two dictionary surfaces can produce overlapping
+matches (unigram surfaces share no word with any bigram surface), so
+exact token/bigram counting in SQL equals the Aho-Corasick +
+longest-wins tagger output.  The overlap policy itself is pinned by the
+pytest fixtures (tests/test_tagger.py), not here.
+
+All hash-visible values use the portable md5_long primitive
+(functions/hashing.py) so both engines produce bit-identical numbers;
+all money arithmetic is integer cents so no float drift exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from onto_text_tag_spark.dictionary import STOPWORDS, build_dictionary, resolve_collisions
+from onto_text_tag_spark.operators.closure import descendants_of, transitive_closure
+from onto_text_tag_spark.operators.dedup import (
+    content_digest,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_col,
+)
+from onto_text_tag_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    hyperplane_matrix,
+    lsh_topk,
+)
+from onto_text_tag_spark.operators.tagger import tag_documents
+from onto_text_tag_spark.operators.textstats import text_profile, text_profile_sql
+from onto_text_tag_spark.schemas import ONTOLOGY
+
+# ---------------------------------------------------------------------------
+# Driver ontology — fixed, tiny, chosen for oracle-reproducible tagging.
+# Unigram surfaces: sort order merge filter stream batch vector embedding
+# spark.  Bigram surfaces: "hash join", "table scan" (words hash/join/
+# table/scan appear in NO unigram surface → no cross-surface overlaps).
+# "the" is a stopword label (dropped); plurals never occur in the corpus
+# vocabulary so they match nothing (but do appear in the dictionary).
+# ---------------------------------------------------------------------------
+
+DRIVER_ONTOLOGY: list[tuple[str, str, list[str], str, str | None]] = [
+    ("OP:0001", "relational operator", [], "Root operator class.", None),
+    ("OP:0002", "sort", ["order"], "Sorting operator.", "OP:0001"),
+    ("OP:0003", "merge", [], "Merge operator.", "OP:0002"),
+    ("OP:0004", "hash join", [], "Hash join operator.", "OP:0001"),
+    ("OP:0005", "table scan", [], "Scan operator.", "OP:0001"),
+    ("OP:0006", "filter", [], "Filter operator.", "OP:0001"),
+    ("STREAM:0001", "stream", [], "Streaming input.", None),
+    ("STREAM:0002", "batch", [], "Batch input.", "STREAM:0001"),
+    ("ML:0001", "vector", ["embedding"], "Dense vector.", None),
+    ("ENG:0001", "spark", [], "Execution engine.", None),
+    ("ENG:0002", "the", [], "Stopword label - dropped.", None),
+]
+
+_OBO = "http://purl.obolibrary.org/obo/"
+
+
+def driver_ontology_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        {
+            "iri": _OBO + curie.replace(":", "_"),
+            "curie": curie,
+            "label": label,
+            "synonyms": syns,
+            "definition": definition,
+            "parent_curie": parent,
+        }
+        for curie, label, syns, definition, parent in DRIVER_ONTOLOGY
+    ]
+    return spark.createDataFrame(rows, ONTOLOGY)
+
+
+def driver_dictionary(spark: SparkSession) -> DataFrame:
+    return resolve_collisions(build_dictionary(driver_ontology_df(spark)))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return tag_documents(docs, driver_dictionary(spark), id_col="doc_id")
+
+
+# --- SQL fragments shared by several oracles --------------------------------
+
+def _sql_surface_rows() -> str:
+    """VALUES rows (curie, surface, kind) for all NON-stopword dictionary
+    surfaces: labels + synonyms (kind by word count for the join split)."""
+    rows = []
+    for curie, label, syns, _definition, _parent in DRIVER_ONTOLOGY:
+        for s in [label, *syns]:
+            if s in STOPWORDS:
+                continue
+            kind = "bi" if " " in s else "uni"
+            rows.append(f"('{curie}', '{s}', '{kind}')")
+    return ", ".join(rows)
+
+
+_MENTIONS_CTE = f"""
+dict(curie, surface, kind) AS (VALUES {_sql_surface_rows()}),
+docs AS (
+  SELECT doc_id::VARCHAR AS doc_id, string_split(text, ' ') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok FROM docs
+),
+bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)),
+                               i -> l[i::int] || ' ' || l[(i+1)::int])) AS bg
+  FROM docs
+),
+mention_rows AS (
+  SELECT t.doc_id, d.curie
+  FROM toks t JOIN dict d ON d.kind = 'uni' AND t.tok = d.surface
+  UNION ALL
+  SELECT b.doc_id, d.curie
+  FROM bigrams b JOIN dict d ON d.kind = 'bi' AND b.bg = d.surface
+)
+"""
+
+_ISA_EDGES_SQL = ", ".join(
+    f"('{curie}', '{parent}')"
+    for curie, _l, _s, _d, parent in DRIVER_ONTOLOGY
+    if parent is not None
+)
+
+_CLOSURE_CTE = f"""
+edges(child, parent) AS (VALUES {_ISA_EDGES_SQL}),
+closure(descendant, ancestor) AS (
+  SELECT child, parent FROM edges
+  UNION
+  SELECT c.descendant, e.parent
+  FROM closure c JOIN edges e ON c.ancestor = e.child
+)
+"""
+
+
+def _sql_plural(expr: str) -> str:
+    """SQL twin of functions/pluralize.plural for the restricted driver
+    label set (regular suffixes only — pinned by test_driver_plural_parity)."""
+    return (
+        f"CASE WHEN regexp_matches({expr}, '(s|x|z|ch|sh)$') "
+        f"THEN {expr} || 'es' ELSE {expr} || 's' END"
+    )
+
+
+def _stopword_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+
+# ---------------------------------------------------------------------------
+# KG-construction queries (the reference's own operator surface)
+# ---------------------------------------------------------------------------
+
+def q_kg_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = build_dictionary(driver_ontology_df(spark))
+    return d.select("ont", "id", "alt_name", "name", "definition", "surface")
+
+
+def sql_kg_dictionary() -> str:
+    ont_rows = ", ".join(
+        f"('{c}', '{l}', '{d}')" for c, l, _s, d, _p in DRIVER_ONTOLOGY
+    )
+    syn_rows = [
+        f"('{c}', '{l}', '{d}', '{syn}')"
+        for c, l, syns, d, _p in DRIVER_ONTOLOGY
+        for syn in syns
+    ]
+    syn_values = (
+        f"VALUES {', '.join(syn_rows)}" if syn_rows else
+        "SELECT NULL, NULL, NULL, NULL WHERE false"
+    )
+    stop = _stopword_list_sql()
+    return f"""
+WITH classes(id, label, defn) AS (VALUES {ont_rows}),
+ syns(id, label, defn, syn) AS ({syn_values}),
+ ok_classes AS (SELECT * FROM classes WHERE lower(trim(label)) NOT IN ({stop})),
+ ok_syns AS (SELECT * FROM syns WHERE lower(trim(syn)) NOT IN ({stop})),
+ surfaces(id, raw, name, defn) AS (
+   SELECT id, label, label, defn FROM ok_classes
+   UNION ALL
+   SELECT id, {_sql_plural('label')}, label, defn FROM ok_classes
+   UNION ALL
+   SELECT id, syn, label, defn FROM ok_syns
+   UNION ALL
+   SELECT id, {_sql_plural('syn')}, label, defn FROM ok_syns
+ )
+SELECT split_part(id, ':', 1) AS ont,
+       id,
+       trim(raw) AS alt_name,
+       name,
+       defn AS definition,
+       lower(trim(raw)) AS surface
+FROM surfaces
+WHERE lower(trim(raw)) NOT IN ({stop})
+"""
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    return (
+        m.groupBy(F.col("url").alias("doc_id"), "curie")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+def sql_kg_mentions() -> str:
+    return f"""
+WITH {_MENTIONS_CTE}
+SELECT doc_id, curie, count(*) AS n_mentions
+FROM mention_rows GROUP BY doc_id, curie
+"""
+
+
+def q_kg_mention_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    return (
+        m.select(F.col("url").alias("subj"), F.col("curie").alias("obj"))
+        .distinct()
+        .withColumn("pred", F.lit("mentions"))
+        .select("subj", "pred", "obj")
+    )
+
+
+def sql_kg_mention_triples() -> str:
+    return f"""
+WITH {_MENTIONS_CTE}
+SELECT DISTINCT doc_id AS subj, 'mentions' AS pred, curie AS obj
+FROM mention_rows
+"""
+
+
+def q_kg_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+
+    m = _mentions(spark, sf_dir)
+    return cooccurrence_edges(m, doc_col="url", term_col="curie").select(
+        "src", "dst", F.col("weight").cast("long").alias("weight")
+    )
+
+
+def sql_kg_cooccur() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows)
+SELECT a.curie AS src, b.curie AS dst, count(*)::BIGINT AS weight
+FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie
+GROUP BY a.curie, b.curie
+"""
+
+
+def q_kg_term_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    return m.groupBy("curie").agg(
+        F.countDistinct("url").alias("doc_count"),
+        F.count("*").alias("n_mentions"),
+        F.min("url").alias("first_doc"),
+        F.max("url").alias("last_doc"),
+    )
+
+
+def sql_kg_term_index() -> str:
+    return f"""
+WITH {_MENTIONS_CTE}
+SELECT curie,
+       count(DISTINCT doc_id) AS doc_count,
+       count(*) AS n_mentions,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM mention_rows GROUP BY curie
+"""
+
+
+def q_kg_isa_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    onto = driver_ontology_df(spark)
+    edges = onto.where(F.col("parent_curie").isNotNull()).select(
+        F.col("curie").alias("child_curie"),
+        F.col("parent_curie"),
+    )
+    return transitive_closure(edges)
+
+
+def sql_kg_isa_closure() -> str:
+    return f"""
+WITH RECURSIVE {_CLOSURE_CTE}
+SELECT descendant, ancestor FROM closure
+"""
+
+
+def q_kg_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    closure = q_kg_isa_closure(spark, sf_dir)
+    return descendants_of(closure, ["OP:0001"])
+
+
+def sql_kg_descendants() -> str:
+    return f"""
+WITH RECURSIVE {_CLOSURE_CTE}
+SELECT descendant AS curie FROM closure WHERE ancestor = 'OP:0001'
+UNION
+SELECT 'OP:0001' AS curie
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_profile(_docs(spark, sf_dir))
+
+
+def sql_text_profile() -> str:
+    return text_profile_sql("documents")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication — run on the corpus unioned with an id-shifted copy so
+# duplicate groups exist by construction (same trick in both engines).
+# ---------------------------------------------------------------------------
+
+_ID_SHIFT = 1_000_000
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(
+        d.select((F.col("doc_id") + _ID_SHIFT).alias("doc_id"), "text")
+    )
+
+
+_DOUBLED_SQL = f"""
+doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_ID_SHIFT} AS doc_id, text FROM documents
+)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _doubled_docs(spark, sf_dir)
+    return (
+        d.select("doc_id", content_digest("text").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def sql_dedup_exact() -> str:
+    digest = (
+        "('0x' || substr(md5(regexp_replace(trim(lower(text)),"
+        " '\\s+', ' ', 'g')), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH {_DOUBLED_SQL}
+SELECT {digest} AS digest,
+       count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM doubled
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+_NUM_HASHES = 8
+_BANDS = 4
+_SHINGLE_K = 5
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    sigs = minhash_signatures(d, text_col="text", num_hashes=4,
+                              shingle_k=_SHINGLE_K)
+    return sigs.select(
+        "doc_id",
+        *[F.element_at(F.col("sig"), i + 1).alias(f"h{i}") for i in range(4)],
+    )
+
+
+def sql_dedup_minhash_sig() -> str:
+    sh = (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(1, length(lower(text)) - {_SHINGLE_K - 1}) + 1),"
+        f" i -> substr(lower(text), i::int, {_SHINGLE_K})))"
+    )
+    cols = ", ".join(
+        f"list_min(list_transform({sh}, "
+        f"s -> ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT)) AS h{seed}"
+        for seed in range(4)
+    )
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _doubled_docs(spark, sf_dir)
+    return lsh_candidate_pairs(
+        d, text_col="text", num_hashes=_NUM_HASHES, bands=_BANDS,
+        shingle_k=_SHINGLE_K, max_bucket_size=None,
+    )
+
+
+def sql_dedup_lsh_pairs() -> str:
+    return f"""
+WITH {_sql_lsh_ctes()}
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM band_rows a JOIN band_rows b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _doubled_docs(spark, sf_dir)
+    cands = lsh_candidate_pairs(
+        d, text_col="text", num_hashes=_NUM_HASHES, bands=_BANDS,
+        shingle_k=_SHINGLE_K, max_bucket_size=None,
+    )
+    return ngram_jaccard_pairs(
+        d, cands, text_col="text", shingle_k=_SHINGLE_K, threshold=0.8
+    )
+
+
+def _sql_lsh_ctes() -> str:
+    """Shared CTE chain: doubled corpus → shingles → signatures → band rows."""
+    rows_per_band = _NUM_HASHES // _BANDS
+    sh = (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(1, length(lower(text)) - {_SHINGLE_K - 1}) + 1),"
+        f" i -> substr(lower(text), i::int, {_SHINGLE_K})))"
+    )
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, "
+        f"s -> ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT))"
+        for seed in range(_NUM_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id AS id, {b} AS band, "
+        f"('0x' || substr(md5(array_to_string("
+        f"sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], ',')),"
+        f" 1, 15))::BIGINT AS bucket FROM sigs"
+        for b in range(_BANDS)
+    )
+    return f"""{_DOUBLED_SQL},
+ shingled AS (SELECT doc_id, {sh} AS sh FROM doubled),
+ sigs AS (SELECT doc_id, [{sig_elems}] AS sig FROM shingled),
+ band_rows AS ({band_rows})"""
+
+
+def sql_dedup_jaccard() -> str:
+    sh = (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(1, length(lower(text)) - {_SHINGLE_K - 1}) + 1),"
+        f" i -> substr(lower(text), i::int, {_SHINGLE_K})))"
+    )
+    return f"""
+WITH {_sql_lsh_ctes()},
+ cands AS (
+   SELECT DISTINCT a.id AS id_a, b.id AS id_b
+   FROM band_rows a JOIN band_rows b
+     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+ ),
+ doc_sh AS (SELECT doc_id, {sh} AS sh FROM doubled),
+ ex AS (SELECT doc_id, unnest(sh) AS s FROM doc_sh),
+ sizes AS (SELECT doc_id, len(sh) AS n_sh FROM doc_sh),
+ inter AS (
+   SELECT c.id_a, c.id_b, count(*) AS n_inter
+   FROM cands c
+   JOIN ex ea ON ea.doc_id = c.id_a
+   JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+   GROUP BY c.id_a, c.id_b
+ )
+SELECT i.id_a, i.id_b,
+       round(i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round(i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter), 4) >= 0.8
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.select("doc_id", simhash_col("text").alias("simhash"))
+
+
+def sql_dedup_simhash() -> str:
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+    th = (
+        f"list_transform({toks}, "
+        f"t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({th}, "
+        f"h -> CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_TOPK = 5
+_N_QUERIES = 5
+_NUM_PLANES = 8
+_DIM = 64
+
+_COS_SQL = (
+    "round(list_dot_product(q.embedding, c.embedding) / "
+    "(sqrt(list_dot_product(q.embedding, q.embedding)) * "
+    "sqrt(list_dot_product(c.embedding, c.embedding))), 4)"
+)
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=_TOPK)
+
+
+def sql_sim_topk() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < {_N_QUERIES}),
+ scored AS (
+   SELECT q.query_id, c.vec_id AS cand_id, {_COS_SQL} AS score
+   FROM embeddings c, q WHERE c.vec_id != q.query_id
+ ),
+ ranked AS (
+   SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, cand_id ASC) AS rank
+   FROM scored
+ )
+SELECT query_id, cand_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+def _planes_sql_signature(alias: str) -> str:
+    planes = hyperplane_matrix(_NUM_PLANES, _DIM)
+    bits = []
+    for h, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"{c}.0" for c in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({alias}.embedding, {arr}) > 0 "
+            f"THEN {1 << h} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")::BIGINT"
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=_TOPK, num_planes=_NUM_PLANES, dim=_DIM)
+
+
+def sql_sim_lsh_topk() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding,
+                  {_planes_sql_signature('embeddings')} AS sig
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+ c AS (SELECT vec_id AS cand_id, embedding,
+              {_planes_sql_signature('embeddings')} AS sig
+       FROM embeddings),
+ scored AS (
+   SELECT q.query_id, c.cand_id, {_COS_SQL} AS score
+   FROM c JOIN q ON c.sig = q.sig AND c.cand_id != q.query_id
+ ),
+ ranked AS (
+   SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, cand_id ASC) AS rank
+   FROM scored
+ )
+SELECT query_id, cand_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + _ID_SHIFT).alias("vec_id"), "embedding")
+    )
+    return embedding_near_duplicates(
+        doubled, threshold=0.98, num_planes=_NUM_PLANES, dim=_DIM
+    )
+
+
+def sql_emb_neardup() -> str:
+    cos = (
+        "round(list_dot_product(a.embedding, b.embedding) / "
+        "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
+        "sqrt(list_dot_product(b.embedding, b.embedding))), 4)"
+    )
+    return f"""
+WITH doubled AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_ID_SHIFT}, embedding FROM embeddings
+),
+ s AS (SELECT vec_id AS id, embedding,
+              {_planes_sql_signature('doubled')} AS sig
+       FROM doubled),
+ pairs AS (
+   SELECT a.id AS id_a, b.id AS id_b, {cos} AS score
+   FROM s a JOIN s b ON a.sig = b.sig AND a.id < b.id
+ )
+SELECT id_a, id_b, score FROM pairs WHERE score >= 0.98
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed aggregation + sessionization (batch form)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("wstart"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+def sql_events_tumbling() -> str:
+    return """
+SELECT event_type, date_trunc('hour', ts) AS wstart,
+       count(*) AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+            > _SESSION_GAP_S,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.max(F.col("ts").cast("timestamp").cast("long")) - F.min(F.col("ts").cast("timestamp").cast("long"))
+            ).alias("duration_s"),
+        )
+    )
+
+
+def sql_events_sessionize() -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN (epoch_us(ts) // 1000000)
+                   - lag((epoch_us(ts) // 1000000)) OVER w > {_SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       (max((epoch_us(ts) // 1000000)) - min((epoch_us(ts) // 1000000))) AS duration_s
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational machinery (exact integer-cents arithmetic)
+# ---------------------------------------------------------------------------
+
+def _cents(col: str):
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents("l_quantity")).alias("sum_qty_c"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_c"),
+            F.sum(
+                _cents("l_extendedprice") * (100 - _cents("l_discount"))
+            ).alias("sum_disc_c"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def sql_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sum_qty_c,
+  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_c,
+  sum(round(l_extendedprice * 100)::BIGINT
+      * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS sum_disc_c,
+  count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    revenue = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                _cents("l_extendedprice") * (100 - _cents("l_discount"))
+            ).alias("revenue_c")
+        )
+    )
+    joined = revenue.join(
+        orders, revenue.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.orderBy(F.col("revenue_c").desc(), F.col("o_orderkey").asc())
+    return (
+        joined.select("o_orderkey", "c_mktsegment", "revenue_c")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("o_orderkey", "c_mktsegment", "revenue_c", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def sql_top_orders() -> str:
+    return """
+WITH revenue AS (
+  SELECT l_orderkey,
+         sum(round(l_extendedprice * 100)::BIGINT
+             * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_c
+  FROM lineitem GROUP BY l_orderkey
+),
+ ranked AS (
+  SELECT o.o_orderkey, c.c_mktsegment, r.revenue_c,
+         row_number() OVER (ORDER BY r.revenue_c DESC, o.o_orderkey ASC) AS rank
+  FROM revenue r
+  JOIN orders o ON r.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+ )
+SELECT o_orderkey, c_mktsegment, revenue_c, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dimension star join: revenue by nation."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _cents("l_extendedprice") * (100 - _cents("l_discount"))
+            ).alias("revenue_c"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def sql_nation_revenue() -> str:
+    return """
+SELECT n.n_name,
+       sum(round(l.l_extendedprice * 100)::BIGINT
+           * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT AS revenue_c,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 co-occurrence analog at relational scale: part pairs co-ordered."""
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("url"), F.col("l_partkey").alias("curie")
+    )
+    return (
+        cooccurrence_edges(li, doc_col="url", term_col="curie", min_weight=2)
+        .select(
+            F.col("src").cast("long").alias("part_a"),
+            F.col("dst").cast("long").alias("part_b"),
+            F.col("weight").cast("long").alias("weight"),
+        )
+    )
+
+
+def sql_part_pairs() -> str:
+    return """
+WITH dt AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*)::BIGINT AS weight
+FROM dt a JOIN dt b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING count(*) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "kg_dictionary": q_kg_dictionary,
+    "kg_mentions": q_kg_mentions,
+    "kg_mention_triples": q_kg_mention_triples,
+    "kg_cooccur": q_kg_cooccur,
+    "kg_term_index": q_kg_term_index,
+    "kg_isa_closure": q_kg_isa_closure,
+    "kg_descendants": q_kg_descendants,
+    "text_profile": q_text_profile,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_topk": q_sim_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "emb_neardup": q_emb_neardup,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "nation_revenue": q_nation_revenue,
+    "part_pairs": q_part_pairs,
+}
+
+ORACLES = {
+    "kg_dictionary": sql_kg_dictionary(),
+    "kg_mentions": sql_kg_mentions(),
+    "kg_mention_triples": sql_kg_mention_triples(),
+    "kg_cooccur": sql_kg_cooccur(),
+    "kg_term_index": sql_kg_term_index(),
+    "kg_isa_closure": sql_kg_isa_closure(),
+    "kg_descendants": sql_kg_descendants(),
+    "text_profile": sql_text_profile(),
+    "dedup_exact": sql_dedup_exact(),
+    "dedup_minhash_sig": sql_dedup_minhash_sig(),
+    "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
+    "dedup_jaccard": sql_dedup_jaccard(),
+    "dedup_simhash": sql_dedup_simhash(),
+    "sim_topk": sql_sim_topk(),
+    "sim_lsh_topk": sql_sim_lsh_topk(),
+    "emb_neardup": sql_emb_neardup(),
+    "events_tumbling": sql_events_tumbling(),
+    "events_sessionize": sql_events_sessionize(),
+    "pricing_summary": sql_pricing_summary(),
+    "top_orders": sql_top_orders(),
+    "nation_revenue": sql_nation_revenue(),
+    "part_pairs": sql_part_pairs(),
+}

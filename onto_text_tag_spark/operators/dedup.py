@@ -117,11 +117,10 @@ def lsh_candidate_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         md5_long(
-                            F.to_json(
-                                F.slice(
-                                    F.col("sig"), b * rows_per_band + 1,
-                                    rows_per_band,
-                                )
+                            F.expr(
+                                f"array_join(transform(slice(sig, "
+                                f"{b * rows_per_band + 1}, {rows_per_band}), "
+                                f"x -> cast(x as string)), ',')"
                             )
                         ).alias("bucket"),
                     )

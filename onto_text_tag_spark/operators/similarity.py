@@ -78,7 +78,7 @@ def cosine_topk(
         F.col("score").desc(), F.col("cand_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "score", "rank")
     )
@@ -157,7 +157,7 @@ def lsh_topk(
         F.col("score").desc(), F.col("cand_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "score", "rank")
     )

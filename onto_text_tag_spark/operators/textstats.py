@@ -32,14 +32,18 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 # BPE-ish tokenizer regex: letter runs, digit runs, or single punctuation.
+# Canonical form uses a single backslash (DuckDB standard strings); the
+# Spark ``expr`` embedding doubles it because Spark SQL string literals
+# process backslash escapes.
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+_TOKEN_REGEX_SPARK = TOKEN_REGEX.replace("\\", "\\\\")
 
 
 def token_count_cols(text_col: str = "text") -> list[Column]:
     """Whitespace token count + regex (BPE-ish) token count + char count."""
     return [
         F.size(word_tokens(text_col)).cast("long").alias("ws_tokens"),
-        F.size(F.expr(f"regexp_extract_all({text_col}, '{TOKEN_REGEX}', 0)"))
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{_TOKEN_REGEX_SPARK}', 0)"))
         .cast("long")
         .alias("re_tokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),

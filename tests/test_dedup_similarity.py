@@ -1,0 +1,225 @@
+"""Unit tests: dedup suite, similarity search, text stats, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Small corpus with planted exact dups, near dups, and distinct docs."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    near = base.replace("afternoon", "evening")
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1
+        (3, near),                      # near dup of 1
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "another unrelated document mentioning parquet column pruning"),
+        (6, base.upper()),              # case variant → exact dup after norm
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates_normalized(spark, near_dup_docs):
+    from onto_text_tag_spark.operators.dedup import dedup_exact, exact_duplicates
+
+    groups = exact_duplicates(near_dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["ids"] == [1, 2, 6]  # case variant collapses too
+    kept = dedup_exact(near_dup_docs)
+    assert kept.count() == 4
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4, 5}
+
+
+def test_lsh_finds_near_dups(spark, near_dup_docs):
+    from onto_text_tag_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    cands = lsh_candidate_pairs(near_dup_docs, num_hashes=16, bands=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides in ≥1 band
+    verified = ngram_jaccard_pairs(near_dup_docs, cands, threshold=0.7)
+    vp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert vp[(1, 2)] == 1.0
+    # one-word-changed near dup lands high but below exact (≈0.78 here)
+    near_keys = [k for k in vp if 3 in k and (1 in k or 2 in k)]
+    assert near_keys and all(0.7 <= vp[k] < 1.0 for k in near_keys)
+    assert all(4 not in k and 5 not in k for k in vp)
+
+
+def test_simhash_near_dup_clusters(spark, near_dup_docs):
+    from onto_text_tag_spark.operators.dedup import simhash_duplicates
+
+    groups = simhash_duplicates(near_dup_docs).collect()
+    clustered = {tuple(g["ids"]) for g in groups}
+    # exact dups (1,2,6 normalize identically at token level: simhash is
+    # case-insensitive) must share a simhash
+    assert any({1, 2} <= set(ids) for ids in clustered)
+
+
+def test_minhash_signature_deterministic(spark, near_dup_docs):
+    from onto_text_tag_spark.operators.dedup import minhash_signatures
+
+    s1 = {r["doc_id"]: r["sig"] for r in minhash_signatures(near_dup_docs).collect()}
+    s2 = {r["doc_id"]: r["sig"] for r in minhash_signatures(near_dup_docs).collect()}
+    assert s1 == s2
+    assert s1[1] == s1[2]  # identical text → identical signature
+
+
+def _unit_rows(n=30, dim=8):
+    import math
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(n):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / norm for x in v]))
+    return rows
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    from onto_text_tag_spark.operators.similarity import cosine_topk
+
+    rows = _unit_rows()
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(rows[:3], ["query_id", "embedding"])
+    got = cosine_topk(emb, queries, k=4).collect()
+
+    mat = np.array([r[1] for r in rows])
+    for qid in range(3):
+        sims = mat @ mat[qid]
+        order = [
+            i for i in sorted(range(len(rows)),
+                              key=lambda i: (-round(float(sims[i]), 4), i))
+            if i != qid
+        ][:4]
+        mine = [r["cand_id"] for r in sorted(got, key=lambda r: r["rank"])
+                if r["query_id"] == qid]
+        assert mine == order
+
+
+def test_lsh_topk_recall(spark):
+    from onto_text_tag_spark.operators.similarity import cosine_topk, lsh_topk
+
+    rows = _unit_rows(n=60)
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(rows[:5], ["query_id", "embedding"])
+    exact = cosine_topk(emb, queries, k=3).collect()
+    approx = lsh_topk(emb, queries, k=3, num_planes=4, dim=8).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    # LSH is approximate: assert sane shape + nonzero overlap, not equality
+    assert len(approx_set) > 0
+    assert len(approx_set & exact_set) > 0
+
+
+def test_embedding_near_duplicates(spark):
+    from onto_text_tag_spark.operators.similarity import embedding_near_duplicates
+
+    rows = _unit_rows(n=20)
+    dup_rows = rows + [(100 + i, v) for i, v in rows[:4]]  # planted dups
+    emb = spark.createDataFrame(dup_rows, ["vec_id", "embedding"])
+    pairs = embedding_near_duplicates(emb, threshold=0.99, num_planes=6, dim=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(4):
+        assert (i, 100 + i) in got
+
+
+def test_text_profile_shape(spark):
+    from onto_text_tag_spark.operators.textstats import text_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the warm sun for a while"),
+            (2, "der hund und die katze sind nicht mit der maus"),
+            (3, "xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    prof = {r["doc_id"]: r for r in text_profile(docs).collect()}
+    assert prof[1]["lang_pred"] == "en"
+    assert prof[2]["lang_pred"] == "de"
+    assert prof[3]["lang_pred"] == "und"
+    assert prof[1]["ws_tokens"] == 13
+    assert prof[1]["fingerprint"] == prof[1]["fingerprint"]  # deterministic
+
+
+def test_multimodal_features_and_frames(spark):
+    from onto_text_tag_spark.operators.multimodal import (
+        MEDIA,
+        encode_fake_media,
+        extract_media_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        ("m1", "image", "synm", encode_fake_media("image", 640, 480)),
+        ("m2", "video", "synm",
+         encode_fake_media("video", 1280, 720, duration_ms=3500)),
+        ("m3", "audio", "synm",
+         encode_fake_media("audio", duration_ms=9000, body=b"pcm")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA)
+    feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert feats["m1"]["width"] == 640 and feats["m1"]["height"] == 480
+    assert feats["m2"]["duration_ms"] == 3500
+    assert feats["m3"]["n_bytes"] == len(rows[2][3])
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    offsets = sorted(r["frame_offset_ms"] for r in frames)
+    assert offsets == [0, 1000, 2000, 3000]
+
+
+def test_multimodal_unknown_format_raises(spark):
+    from onto_text_tag_spark.operators.multimodal import (
+        MEDIA,
+        extract_media_features,
+    )
+
+    media = spark.createDataFrame(
+        [("bad", "image", "jpeg", b"\xff\xd8notreal")], MEDIA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        extract_media_features(media).collect()
+
+
+def test_sinks_resume_cycle(spark, tmp_path):
+    from onto_text_tag_spark.sinks import (
+        read_manifest,
+        run_stage,
+        stage_is_current,
+        write_stage,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}") for i in range(30)], ["id", "part"]
+    )
+    root = str(tmp_path / "kg")
+    m = write_stage(df, root, "mentions", partition_by=["part"],
+                    input_fingerprint="fp1", metrics={"stage_sec": 1.2})
+    assert m["total_rows"] == 30
+    assert len(m["partitions"]) == 3
+    assert stage_is_current(root, "mentions", "fp1")
+    assert not stage_is_current(root, "mentions", "fp2")
+
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return df
+
+    out = run_stage(spark, root, "mentions", compute, input_fingerprint="fp1")
+    assert out.count() == 30 and calls == []  # reused, not recomputed
+    out = run_stage(spark, root, "mentions", compute, input_fingerprint="fp2")
+    assert out.count() == 30 and calls == [1]  # fingerprint change → rerun
+    manifest = read_manifest(root, "mentions")
+    assert manifest["input_fingerprint"] == "fp2"
