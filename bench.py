@@ -49,7 +49,8 @@ def _force(df) -> int:
     cols = [F.col(c).cast("string") for c in df.columns]
     row = df.select(
         F.count("*").alias("n"),
-        F.sum(F.xxhash64(*cols)).alias("h"),
+        # bit_xor never overflows (ANSI mode), unlike sum of 64-bit hashes
+        F.bit_xor(F.xxhash64(*cols)).alias("h"),
     ).collect()[0]
     return row["n"]
 

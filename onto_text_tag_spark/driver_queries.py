@@ -861,6 +861,74 @@ HAVING count(*) >= 2
 
 
 # ---------------------------------------------------------------------------
+# Connected components / canonicalization (F4 surface)
+# ---------------------------------------------------------------------------
+
+def q_canon_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 shape end-to-end: LSH blocking -> Jaccard verify -> connected
+    components over the verified near-dup pairs of the doubled corpus."""
+    from onto_text_tag_spark.operators.components import connected_components
+
+    pairs = q_dedup_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs, src="id_a", dst="id_b")
+
+
+def sql_canon_components() -> str:
+    jac = sql_dedup_jaccard().strip()
+    assert jac.startswith("WITH")
+    body = jac[len("WITH"):]
+    prefix = body.rsplit("SELECT i.id_a", 1)[0].rstrip()
+    return f"""
+WITH RECURSIVE {prefix},
+ verified AS (
+   SELECT i.id_a, i.id_b
+   FROM inter i
+   JOIN sizes sa ON sa.doc_id = i.id_a
+   JOIN sizes sb ON sb.doc_id = i.id_b
+   WHERE round(i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter), 4) >= 0.8
+ ),
+ und(a, b) AS (
+   SELECT id_a, id_b FROM verified
+   UNION SELECT id_b, id_a FROM verified
+ ),
+ reach(node, m) AS (
+   SELECT a, a FROM und
+   UNION
+   SELECT r.node, u.b FROM reach r JOIN und u ON r.m = u.a
+ )
+SELECT node, min(m) AS comp FROM reach GROUP BY node
+"""
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Components of the term co-occurrence graph (association-graph
+    connectivity, the reference's chord-diagram node set)."""
+    from onto_text_tag_spark.operators.components import connected_components
+
+    edges = q_kg_cooccur(spark, sf_dir)
+    return connected_components(edges, src="src", dst="dst")
+
+
+def sql_graph_components() -> str:
+    return f"""
+WITH RECURSIVE {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ e AS (
+   SELECT a.curie AS src, b.curie AS dst
+   FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie
+   GROUP BY a.curie, b.curie
+ ),
+ und(a, b) AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+ reach(node, m) AS (
+   SELECT a, a FROM und
+   UNION
+   SELECT r.node, u.b FROM reach r JOIN und u ON r.m = u.a
+ )
+SELECT node, min(m) AS comp FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -872,6 +940,8 @@ QUERIES = {
     "kg_term_index": q_kg_term_index,
     "kg_isa_closure": q_kg_isa_closure,
     "kg_descendants": q_kg_descendants,
+    "canon_components": q_canon_components,
+    "graph_components": q_graph_components,
     "text_profile": q_text_profile,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -897,6 +967,8 @@ ORACLES = {
     "kg_term_index": sql_kg_term_index(),
     "kg_isa_closure": sql_kg_isa_closure(),
     "kg_descendants": sql_kg_descendants(),
+    "canon_components": sql_canon_components(),
+    "graph_components": sql_graph_components(),
     "text_profile": sql_text_profile(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash_sig": sql_dedup_minhash_sig(),

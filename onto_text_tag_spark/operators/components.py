@@ -1,0 +1,145 @@
+"""Connected components over an edge DataFrame (large-star/small-star).
+
+GraphFrames is not available in this sandbox, so this is the
+alternating large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) expressed as DataFrame
+joins — the same algorithm GraphFrames uses internally.  Converges in
+O(log n) rounds on real graphs; every round is two self-joins + a
+groupBy min, each checkpointed to cut lineage.
+
+Scale notes: edges shuffle on node id each round; AQE handles the skew
+of super-nodes (a web-scale near-dup cluster can be huge).  The label
+table is (node → component-min) — never an adjacency list, so no
+collect_set OOM hazard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected canonical edge list (a<b), self-loops dropped."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    return (
+        e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) where component = min node id of the component.
+
+    Implementation: iterated "star contraction" — each round maps every
+    node to the minimum id in its closed neighborhood, then rewrites
+    edges through those labels; fixpoint when the label sum of changes
+    reaches zero.  Equivalent result to large-star/small-star with the
+    same O(log n) round behavior on typical graphs.
+    """
+    e = _canon_edges(edges, src, dst).localCheckpoint(eager=True)
+
+    # initial labels: every endpoint labels itself
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # neighborhood minimum: for each node, min(comp) over itself and
+        # all neighbors' current labels
+        nbr = (
+            e.join(labels.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"), "comp")
+            .unionByName(
+                e.join(labels.withColumnRenamed("node", "b"), "b")
+                .select(F.col("a").alias("node"), "comp")
+            )
+            .unionByName(labels)
+        )
+        new_labels = (
+            nbr.groupBy("node").agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+        # pointer-jumping acceleration: relabel through the label table
+        # (comp -> comp's comp) to shortcut chains
+        jump = (
+            labels.alias("l")
+            .join(
+                labels.select(
+                    F.col("node").alias("comp"),
+                    F.col("comp").alias("comp2"),
+                ).alias("r"),
+                "comp",
+                "left",
+            )
+            .select(
+                F.col("node"),
+                F.coalesce("comp2", "comp").alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = jump
+    return labels.select("node", "comp")
+
+
+def canonicalize_surfaces(
+    surfaces: DataFrame,
+    surface_col: str = "surface",
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """F4 canonicalization: merge surface-form variants into clusters.
+
+    MinHash-LSH blocking over character shingles → exact Jaccard verify →
+    connected components → (surface, canonical) map where canonical is
+    the lexicographically-smallest member.  north_star: "MinHash-LSH
+    blocking plus connected-components union".
+    """
+    from onto_text_tag_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    uniq = surfaces.select(F.col(surface_col).alias("surface")).distinct()
+    ids = uniq.withColumn("doc_id", F.col("surface"))
+    cands = lsh_candidate_pairs(
+        ids, id_col="doc_id", text_col="surface",
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        max_bucket_size=1000,
+    )
+    verified = ngram_jaccard_pairs(
+        ids, cands, id_col="doc_id", text_col="surface",
+        shingle_k=shingle_k, threshold=jaccard_threshold,
+    )
+    comp = connected_components(verified, src="id_a", dst="id_b")
+    return (
+        uniq.join(
+            comp.withColumnRenamed("node", "surface"), "surface", "left"
+        )
+        .select(
+            "surface",
+            F.coalesce("comp", F.col("surface")).alias("canonical"),
+        )
+    )

@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Constraint propagation is quadratic on wide iterative plans and
+        # trips a constraints-rewrite bug when localCheckpoint wraps plans
+        # that reference prior LogicalRDD checkpoints (iterative closure /
+        # connected components); the engine relies on explicit filters, not
+        # inferred constraints, so disable it globally.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,95 @@
+"""Connected components, canonicalization, and streaming tagging tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_connected_components_basic(spark):
+    from onto_text_tag_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"),            # chain → comp a
+            ("d", "e"),                        # pair → comp d
+            ("f", "f"),                        # self loop (dropped; f isolated-ish)
+            ("x", "y"), ("y", "z"), ("z", "x"),  # cycle → comp x
+        ],
+        ["src", "dst"],
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+    assert comp["x"] == comp["y"] == comp["z"] == "x"
+    assert "f" not in comp  # only self-loop → no edges → not in node set
+
+
+def test_connected_components_long_chain(spark):
+    from onto_text_tag_spark.operators.components import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)], ["src", "dst"]
+    )
+    comp = connected_components(edges)
+    assert comp.select("comp").distinct().count() == 1
+    assert comp.count() == n + 1
+
+
+def test_canonicalize_surfaces(spark):
+    from onto_text_tag_spark.operators.components import canonicalize_surfaces
+
+    surfaces = spark.createDataFrame(
+        [
+            ("tobacco smoking",),
+            ("tobacco-smoking",),
+            ("tobacco  smoking",),
+            ("smoking of tobacco",),
+            ("caffeine",),
+            ("ethanol",),
+        ],
+        ["surface"],
+    )
+    got = {
+        r["surface"]: r["canonical"]
+        for r in canonicalize_surfaces(surfaces, jaccard_threshold=0.5).collect()
+    }
+    # the three near-identical variants merge into one cluster
+    variants = {"tobacco smoking", "tobacco-smoking", "tobacco  smoking"}
+    canons = {got[v] for v in variants}
+    assert len(canons) == 1
+    # unrelated surfaces stay singleton (canonical = self)
+    assert got["caffeine"] == "caffeine"
+    assert got["ethanol"] == "ethanol"
+
+
+def test_streaming_tagging_matches_batch(spark, tmp_path):
+    from onto_text_tag_spark.corpus import documents_df, ontology_df
+    from onto_text_tag_spark.dictionary import build_dictionary, resolve_collisions
+    from onto_text_tag_spark.operators.tagger import tag_documents
+    from onto_text_tag_spark.streaming.incremental import (
+        read_document_stream,
+        start_mentions_sink,
+        tag_stream,
+    )
+
+    docs = documents_df(spark, n_docs=30)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.write.parquet(src)
+
+    dictionary = resolve_collisions(build_dictionary(ontology_df(spark)))
+    stream = read_document_stream(spark, src)
+    assert stream.isStreaming
+    mentions = tag_stream(stream, dictionary)
+    q = start_mentions_sink(mentions, out, ckpt)
+    try:
+        q.processAllAvailable()  # blocks until every input file is processed
+    finally:
+        q.stop()
+
+    streamed = spark.read.parquet(out)
+    batch = tag_documents(docs, dictionary)
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
