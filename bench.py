@@ -70,6 +70,20 @@ def run_bench(cores: int = CPUS) -> dict:
     from onto_text_tag_spark.driver_queries import QUERIES
 
     spark = _session(cores)
+    # Warm-up: spin up JVM stages and Python workers once so the first
+    # measured query isn't charged for session startup.
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).select(F.bit_xor(F.xxhash64("id"))).collect()
+    import pandas as pd  # noqa: F401
+
+    def _noop(it):
+        yield from it
+
+    spark.range(10_000).toDF("id").mapInPandas(
+        _noop, schema="id long"
+    ).count()
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     t_total = time.perf_counter()

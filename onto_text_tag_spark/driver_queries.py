@@ -96,9 +96,36 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def driver_dictionary_rows() -> list[dict]:
+    """Pure-Python twin of driver_dictionary (same semantics, no Spark
+    roundtrip): the dictionary is driver-side small data, so the tagging
+    hot path should not pay a distributed job to build it.  Parity with
+    the Spark builder is pinned by test_driver_dictionary_rows_parity."""
+    from onto_text_tag_spark.functions.pluralize import plural
+
+    by_surface: dict[str, tuple] = {}
+    for curie, label, syns, _defn, _parent in DRIVER_ONTOLOGY:
+        ont = curie.split(":", 1)[0]
+        for base in [label, *syns]:
+            if base.strip().lower() in STOPWORDS:
+                continue
+            for raw in (base, plural(base)):
+                surface = raw.strip().lower()
+                if surface in STOPWORDS:
+                    continue
+                prev = by_surface.get(surface)
+                # collision policy A5 pin: ont_order ties at 0 -> max curie
+                if prev is None or curie > prev[0]:
+                    by_surface[surface] = (curie, label, ont)
+    return [
+        {"surface": s_, "id": c, "name": n, "ont": o}
+        for s_, (c, n, o) in sorted(by_surface.items())
+    ]
+
+
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return tag_documents(docs, driver_dictionary(spark), id_col="doc_id")
+    return tag_documents(docs, driver_dictionary_rows(), id_col="doc_id")
 
 
 # --- SQL fragments shared by several oracles --------------------------------
@@ -387,7 +414,7 @@ GROUP BY 1 HAVING count(*) > 1
 """
 
 
-_NUM_HASHES = 8
+_NUM_HASHES = 16
 _BANDS = 4
 _SHINGLE_K = 5
 
@@ -403,17 +430,19 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_dedup_minhash_sig() -> str:
+    from onto_text_tag_spark.functions.hashing import minhash_signature_sql
+
     sh = (
         f"list_distinct(list_transform("
         f"range(1, greatest(1, length(lower(text)) - {_SHINGLE_K - 1}) + 1),"
         f" i -> substr(lower(text), i::int, {_SHINGLE_K})))"
     )
-    cols = ", ".join(
-        f"list_min(list_transform({sh}, "
-        f"s -> ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT)) AS h{seed}"
-        for seed in range(4)
+    sig = minhash_signature_sql("sh", 4)
+    cols = ", ".join(f"sig[{i + 1}] AS h{i}" for i in range(4))
+    return (
+        f"SELECT doc_id, {cols} FROM (SELECT doc_id, {sig} AS sig FROM "
+        f"(SELECT doc_id, {sh} AS sh FROM documents))"
     )
-    return f"SELECT doc_id, {cols} FROM documents"
 
 
 def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,11 +481,9 @@ def _sql_lsh_ctes() -> str:
         f"range(1, greatest(1, length(lower(text)) - {_SHINGLE_K - 1}) + 1),"
         f" i -> substr(lower(text), i::int, {_SHINGLE_K})))"
     )
-    sig_elems = ", ".join(
-        f"list_min(list_transform(sh, "
-        f"s -> ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT))"
-        for seed in range(_NUM_HASHES)
-    )
+    from onto_text_tag_spark.functions.hashing import minhash_signature_sql
+
+    sig_literal = minhash_signature_sql("sh", _NUM_HASHES)
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id AS id, {b} AS band, "
         f"('0x' || substr(md5(array_to_string("
@@ -466,7 +493,7 @@ def _sql_lsh_ctes() -> str:
     )
     return f"""{_DOUBLED_SQL},
  shingled AS (SELECT doc_id, {sh} AS sh FROM doubled),
- sigs AS (SELECT doc_id, [{sig_elems}] AS sig FROM shingled),
+ sigs AS (SELECT doc_id, {sig_literal} AS sig FROM shingled),
  band_rows AS ({band_rows})"""
 
 

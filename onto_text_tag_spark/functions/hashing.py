@@ -84,25 +84,48 @@ def word_tokens_sql(text_expr: str) -> str:
     )
 
 
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a, b) per permutation.
+
+    One md5 per shingle + (a*h+b) mod p per permutation beats one md5
+    per (shingle, permutation) by num_hashes× — the md5 is the hot loop.
+    h is folded to 31 bits first so a*h+b stays under 2^63 (ANSI-safe).
+    """
+    return [
+        (
+            (seed * 2654435761 + 1) % MOD_PRIME,
+            (seed * 40503 + 17) % MOD_PRIME,
+        )
+        for seed in range(num_hashes)
+    ]
+
+
 def minhash_signature(shingles_col: str, num_hashes: int) -> Column:
-    """array<long> MinHash signature: per seed, min over shingle hashes."""
+    """array<long> MinHash signature via one md5 per shingle + a
+    universal-hash permutation family (bit-identical in the SQL twin)."""
+    base = (
+        f"transform({shingles_col}, s -> "
+        f"pmod(cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10)"
+        f" as bigint), {MOD_PRIME}L))"
+    )
     mins = [
         F.array_min(
             F.expr(
-                f"transform({shingles_col}, s -> "
-                f"cast(conv(substring(md5(cast(concat('{seed}:', s) as binary)),"
-                f" 1, 15), 16, 10) as bigint))"
+                f"transform({base}, h -> pmod({a}L * h + {b}L, {MOD_PRIME}L))"
             )
         )
-        for seed in range(num_hashes)
+        for a, b in minhash_coeffs(num_hashes)
     ]
     return F.array(*mins)
 
 
 def minhash_signature_sql(shingles_expr: str, num_hashes: int) -> str:
+    base = (
+        f"list_transform({shingles_expr}, "
+        f"s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MOD_PRIME})"
+    )
     mins = ", ".join(
-        f"list_min(list_transform({shingles_expr}, "
-        f"s -> ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT))"
-        for seed in range(num_hashes)
+        f"list_min(list_transform({base}, h -> ({a} * h + {b}) % {MOD_PRIME}))"
+        for a, b in minhash_coeffs(num_hashes)
     )
     return f"[{mins}]"

@@ -78,7 +78,10 @@ def tag_documents(
     and broadcast; matching runs in ``mapInPandas`` batches.
     """
     spark = documents.sparkSession
-    rows = dictionary.select("surface", "id", "name", "ont").collect()
+    if isinstance(dictionary, DataFrame):
+        rows = dictionary.select("surface", "id", "name", "ont").collect()
+    else:  # pre-collected rows (driver-side dictionaries skip the Spark job)
+        rows = dictionary
     automaton = compile_dictionary(rows)
     bc = spark.sparkContext.broadcast(automaton)
 

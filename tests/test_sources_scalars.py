@@ -1,0 +1,122 @@
+"""Ontology source parsers (S1) + scalar functions (P6-P8, J3-J4, A3)."""
+
+from onto_text_tag_spark.sources.ontology import (
+    curie_from_iri,
+    parse_obo,
+    parse_owl_xml,
+)
+
+OWL_SAMPLE = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:obo="http://purl.obolibrary.org/obo/">
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/CHEBI_0011">
+    <rdfs:label>nicotine</rdfs:label>
+    <obo:IAO_0000118>3-(1-methylpyrrolidin-2-yl)pyridine</obo:IAO_0000118>
+    <obo:IAO_0000115>Alkaloid found in tobacco.</obo:IAO_0000115>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/CHEBI_0010"/>
+  </owl:Class>
+  <owl:Class rdf:about="http://humanbehaviourchange.org/ontology/BCIO_0002">
+    <rdfs:label>goal setting</rdfs:label>
+  </owl:Class>
+</rdf:RDF>
+"""
+
+OBO_SAMPLE = """format-version: 1.2
+
+[Term]
+id: ADDICTO:0007
+name: craving
+def: "Intense desire." [src]
+synonym: "urge" EXACT []
+is_a: ADDICTO:0006 ! withdrawal symptom
+
+[Term]
+id: ADDICTO:0006
+name: withdrawal symptom
+"""
+
+
+def test_parse_owl_xml():
+    rows = {r["curie"]: r for r in parse_owl_xml(OWL_SAMPLE)}
+    nic = rows["CHEBI:0011"]
+    assert nic["label"] == "nicotine"
+    assert nic["synonyms"] == ["3-(1-methylpyrrolidin-2-yl)pyridine"]
+    assert nic["definition"] == "Alkaloid found in tobacco."
+    assert nic["parent_curie"] == "CHEBI:0010"
+    assert rows["BCIO:0002"]["label"] == "goal setting"
+
+
+def test_parse_obo():
+    rows = {r["curie"]: r for r in parse_obo(OBO_SAMPLE)}
+    c = rows["ADDICTO:0007"]
+    assert c["label"] == "craving"
+    assert c["synonyms"] == ["urge"]
+    assert c["definition"] == "Intense desire."
+    assert c["parent_curie"] == "ADDICTO:0006"
+
+
+def test_curie_from_iri():
+    assert curie_from_iri("http://purl.obolibrary.org/obo/CHEBI_16236") == "CHEBI:16236"
+    assert (
+        curie_from_iri("http://humanbehaviourchange.org/ontology/BCIO_0001")
+        == "BCIO:0001"
+    )
+    assert curie_from_iri("http://example.org/FOO_1") == "FOO:1"
+    assert curie_from_iri("no-slash") is None
+
+
+def test_owl_to_dictionary_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.dictionary import build_dictionary
+    from onto_text_tag_spark.sources.ontology import ontology_df_from_rows
+
+    onto = ontology_df_from_rows(spark, parse_owl_xml(OWL_SAMPLE))
+    d = build_dictionary(onto)
+    surfaces = {r["surface"] for r in d.collect()}
+    assert "nicotine" in surfaces and "nicotines" in surfaces
+    assert "goal setting" in surfaces and "goal settings" in surfaces
+    assert d.where(F.col("ont") == "CHEBI").count() >= 2
+
+
+def test_scalar_functions(spark):
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.functions.scalars import (
+        curie_from_iri_col,
+        namespace_col,
+        nodes_from_edges,
+        vocab_link_col,
+    )
+
+    df = spark.createDataFrame(
+        [("http://purl.obolibrary.org/obo/CHEBI_16236",),
+         ("http://humanbehaviourchange.org/ontology/BCIO_0001",)],
+        ["iri"],
+    ).select(
+        curie_from_iri_col("iri").alias("curie"),
+    ).select(
+        "curie",
+        namespace_col("curie").alias("ns"),
+        vocab_link_col("curie").alias("link"),
+    )
+    rows = {r["curie"]: r for r in df.collect()}
+    assert rows["CHEBI:16236"]["ns"] == "CHEBI"
+    assert rows["CHEBI:16236"]["link"] == "http://addictovocab.org/CHEBI:16236"
+    assert rows["BCIO:0001"]["link"] == "http://bciovocab.org/BCIO:0001"
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    assert nodes_from_edges(edges).count() == 3
+
+
+def test_reverse_lookups(spark):
+    from onto_text_tag_spark.corpus import ontology_df
+    from onto_text_tag_spark.dictionary import build_dictionary
+    from onto_text_tag_spark.functions.scalars import entry_by_curie, entry_by_label
+
+    d = build_dictionary(ontology_df(spark))
+    assert entry_by_curie(d, "CHEBI:0012").count() >= 2  # label + plural
+    got = entry_by_label(d, "CAFFEINE").select("id").distinct().collect()
+    assert [r["id"] for r in got] == ["CHEBI:0012"]
