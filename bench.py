@@ -105,31 +105,78 @@ def run_bench(cores: int = CPUS) -> dict:
     }
 
 
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "200000"))
+SCALING_DIR = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/spark_graft_scaling")
+
+
+def _spark_submit(master: str, script: str, *script_args: str) -> str:
+    """Run a jobs/ script via spark-submit --py-files (the north_rule's
+    deployment form) and return its stdout."""
+    import shutil
+    import subprocess
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(SCALING_DIR, exist_ok=True)
+    pkg = os.path.join(SCALING_DIR, "pkg.zip")
+    if not os.path.exists(pkg):
+        with zipfile.ZipFile(pkg, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(os.path.join(repo, "onto_text_tag_spark")):
+                for f in files:
+                    if f.endswith(".py"):
+                        p = os.path.join(root, f)
+                        zf.write(p, os.path.relpath(p, repo))
+    cmd = [
+        shutil.which("spark-submit") or "spark-submit",
+        "--master", master,
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "24g"),
+        "--py-files", pkg,
+        "--conf", "spark.sql.shuffle.partitions=64",
+        os.path.join(repo, script), *script_args,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                         cwd=repo)
+    return out.stdout
+
+
 def run_scaling(low: int = 8, high: int = 32) -> dict:
-    """Same KG job (tag + co-occur, the flagship) at two parallelism
-    levels; efficiency = (T_low / T_high) / (high / low)."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from onto_text_tag_spark.driver_queries import QUERIES
+    """The full KG build job (extract → tag → triples → co-occur → closure
+    → snapshot writes), submitted via ``spark-submit --py-files`` at two
+    parallelism levels over the SAME pre-generated parquet corpus;
+    efficiency = (T_low / T_high) / (high / low).  Sandbox evidence for
+    the north_rule's N → 4N executor criterion."""
+    import shutil
+
+    corpus = os.path.join(SCALING_DIR, f"corpus_{SCALING_DOCS}.parquet")
+    if not os.path.exists(corpus):
+        _spark_submit(
+            f"local[{high}]", "jobs/gen_corpus.py",
+            "--n-docs", str(SCALING_DOCS), "--output", corpus,
+            "--partitions", str(high * 4),
+        )
 
     results = {}
     for cores in (low, high):
-        spark = _session(cores)
-        # warm the JVM/Python workers once so we measure steady state
-        _force(QUERIES["kg_mentions"](spark, SF_DIR))
-        t0 = time.perf_counter()
-        n_mentions = _force(QUERIES["kg_mentions"](spark, SF_DIR))
-        n_edges = _force(QUERIES["kg_cooccur"](spark, SF_DIR))
-        dt = time.perf_counter() - t0
+        out_dir = os.path.join(SCALING_DIR, f"out_c{cores}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        stdout = _spark_submit(
+            f"local[{cores}]", "jobs/kg_build.py",
+            "--input", corpus, "--output", out_dir,
+        )
+        job = json.loads(
+            [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
+        )
         results[cores] = {
-            "sec": round(dt, 3),
-            "mentions": n_mentions,
-            "edges": n_edges,
-            "triples_per_sec": round((n_mentions + n_edges) / dt, 1),
+            "sec": job["sec"],
+            "mentions": job["n_mentions"],
+            "triples": job["n_triples"],
+            "triples_per_sec": job["triples_per_sec"],
         }
-        spark.stop()
     speedup = results[low]["sec"] / results[high]["sec"]
     efficiency = round(speedup / (high / low), 3)
     return {
+        "job": "jobs/kg_build.py via spark-submit --py-files",
+        "corpus_docs": SCALING_DOCS,
         "low_cores": low,
         "high_cores": high,
         "results": {str(k): v for k, v in results.items()},
@@ -144,11 +191,16 @@ def main() -> None:
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "a") as fh:
             fh.write(
-                f"\n## Scaling run (sf={SF_DIR})\n\n"
-                f"| cores | sec | triples/sec |\n|---|---|---|\n"
+                f"\n## Scaling run — {scaling['job']}, "
+                f"{scaling['corpus_docs']} docs\n\n"
+                f"| cores | sec | mentions | triples | triples/sec |\n"
+                f"|---|---|---|---|---|\n"
             )
             for cores, r in scaling["results"].items():
-                fh.write(f"| local[{cores}] | {r['sec']} | {r['triples_per_sec']} |\n")
+                fh.write(
+                    f"| local[{cores}] | {r['sec']} | {r['mentions']} | "
+                    f"{r['triples']} | {r['triples_per_sec']} |\n"
+                )
             fh.write(
                 f"\nspeedup {scaling['low_cores']}->{scaling['high_cores']} cores: "
                 f"{scaling['speedup']}x; scaling efficiency: "

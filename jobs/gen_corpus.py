@@ -1,0 +1,41 @@
+"""spark-submit job: generate a deterministic synthetic web-page corpus.
+
+Rows match the input_hint schema (url, warc_ts, html:binary, text, lang)
+with ``text`` byte-identical to the extractor output over ``html`` by
+construction.  Generation is per-row seeded, so any executor count yields
+the same corpus — the same parquet feeds both parallelism levels of the
+scaling-efficiency run.
+
+    spark-submit --py-files pkg.zip jobs/gen_corpus.py \
+        --n-docs 200000 --output /tmp/corpus.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, required=True)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from onto_text_tag_spark.corpus import distributed_documents_df
+    from onto_text_tag_spark.session import apply_engine_conf
+
+    spark = apply_engine_conf(SparkSession.builder).getOrCreate()
+    df = distributed_documents_df(
+        spark, args.n_docs, seed=args.seed, partitions=args.partitions
+    )
+    df.write.mode("overwrite").parquet(args.output)
+    print(f"wrote {args.n_docs} docs to {args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

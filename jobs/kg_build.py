@@ -5,6 +5,12 @@ jobs/kg_build.py --input <docs> --ontology <owl...> --output <root>``
 runs the whole DAG (extract → dictionary → tag → triples → co-occur →
 closure) with per-stage resumable snapshots and lineage manifests.
 
+Scale split: the ontology is driver-side small data (it is parsed on
+the driver before it could ever become a DataFrame), so dictionary
+build and is-a closure run in pure Python and ship to executors via
+broadcast; only the corpus-sized work (extract, tag, co-occur, triple
+writes) runs distributed.
+
 Usage (local two-level scaling evidence):
     spark-submit --master local[8]  --py-files pkg.zip jobs/kg_build.py ...
     spark-submit --master local[32] --py-files pkg.zip jobs/kg_build.py ...
@@ -26,67 +32,123 @@ def main() -> None:
     ap.add_argument("--lang", default="en")
     ap.add_argument("--min-cooccur-weight", type=int, default=1)
     ap.add_argument("--max-doc-freq", type=int, default=None)
+    ap.add_argument("--fixture", choices=["mini", "driver"], default="mini",
+                    help="built-in ontology when no --ontology files given: "
+                    "'mini' matches the synthetic web corpus, 'driver' the "
+                    "/root/testdata corpora")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    from pyspark.sql import SparkSession, functions as F
 
-    from onto_text_tag_spark.corpus import mini_ontology
-    from onto_text_tag_spark.plans.kg_pipeline import build_kg, closure_triples
-    from onto_text_tag_spark.schemas import ONTOLOGY
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.operators.closure import transitive_closure_rows
+    from onto_text_tag_spark.operators.cooccur import (
+        cooccurrence_edges,
+        cooccurrence_triples,
+    )
+    from onto_text_tag_spark.operators.tagger import tag_documents
+    from onto_text_tag_spark.plans.kg_pipeline import (
+        extract_texts,
+        mention_triples,
+    )
+    from onto_text_tag_spark.session import apply_engine_conf
     from onto_text_tag_spark.sinks import (
         fingerprint_parquet_inputs,
         run_stage,
         write_stage,
     )
-    from onto_text_tag_spark.sources.ontology import (
-        ontology_df_from_rows,
-        parse_obo,
-        parse_owl_xml,
-    )
+    from onto_text_tag_spark.sources.ontology import parse_obo, parse_owl_xml
 
-    spark = SparkSession.builder.getOrCreate()
+    spark = apply_engine_conf(SparkSession.builder).getOrCreate()
     t0 = time.time()
 
+    # --- driver-side small data: ontology → dictionary + is-a closure ----
     if args.ontology:
-        frames = []
+        onto_rows: list[dict] = []
         for i, path in enumerate(args.ontology):
             text = open(path).read()
             rows = parse_obo(text) if path.endswith(".obo") else parse_owl_xml(text)
-            frames.append(ontology_df_from_rows(spark, rows, ont_order=i))
-        onto = frames[0]
-        for f in frames[1:]:
-            onto = onto.unionByName(f)
-    else:  # built-in fixture ontology (demo mode)
-        onto = spark.createDataFrame(mini_ontology(), ONTOLOGY)
+            for r in rows:
+                r["ont_order"] = i
+            onto_rows.extend(rows)
+    elif args.fixture == "driver":
+        from onto_text_tag_spark.driver_queries import driver_ontology_rows
 
-    docs = spark.read.parquet(args.input)
+        onto_rows = driver_ontology_rows()
+    else:
+        from onto_text_tag_spark.corpus import mini_ontology
+
+        onto_rows = mini_ontology()
+
+    dict_rows = build_dictionary_rows(onto_rows)
+    isa_pairs = [
+        (r["curie"], r["parent_curie"])
+        for r in onto_rows
+        if r.get("parent_curie")
+    ]
+    closure_pairs = transitive_closure_rows(isa_pairs)
+
+    # --- distributed corpus-sized work -----------------------------------
+    docs = extract_texts(spark.read.parquet(args.input))
+    if args.lang and "lang" in docs.columns:
+        docs = docs.where(F.col("lang") == args.lang)
+    id_col = "url" if "url" in docs.columns else "doc_id"
     fp = fingerprint_parquet_inputs([args.input])
 
-    result = build_kg(
-        docs, onto,
-        lang_filter=args.lang or None,
-        min_cooccur_weight=args.min_cooccur_weight,
-        max_doc_freq=args.max_doc_freq,
-    )
+    stage_sec: dict[str, float] = {"setup": round(time.time() - t0, 2)}
 
-    mentions = run_stage(
-        spark, args.output, "mentions", lambda: result.mentions,
+    def timed(name, fn):
+        s = time.time()
+        out = fn()
+        stage_sec[name] = round(time.time() - s, 2)
+        return out
+
+    # Stage 1: tag once, snapshot.  Downstream stages read the snapshot —
+    # without this, every triple/count action re-runs the tagging UDF.
+    mentions = timed("mentions", lambda: run_stage(
+        spark, args.output, "mentions",
+        lambda: tag_documents(docs, dict_rows, id_col=id_col),
         input_fingerprint=fp,
-    )
-    n_mentions = mentions.count()
-    write_stage(result.triples, args.output, "triples",
-                partition_by=["pred"], input_fingerprint=fp,
-                metrics={"n_mentions": n_mentions})
-    write_stage(closure_triples(result.isa_edges), args.output,
-                "isa_closure", input_fingerprint=fp)
+    ))
+    n_mentions = timed("mentions_count", mentions.count)
 
-    n_triples = spark.read.parquet(f"{args.output}/triples/data").count()
+    triple_schema = "subj string, pred string, obj string, weight long"
+    isa_df = spark.createDataFrame(
+        [(c, "is_a", p, None) for c, p in isa_pairs], triple_schema
+    )
+    triples = (
+        mention_triples(mentions)
+        .unionByName(cooccurrence_triples(cooccurrence_edges(
+            mentions, min_weight=args.min_cooccur_weight,
+            max_doc_freq=args.max_doc_freq,
+        )))
+        .unionByName(isa_df)
+    )
+    timed("triples", lambda: write_stage(
+        triples, args.output, "triples",
+        partition_by=["pred"], input_fingerprint=fp,
+        metrics={"n_mentions": n_mentions},
+    ))
+
+    closure_df = spark.createDataFrame(
+        [(d, "is_a_transitive", a, None) for d, a in closure_pairs],
+        triple_schema,
+    ).coalesce(1)  # driver-sized: one task, one file
+    timed("isa_closure", lambda: write_stage(
+        closure_df, args.output, "isa_closure", input_fingerprint=fp,
+    ))
+
+    n_triples = timed(
+        "final_count",
+        spark.read.parquet(f"{args.output}/triples/data").count,
+    )
     dt = time.time() - t0
     print(json.dumps({
         "n_mentions": n_mentions,
         "n_triples": n_triples,
         "sec": round(dt, 2),
         "triples_per_sec": round(n_triples / dt, 1),
+        "stage_sec": stage_sec,
     }))
     spark.stop()
 

@@ -188,6 +188,62 @@ def documents_df(spark, n_docs: int = 200, seed: int = 42):
     return spark.createDataFrame(synth_documents(n_docs, seed), DOCUMENTS)
 
 
+def synth_row(i: int, seed: int = 42) -> dict:
+    """One document row, seeded per row id — embarrassingly parallel, so
+    executors can generate disjoint id ranges with no driver round-trip
+    and no cross-partition RNG state (unlike ``synth_documents``'s
+    sequential stream)."""
+    rng = random.Random(f"{seed}:{i}")
+    epoch = _dt.datetime(2025, 1, 1, 0, 0, 0)
+    k = rng.randint(2, 6)
+    paragraphs = []
+    for _ in range(k):
+        s = rng.choice(_SENTENCES)
+        if rng.random() < 0.2:
+            s = s.replace(" and ", " &amp; ")
+        if rng.random() < 0.3:
+            words = s.split(" ")
+            j = rng.randrange(len(words))
+            words[j] = f"<b>{words[j]}</b>"
+            s = " ".join(words)
+        if rng.random() < 0.15:
+            s += " \\x1f"
+        paragraphs.append(f"<p>{s}</p>")
+    html = (
+        _BOILERPLATE_HEAD.format(title=f"Document {i}", pid=i)
+        + "".join(paragraphs)
+        + _BOILERPLATE_TAIL
+    )
+    return {
+        "url": f"https://example.org/p/{i}",
+        "warc_ts": epoch + _dt.timedelta(seconds=i % 86_400_000),
+        "html": html.encode("utf-8"),
+        "text": strip_tags(html),
+        "lang": "en" if rng.random() > 0.05 else rng.choice(["de", "fr", "es"]),
+    }
+
+
+def distributed_documents_df(spark, n_docs: int, seed: int = 42,
+                             partitions: int | None = None):
+    """Corpus generator that scales: ``spark.range`` id space →
+    ``mapInPandas`` row synthesis per partition (no driver materialize)."""
+    import pandas as pd
+
+    from onto_text_tag_spark.schemas import DOCUMENTS
+
+    cols = [f.name for f in DOCUMENTS.fields]
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+
+    def gen(batches):
+        for b in batches:
+            rows = [synth_row(int(i), seed) for i in b["id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n_docs, numPartitions=parts).mapInPandas(
+        gen, schema=DOCUMENTS
+    )
+
+
 def ontology_df(spark):
     from onto_text_tag_spark.schemas import ONTOLOGY
 

@@ -152,6 +152,52 @@ def resolve_collisions(dictionary: DataFrame) -> DataFrame:
     )
 
 
+def build_dictionary_rows(ontology_rows: list[dict]) -> list[dict]:
+    """Pure-Python twin of ``resolve_collisions(build_dictionary(df))``
+    restricted to the tagging columns (surface, id, name, ont).
+
+    The ontology is driver-side small data in every deployment (it is
+    parsed on the driver before it ever becomes a DataFrame), so the
+    tagging hot path should not pay Spark jobs to build + collect the
+    dictionary.  Parity with the Spark builder is pinned by
+    tests/test_dictionary.py::test_rows_twin_matches_spark_builder.
+    """
+    by_surface: dict[str, tuple] = {}
+    for row in ontology_rows:
+        curie = row["curie"]
+        if curie in EXCLUDED_CURIES:
+            continue
+        label = row.get("label")
+        ont_order = row.get("ont_order", 0)
+        ont = curie.split(":", 1)[0]
+        bases = []
+        if label is not None and label.strip():
+            bases.append(label)
+        for syn in row.get("synonyms") or []:
+            if syn is not None and syn.strip():
+                bases.append(syn)
+        for base in bases:
+            # stopword gating on the BASE form: a stopword label
+            # contributes neither itself nor its plural
+            if base.strip().lower() in STOPWORDS:
+                continue
+            for raw in (base, plural(base)):
+                if raw is None or not raw.strip():
+                    continue
+                surface = raw.strip().lower()
+                if surface in STOPWORDS:
+                    continue
+                prev = by_surface.get(surface)
+                # A5 collision policy: highest ont_order wins, ties by
+                # CURIE descending (resolve_collisions ordering)
+                if prev is None or (ont_order, curie) > (prev[0], prev[1]):
+                    by_surface[surface] = (ont_order, curie, label, ont)
+    return [
+        {"surface": s, "id": c, "name": n, "ont": o}
+        for s, (_, c, n, o) in sorted(by_surface.items())
+    ]
+
+
 def dictionary_tsv_rows(dictionary: DataFrame) -> DataFrame:
     """Reference TSV projection (6 columns, headerless — app.py:674)."""
     return dictionary.select("a", "ont", "id", "alt_name", "name", "definition")

@@ -69,8 +69,8 @@ DRIVER_ONTOLOGY: list[tuple[str, str, list[str], str, str | None]] = [
 _OBO = "http://purl.obolibrary.org/obo/"
 
 
-def driver_ontology_df(spark: SparkSession) -> DataFrame:
-    rows = [
+def driver_ontology_rows() -> list[dict]:
+    return [
         {
             "iri": _OBO + curie.replace(":", "_"),
             "curie": curie,
@@ -81,7 +81,10 @@ def driver_ontology_df(spark: SparkSession) -> DataFrame:
         }
         for curie, label, syns, definition, parent in DRIVER_ONTOLOGY
     ]
-    return spark.createDataFrame(rows, ONTOLOGY)
+
+
+def driver_ontology_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(driver_ontology_rows(), ONTOLOGY)
 
 
 def driver_dictionary(spark: SparkSession) -> DataFrame:

@@ -67,6 +67,31 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
     return closure
 
 
+def transitive_closure_rows(
+    edges: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """Pure-Python twin of ``transitive_closure`` for driver-side
+    ontologies (every real ontology parses on the driver; paying ~20
+    Spark stages of iterative-join overhead for a few thousand edges is
+    the wrong physics — the distributed version stays for edge sets that
+    do not fit the driver)."""
+    children: dict[str, set[str]] = {}
+    for child, parent in edges:
+        children.setdefault(child, set()).add(parent)
+    out: set[tuple[str, str]] = set()
+    for start in children:
+        seen: set[str] = set()
+        stack = list(children[start])
+        while stack:
+            node = stack.pop()
+            if node in seen:
+                continue
+            seen.add(node)
+            out.add((start, node))
+            stack.extend(children.get(node, ()))
+    return sorted(out)
+
+
 def descendants_of(closure: DataFrame, roots: DataFrame | list[str]) -> DataFrame:
     """J5 descendant expansion: all descendants of the given root CURIEs,
     roots included (reference returns the selection ∪ its descendants,

@@ -45,14 +45,21 @@ def extract_texts(documents: DataFrame) -> DataFrame:
     """P1: ensure a ``text`` column exists, extracting from html where
     absent.  Column pruning matters at scale: when ``text`` is already
     materialized the ``html:binary`` column is never read."""
-    if "text" in documents.columns:
-        return documents.withColumn(
-            "text",
-            F.when(
-                F.col("text").isNull() & F.col("html").isNotNull(),
-                extract_text_udf(F.col("html")),
-            ).otherwise(F.col("text")),
+    has_text = "text" in documents.columns
+    has_html = "html" in documents.columns
+    if has_text and has_html:
+        # Split, don't CASE WHEN: Catalyst pulls Python UDFs out of
+        # conditionals and evaluates them for EVERY row, which would both
+        # run the extractor on already-extracted docs and force reading
+        # the fat ``html`` binary column.  With the union, the
+        # already-extracted branch prunes ``html`` at the scan.
+        ready = documents.where(F.col("text").isNotNull())
+        needs = documents.where(F.col("text").isNull()).withColumn(
+            "text", extract_text_udf(F.col("html"))
         )
+        return ready.unionByName(needs)
+    if has_text:
+        return documents
     return documents.withColumn("text", extract_text_udf(F.col("html")))
 
 
@@ -86,7 +93,8 @@ def build_kg(
     if lang_filter is not None and "lang" in docs.columns:
         docs = docs.where(F.col("lang") == lang_filter)
 
-    mentions = tag_documents(docs, dictionary)
+    id_col = "url" if "url" in docs.columns else "doc_id"
+    mentions = tag_documents(docs, dictionary, id_col=id_col)
 
     m_triples = mention_triples(mentions)
     edges = cooccurrence_edges(
@@ -105,6 +113,25 @@ def build_kg(
         isa_edges=isa,
         triples=triples,
     )
+
+
+def triples_from_mentions(
+    mentions: DataFrame,
+    ontology: DataFrame,
+    min_cooccur_weight: int = 1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All (subj, pred, obj, weight) triples derived from an ALREADY
+    MATERIALIZED mentions table — the resume path: a snapshot-read
+    mentions DF here means tagging runs exactly once per pipeline run,
+    not once per downstream action."""
+    m_triples = mention_triples(mentions)
+    edges = cooccurrence_edges(
+        mentions, min_weight=min_cooccur_weight, max_doc_freq=max_doc_freq
+    )
+    co_triples = cooccurrence_triples(edges)
+    i_triples = isa_triples(isa_edges_from_ontology(ontology))
+    return m_triples.unionByName(co_triples).unionByName(i_triples)
 
 
 def closure_triples(isa_edges: DataFrame) -> DataFrame:

@@ -21,6 +21,33 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def apply_engine_conf(builder, shuffle_partitions: int | None = None):
+    """Engine configs shared by interactive sessions (get_spark) and
+    spark-submit jobs (which must NOT touch ``master`` — spark-submit
+    owns it, and driver memory is only settable on its command line)."""
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Constraint propagation is quadratic on wide iterative plans and
+        # trips a constraints-rewrite bug when localCheckpoint wraps plans
+        # that reference prior LogicalRDD checkpoints (iterative closure /
+        # connected components); the engine relies on explicit filters, not
+        # inferred constraints, so disable it globally.
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+
+
 def get_spark(
     app_name: str = "onto_text_tag_spark",
     master: str | None = None,
@@ -35,27 +62,10 @@ def get_spark(
         # local scale; on a real cluster this is set per-job from input size.
         shuffle_partitions = max(2 * cores, 8)
 
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        # Constraint propagation is quadratic on wide iterative plans and
-        # trips a constraints-rewrite bug when localCheckpoint wraps plans
-        # that reference prior LogicalRDD checkpoints (iterative closure /
-        # connected components); the engine relies on explicit filters, not
-        # inferred constraints, so disable it globally.
-        .config("spark.sql.constraintPropagation.enabled", "false")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
-    )
+    builder = apply_engine_conf(
+        SparkSession.builder.appName(app_name).master(master),
+        shuffle_partitions=shuffle_partitions,
+    ).config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
