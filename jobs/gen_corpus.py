@@ -21,6 +21,8 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--output", required=True)
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--min-sents", type=int, default=40)
+    ap.add_argument("--max-sents", type=int, default=120)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -30,7 +32,8 @@ def main() -> None:
 
     spark = apply_engine_conf(SparkSession.builder).getOrCreate()
     df = distributed_documents_df(
-        spark, args.n_docs, seed=args.seed, partitions=args.partitions
+        spark, args.n_docs, seed=args.seed, partitions=args.partitions,
+        min_sents=args.min_sents, max_sents=args.max_sents,
     )
     df.write.mode("overwrite").parquet(args.output)
     print(f"wrote {args.n_docs} docs to {args.output}")

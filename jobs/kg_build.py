@@ -51,9 +51,10 @@ def main() -> None:
         extract_texts,
         mention_triples,
     )
-    from onto_text_tag_spark.session import apply_engine_conf
+    from onto_text_tag_spark.session import apply_engine_conf, local_df
     from onto_text_tag_spark.sinks import (
         fingerprint_parquet_inputs,
+        read_manifest,
         run_stage,
         write_stage,
     )
@@ -110,11 +111,13 @@ def main() -> None:
         lambda: tag_documents(docs, dict_rows, id_col=id_col),
         input_fingerprint=fp,
     ))
-    n_mentions = timed("mentions_count", mentions.count)
+    # row counts come from the stage manifests (parquet footers) — no
+    # count jobs; fixed overhead is what caps scaling efficiency here
+    n_mentions = read_manifest(args.output, "mentions")["total_rows"]
 
     triple_schema = "subj string, pred string, obj string, weight long"
-    isa_df = spark.createDataFrame(
-        [(c, "is_a", p, None) for c, p in isa_pairs], triple_schema
+    isa_df = local_df(
+        spark, [(c, "is_a", p, None) for c, p in isa_pairs], triple_schema
     )
     triples = (
         mention_triples(mentions)
@@ -130,7 +133,8 @@ def main() -> None:
         metrics={"n_mentions": n_mentions},
     ))
 
-    closure_df = spark.createDataFrame(
+    closure_df = local_df(
+        spark,
         [(d, "is_a_transitive", a, None) for d, a in closure_pairs],
         triple_schema,
     ).coalesce(1)  # driver-sized: one task, one file
@@ -138,10 +142,7 @@ def main() -> None:
         closure_df, args.output, "isa_closure", input_fingerprint=fp,
     ))
 
-    n_triples = timed(
-        "final_count",
-        spark.read.parquet(f"{args.output}/triples/data").count,
-    )
+    n_triples = read_manifest(args.output, "triples")["total_rows"]
     dt = time.time() - t0
     print(json.dumps({
         "n_mentions": n_mentions,

@@ -127,6 +127,28 @@ _SENTENCES = [
     "Cravings for nicotine peaked after twelve hours.",
 ]
 
+# Non-matching filler vocabulary for the SCALING corpus generator
+# (synth_row): real Common-Crawl pages are mostly text that matches no
+# ontology term, so benchmark documents mix ~70% filler — keeping the
+# tagger scan-bound like production, not verification-bound.
+# synth_documents (the small fixture generator) is deliberately left
+# term-dense so unit tests exercise matches.
+_FILLER_WORDS = (
+    "market report quarterly growth revenue product launch customer "
+    "service platform update release notes community forum travel "
+    "guide recipe kitchen garden weather forecast football season "
+    "concert ticket museum exhibit library archive council meeting "
+    "budget proposal highway construction schedule delay announcement"
+).split()
+
+
+def _filler_sentence(rng: random.Random) -> str:
+    k = rng.randint(6, 14)
+    words = [rng.choice(_FILLER_WORDS) for _ in range(k)]
+    words[0] = words[0].capitalize()
+    return " ".join(words) + "."
+
+
 _BOILERPLATE_HEAD = (
     '<!DOCTYPE html><html><head><meta charset="utf-8">'
     "<title>{title}</title><style>.nav{{display:none}}</style>"
@@ -184,21 +206,31 @@ def synth_documents(n_docs: int = 200, seed: int = 42) -> list[dict]:
 
 def documents_df(spark, n_docs: int = 200, seed: int = 42):
     from onto_text_tag_spark.schemas import DOCUMENTS
+    from onto_text_tag_spark.session import local_df
 
-    return spark.createDataFrame(synth_documents(n_docs, seed), DOCUMENTS)
+    return local_df(spark, synth_documents(n_docs, seed), DOCUMENTS)
 
 
-def synth_row(i: int, seed: int = 42) -> dict:
+def synth_row(i: int, seed: int = 42, min_sents: int = 2,
+              max_sents: int = 6) -> dict:
     """One document row, seeded per row id — embarrassingly parallel, so
     executors can generate disjoint id ranges with no driver round-trip
     and no cross-partition RNG state (unlike ``synth_documents``'s
-    sequential stream)."""
+    sequential stream).
+
+    ``min_sents``/``max_sents`` size the body: benchmark corpora use
+    ~40-120 sentences (≈3-8 KB of text) to match real Common-Crawl pages
+    — tiny documents make per-row overhead dominate and understate the
+    tagging stage that dominates at web scale."""
     rng = random.Random(f"{seed}:{i}")
     epoch = _dt.datetime(2025, 1, 1, 0, 0, 0)
-    k = rng.randint(2, 6)
+    k = rng.randint(min_sents, max_sents)
     paragraphs = []
     for _ in range(k):
-        s = rng.choice(_SENTENCES)
+        if rng.random() < 0.7:
+            s = _filler_sentence(rng)
+        else:
+            s = rng.choice(_SENTENCES)
         if rng.random() < 0.2:
             s = s.replace(" and ", " &amp; ")
         if rng.random() < 0.3:
@@ -224,7 +256,8 @@ def synth_row(i: int, seed: int = 42) -> dict:
 
 
 def distributed_documents_df(spark, n_docs: int, seed: int = 42,
-                             partitions: int | None = None):
+                             partitions: int | None = None,
+                             min_sents: int = 2, max_sents: int = 6):
     """Corpus generator that scales: ``spark.range`` id space →
     ``mapInPandas`` row synthesis per partition (no driver materialize)."""
     import pandas as pd
@@ -236,7 +269,8 @@ def distributed_documents_df(spark, n_docs: int, seed: int = 42,
 
     def gen(batches):
         for b in batches:
-            rows = [synth_row(int(i), seed) for i in b["id"]]
+            rows = [synth_row(int(i), seed, min_sents, max_sents)
+                    for i in b["id"]]
             yield pd.DataFrame(rows, columns=cols)
 
     return spark.range(0, n_docs, numPartitions=parts).mapInPandas(
@@ -246,5 +280,6 @@ def distributed_documents_df(spark, n_docs: int, seed: int = 42,
 
 def ontology_df(spark):
     from onto_text_tag_spark.schemas import ONTOLOGY
+    from onto_text_tag_spark.session import local_df
 
-    return spark.createDataFrame(mini_ontology(), ONTOLOGY)
+    return local_df(spark, mini_ontology(), ONTOLOGY)

@@ -84,7 +84,9 @@ def driver_ontology_rows() -> list[dict]:
 
 
 def driver_ontology_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(driver_ontology_rows(), ONTOLOGY)
+    from onto_text_tag_spark.session import local_df
+
+    return local_df(spark, driver_ontology_rows(), ONTOLOGY)
 
 
 def driver_dictionary(spark: SparkSession) -> DataFrame:

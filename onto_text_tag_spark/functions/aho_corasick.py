@@ -121,15 +121,23 @@ def filter_spans(
     character range is disjoint from everything kept so far, then return
     in document order.
     """
+    from bisect import bisect_right, insort
+
     ordered = sorted(spans, key=lambda s: (-(s[1] - s[0]), s[0]))
     kept: list[tuple[int, int, str, object]] = []
-    occupied: set[int] = set()
+    # kept intervals as a sorted list of (begin, end): overlap test +
+    # insert are O(log k) — the per-character occupied-set version costs
+    # O(span_length) per span and dominates on match-dense documents
+    starts: list[tuple[int, int]] = []
     for span in ordered:
         begin, end = span[0], span[1]
-        if any(p in occupied for p in range(begin, end)):
-            continue
+        idx = bisect_right(starts, (begin, end))
+        if idx < len(starts) and starts[idx][0] < end:
+            continue  # next interval starts inside [begin, end)
+        if idx > 0 and starts[idx - 1][1] > begin:
+            continue  # previous interval extends into [begin, end)
+        insort(starts, (begin, end))
         kept.append(span)
-        occupied.update(range(begin, end))
     kept.sort(key=lambda s: (s[0], s[1]))
     return kept
 
@@ -141,3 +149,147 @@ def build_automaton(entries) -> AhoCorasick:
     for surface, payload in entries:
         ac.add(surface, payload)
     return ac.build()
+
+
+import re as _re
+
+_TOKEN_RE = _re.compile(r"\w+")
+
+
+def _trie_regex(words) -> str:
+    """Compile a word set into a prefix-shared regex alternation.
+
+    ``(?:smoke|smoking|smoker)`` makes the re engine retry each branch
+    per position; the trie form ``smok(?:e|ing|er)`` shares prefixes so
+    matching is near-linear.  Greedy ``?`` on the terminal marker tries
+    longer continuations first → longest token wins at each position
+    (then the outer ``(?!\\w)`` pins the full-token requirement).
+    """
+    trie: dict = {}
+    for w in words:
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = True  # terminal
+
+    def emit(node: dict) -> str:
+        terminal = "" in node
+        alts = [
+            _re.escape(ch) + emit(child)
+            for ch, child in sorted(node.items())
+            if ch != ""
+        ]
+        if not alts:
+            return ""
+        if len(alts) == 1:
+            body = alts[0]
+            if not terminal:
+                return body
+            return "(?:" + body + ")?"
+        body = "(?:" + "|".join(alts) + ")"
+        return body + "?" if terminal else body
+
+    if not trie:
+        return r"(?!x)x"  # matches nothing
+    return emit(trie)
+
+
+class TokenIndexMatcher:
+    """Drop-in replacement for ``AhoCorasick.find`` with the SAME match
+    semantics (every token-boundary-aligned case-insensitive occurrence of
+    every surface, overlaps included) but a C-speed hot path.
+
+    The per-character Python AC loop costs ~0.4 µs/char — ~2 ms for a
+    realistic 5 KB web page, and it IS the pipeline's CPU budget.  This
+    matcher does one ``\\w+`` ``finditer`` pass (C regex engine), then a
+    single dict probe per token (surfaces indexed by their first token)
+    and a ``str.startswith`` slice-compare per candidate (C memcmp).
+    ~10-20x faster per document; equivalence with ``AhoCorasick.find`` is
+    property-tested in tests/test_tagger.py.
+
+    Surfaces whose first character is a non-word char (cannot be anchored
+    to a token start) fall back to an explicit ``str.find`` scan — rare
+    by construction (ontology labels start alphanumerically).
+    """
+
+    __slots__ = ("_index", "_oddballs", "_pattern_src", "_compiled")
+
+    def __init__(self) -> None:
+        # first_token -> list of (surface_lower, payload)
+        self._index: dict[str, list[tuple[str, object]]] = {}
+        self._oddballs: list[tuple[str, object]] = []
+        self._pattern_src: str | None = None
+        self._compiled = None
+
+    def add(self, surface: str, payload: object) -> None:
+        pattern = surface.lower()
+        if not pattern:
+            return
+        m = _TOKEN_RE.match(pattern)
+        if m is None:  # starts with a non-word char
+            self._oddballs.append((pattern, payload))
+            return
+        self._index.setdefault(m.group(0), []).append((pattern, payload))
+        self._pattern_src = None  # invalidate
+
+    def build(self) -> "TokenIndexMatcher":
+        # Trie-structured alternation over FIRST TOKENS: candidate
+        # discovery runs entirely in the C regex engine; Python only
+        # touches positions where a dictionary first token occurs (a
+        # small fraction of tokens on web text).  The boundary
+        # lookarounds keep failed attempts O(1): (?<!\w) dies before
+        # entering the trie at every mid-word position.  (Measured: the
+        # lookaround form beats a bare trie + Python boundary checks on
+        # both dense and sparse dictionaries.)
+        self._pattern_src = (
+            r"(?<!\w)" + _trie_regex(self._index.keys()) + r"(?!\w)"
+        )
+        self._compiled = None
+        return self
+
+    def __getstate__(self):  # compiled regexes don't pickle — rebuild lazily
+        return (self._index, self._oddballs, self._pattern_src)
+
+    def __setstate__(self, state):
+        self._index, self._oddballs, self._pattern_src = state
+        self._compiled = None
+
+    def find(self, text: str) -> list[tuple[int, int, str, object]]:
+        if self._compiled is None:
+            if self._pattern_src is None:
+                self.build()
+            self._compiled = _re.compile(self._pattern_src)
+        lower = text.lower()
+        n = len(lower)
+        index = self._index
+        results: list[tuple[int, int, str, object]] = []
+        for m in self._compiled.finditer(lower):
+            begin = m.start()
+            for pattern, payload in index[m.group(0)]:
+                end = begin + len(pattern)
+                if end <= n and lower.startswith(pattern, begin):
+                    # token start gives the begin boundary for free (the
+                    # trie hit is a maximal token); check only the end
+                    if end == n or not _is_word_char(lower[end]):
+                        results.append((begin, end, pattern, payload))
+        for pattern, payload in self._oddballs:
+            start = 0
+            while True:
+                begin = lower.find(pattern, start)
+                if begin < 0:
+                    break
+                end = begin + len(pattern)
+                if (begin == 0 or not _is_word_char(lower[begin - 1])) and (
+                    end == n or not _is_word_char(lower[end])
+                ):
+                    results.append((begin, end, pattern, payload))
+                start = begin + 1
+        return results
+
+
+def build_matcher(entries) -> TokenIndexMatcher:
+    """Build the fast matcher from ``(surface, payload)`` pairs."""
+    tm = TokenIndexMatcher()
+    for surface, payload in entries:
+        tm.add(surface, payload)
+    return tm.build()

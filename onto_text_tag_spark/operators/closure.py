@@ -98,7 +98,9 @@ def descendants_of(closure: DataFrame, roots: DataFrame | list[str]) -> DataFram
     app.py:143-150 union + dedupe)."""
     spark = closure.sparkSession
     if isinstance(roots, list):
-        roots = spark.createDataFrame([(r,) for r in roots], ["curie"])
+        from onto_text_tag_spark.session import local_df
+
+        roots = local_df(spark, [(r,) for r in roots], "curie string")
     expanded = (
         closure.join(
             F.broadcast(roots.withColumnRenamed("curie", "ancestor")), "ancestor"

@@ -54,32 +54,43 @@ def cooccurrence_edges(
     ``src < dst`` predicate reproduces the inverse-dup elimination
     (hv_generate.py:53-57) declaratively.
     """
-    dt = doc_term_pairs(mentions, doc_col, term_col)
+    # No eager .distinct(): collect_set below dedupes per doc, so a
+    # separate distinct would just add a third shuffle of the same data.
+    dt = mentions.select(doc_col, term_col)
 
     if max_doc_freq is not None:
         # Frequency-capped pair emission (SURVEY.md §4.1): drop head terms
         # whose document frequency exceeds the cap.  The df table is tiny
         # (one row per term) → broadcast the keep-list.
-        df_counts = dt.groupBy(term_col).agg(F.count("*").alias("_df"))
+        df_counts = dt.groupBy(term_col).agg(
+            F.countDistinct(doc_col).alias("_df")
+        )
         keep = df_counts.where(F.col("_df") <= max_doc_freq).select(term_col)
         dt = dt.join(F.broadcast(keep), term_col, "inner")
 
+    # Pair generation WITHOUT a self-join.  The naive shape — dt JOIN dt
+    # ON doc — makes Catalyst broadcast the multi-million-row (doc, term)
+    # relation (its parquet-compressed size estimate sits under the
+    # threshold): the HashedRelation build is single-threaded driver
+    # work, and every probe task idle-blocks on the broadcast future —
+    # measured on this box as the serial bottleneck that made local[32]
+    # SLOWER than local[8].  Instead: collapse each doc's terms into one
+    # array (collect_set dedupes — reference set semantics,
+    # hv_generate.py:49-51) and emit pairs with a double explode.  Both
+    # remaining exchanges (by doc, then by pair) partition evenly; the
+    # explode is map-side, whole-stage-codegen JVM work.
+    terms = dt.groupBy(doc_col).agg(F.collect_set(term_col).alias("_terms"))
     if max_terms_per_doc is not None:
-        per_doc = dt.groupBy(doc_col).agg(F.count("*").alias("_k"))
-        keep_docs = per_doc.where(F.col("_k") <= max_terms_per_doc).select(doc_col)
-        dt = dt.join(keep_docs, doc_col, "inner")
-
-    a = dt.alias("a")
-    b = dt.alias("b")
-    pairs = a.join(b, on=doc_col).where(
-        F.col(f"a.{term_col}") < F.col(f"b.{term_col}")  # P11 + canonical order
+        # k-term docs emit k(k-1)/2 pairs — cap fan-out BEFORE exploding
+        terms = terms.where(F.size("_terms") <= max_terms_per_doc)
+    pairs = (
+        terms.select(F.explode("_terms").alias("src"), "_terms")
+        .select("src", F.explode("_terms").alias("dst"))
+        .where(F.col("src") < F.col("dst"))  # P11 + canonical order
     )
     edges = (
-        pairs.groupBy(
-            F.col(f"a.{term_col}").alias("src"),
-            F.col(f"b.{term_col}").alias("dst"),
-        )
-        .agg(F.count("*").alias("weight"))  # dt is distinct → count == countDistinct(doc)
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))  # per-doc sets → count == countDistinct(doc)
         .where(F.col("weight") >= min_weight)
     )
     return edges

@@ -30,8 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from onto_text_tag_spark.functions.aho_corasick import (
-    AhoCorasick,
-    build_automaton,
+    TokenIndexMatcher,
+    build_matcher,
     filter_spans,
 )
 from onto_text_tag_spark.schemas import MENTIONS
@@ -40,20 +40,22 @@ from onto_text_tag_spark.schemas import MENTIONS
 MENTION_COLUMNS = ["url", "begin", "end", "span_text", "curie", "pref_label", "ont"]
 
 
-def compile_dictionary(dictionary_rows) -> AhoCorasick:
-    """(surface, curie, name, ont) rows → matcher automaton.
+def compile_dictionary(dictionary_rows) -> TokenIndexMatcher:
+    """(surface, curie, name, ont) rows → matcher (token-indexed; same
+    match semantics as the Aho–Corasick reference implementation, ~15x
+    faster per document — equivalence is property-tested).
 
     ``dictionary_rows``: iterable of dict-like rows with at least
     ``surface``, ``id``, ``name``, ``ont`` (build_dictionary output after
     resolve_collisions — one concept per surface, A5).
     """
-    return build_automaton(
+    return build_matcher(
         (row["surface"], (row["id"], row["name"], row["ont"]))
         for row in dictionary_rows
     )
 
 
-def tag_text(automaton: AhoCorasick, url: str, text: str) -> list[tuple]:
+def tag_text(automaton: TokenIndexMatcher, url: str, text: str) -> list[tuple]:
     """Tag one document: match, resolve overlaps (W1), emit mention rows."""
     if not text:
         return []

@@ -48,6 +48,36 @@ def apply_engine_conf(builder, shuffle_partitions: int | None = None):
     )
 
 
+def local_df(spark: SparkSession, rows, schema):
+    """Create a driver-sized DataFrame as a LocalRelation (LocalTableScan).
+
+    ``spark.createDataFrame(list)`` plans a Python ``Scan ExistingRDD``
+    with ``defaultParallelism`` slices — at local[32] that is 32 Python
+    worker round-trips (mostly empty) on EVERY action that touches the
+    small table, and on a stalling host each idle worker handshake can
+    block for seconds.  Routing through pandas + Arrow produces a pure
+    JVM LocalRelation: zero tasks, broadcastable, constant-foldable.
+
+    ``rows``: list of tuples or dicts; ``schema``: DDL string or StructType
+    (explicit — pandas must not guess types for empty inputs).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, StructType):
+        names = [f.name for f in schema.fields]
+    else:  # "a int, b string" DDL
+        from pyspark.sql.types import _parse_datatype_string
+
+        names = [f.name for f in _parse_datatype_string(schema).fields]
+    if rows and isinstance(rows[0], dict):
+        pdf = pd.DataFrame(rows, columns=names)
+    else:
+        pdf = pd.DataFrame(rows or None, columns=names)
+    return spark.createDataFrame(pdf, schema)
+
+
 def get_spark(
     app_name: str = "onto_text_tag_spark",
     master: str | None = None,

@@ -32,7 +32,7 @@ import os
 import time
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -73,27 +73,38 @@ def write_stage(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_path)
 
-    # Per-partition lineage: file-level row counts + sizes from the files
-    # just written (parquet footers; cheap — metadata only).
-    spark = df.sparkSession
-    written = spark.read.parquet(data_path)
-    if partition_by:
-        part_counts = [
-            {**{k: r[k] for k in partition_by}, "rows": r["rows"]}
-            for r in written.groupBy(*partition_by)
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        ]
-    else:
-        part_counts = [{"rows": written.count()}]
+    # Per-partition lineage from parquet FOOTERS (pyarrow, driver-side):
+    # zero extra Spark jobs.  The previous version re-read the data and
+    # ran a groupBy/count job per stage — pure fixed overhead that
+    # dominates small/medium runs and caps scaling efficiency (Amdahl).
+    # On a real cluster against an object store the same numbers come
+    # from the Iceberg snapshot manifest, also without a job.
+    import pyarrow.parquet as pq
 
+    part_rows: dict[tuple, int] = {}
     size_bytes = 0
     n_files = 0
     for dirpath, _dirs, files in os.walk(data_path):
+        rel = os.path.relpath(dirpath, data_path)
+        key = tuple(
+            seg.split("=", 1)[1]
+            for seg in ([] if rel == "." else rel.split(os.sep))
+            if "=" in seg
+        )
         for f in files:
             if f.endswith(".parquet"):
+                fp = os.path.join(dirpath, f)
                 n_files += 1
-                size_bytes += os.path.getsize(os.path.join(dirpath, f))
+                size_bytes += os.path.getsize(fp)
+                nrows = pq.ParquetFile(fp).metadata.num_rows
+                part_rows[key] = part_rows.get(key, 0) + nrows
+    if partition_by:
+        part_counts = [
+            {**dict(zip(partition_by, key)), "rows": rows}
+            for key, rows in sorted(part_rows.items())
+        ]
+    else:
+        part_counts = [{"rows": sum(part_rows.values())}]
 
     manifest = {
         "stage": stage,
@@ -105,7 +116,7 @@ def write_stage(
         "n_files": n_files,
         "size_bytes": size_bytes,
         "metrics": metrics or {},
-        "schema": written.schema.jsonValue(),
+        "schema": df.schema.jsonValue(),
     }
     with open(manifest_path, "w") as fh:
         json.dump(manifest, fh, indent=2, default=str)

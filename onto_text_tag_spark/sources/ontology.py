@@ -164,6 +164,8 @@ def ontology_df_from_rows(spark, rows: list[dict], ont_order: int = 0):
 
     from onto_text_tag_spark.schemas import ONTOLOGY
 
-    return spark.createDataFrame(rows, ONTOLOGY).withColumn(
+    from onto_text_tag_spark.session import local_df
+
+    return local_df(spark, rows, ONTOLOGY).withColumn(
         "ont_order", F.lit(ont_order)
     )

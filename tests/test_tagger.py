@@ -121,3 +121,51 @@ def test_tagging_idempotent(spark, dictionary):
     m1 = tag_documents(docs, dictionary)
     m2 = tag_documents(docs, dictionary)
     assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+
+
+def test_token_matcher_equivalent_to_aho_corasick():
+    """The fast TokenIndexMatcher must produce EXACTLY the candidate set
+    of the Aho-Corasick reference implementation (overlaps included) on
+    synthetic docs, adversarial boundary cases, and random dictionaries,
+    surviving a pickle round-trip (the broadcast path)."""
+    import pickle
+    import random
+
+    from onto_text_tag_spark.corpus import mini_ontology, synth_row
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.functions.aho_corasick import (
+        build_automaton,
+        build_matcher,
+        filter_spans,
+    )
+
+    rows = build_dictionary_rows(mini_ontology())
+    entries = [(r["surface"], (r["id"], r["name"], r["ont"])) for r in rows]
+    ac = build_automaton(entries)
+    tm = pickle.loads(pickle.dumps(build_matcher(entries)))
+    for i in range(120):
+        t = synth_row(i, seed=7, min_sents=5, max_sents=30)["text"]
+        assert sorted(ac.find(t)) == sorted(tm.find(t))
+        assert filter_spans(ac.find(t)) == filter_spans(tm.find(t))
+    for t in [
+        "smokingcessation smoke",
+        "xsmoking smoking",
+        "smokestacks smoke",
+        "self-monitoring self monitoring",
+        "",
+        "cig cigs cigarette",
+        "3-(1-methylpyrrolidin-2-yl)pyridine level",
+        "CAFFEINE caffeine Caffeine",
+    ]:
+        assert sorted(ac.find(t)) == sorted(tm.find(t)), t
+
+    rng = random.Random(3)
+    vocab = ["".join(rng.choice("abcdef") for _ in range(rng.randint(2, 5)))
+             for _ in range(60)]
+    ent2 = [(w if rng.random() < 0.6 else f"{w} {rng.choice(vocab)}", (w, w, "X"))
+            for w in vocab]
+    ac2, tm2 = build_automaton(ent2), build_matcher(ent2)
+    for _ in range(200):
+        words = [rng.choice(vocab + ["zzz", "qqq"]) for _ in range(rng.randint(1, 12))]
+        t = rng.choice(["", "x"]) + " ".join(words) + rng.choice(["", "x"])
+        assert sorted(ac2.find(t)) == sorted(tm2.find(t)), t
