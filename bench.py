@@ -112,7 +112,7 @@ SCALING_DIR = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/spark_graft_scalin
 # wall, ~70 ms CPU, zero input; jcmd attach timing out mid-run).  A
 # single measurement can absorb a multi-second host freeze; the minimum
 # over repeats measures the engine, not the hypervisor.
-SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
 
 
 def _spark_submit(master: str, script: str, *script_args: str) -> str:

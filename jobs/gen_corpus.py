@@ -23,6 +23,9 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--min-sents", type=int, default=40)
     ap.add_argument("--max-sents", type=int, default=120)
+    ap.add_argument("--filler", type=float, default=0.95,
+                    help="probability a sentence is non-matching filler; "
+                    "real web pages mention few ontology terms")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -34,6 +37,7 @@ def main() -> None:
     df = distributed_documents_df(
         spark, args.n_docs, seed=args.seed, partitions=args.partitions,
         min_sents=args.min_sents, max_sents=args.max_sents,
+        filler_prob=args.filler,
     )
     df.write.mode("overwrite").parquet(args.output)
     print(f"wrote {args.n_docs} docs to {args.output}")

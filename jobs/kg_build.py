@@ -36,6 +36,9 @@ def main() -> None:
                     help="built-in ontology when no --ontology files given: "
                     "'mini' matches the synthetic web corpus, 'driver' the "
                     "/root/testdata corpora")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the steady-state warmup pass (measured time "
+                    "then includes one-time JVM JIT + Python worker forks)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -50,6 +53,7 @@ def main() -> None:
     from onto_text_tag_spark.plans.kg_pipeline import (
         extract_texts,
         mention_triples,
+        shared_mention_and_cooccur_triples,
     )
     from onto_text_tag_spark.session import apply_engine_conf, local_df
     from onto_text_tag_spark.sinks import (
@@ -61,6 +65,24 @@ def main() -> None:
     from onto_text_tag_spark.sources.ontology import parse_obo, parse_owl_xml
 
     spark = apply_engine_conf(SparkSession.builder).getOrCreate()
+
+    if not args.no_warmup:
+        # Steady-state warmup: fork the Python workers, JIT the codegen
+        # paths, and touch the input footers ONCE before the clock
+        # starts.  On a long-lived cluster these are amortized across
+        # jobs; on a fresh local JVM they would otherwise be billed to
+        # the first stage and distort throughput/scaling numbers.
+        import pandas as _pd  # noqa: F401
+
+        def _noop(it):
+            for b in it:
+                yield b
+
+        spark.range(0, 10_000, numPartitions=4).toDF("id").mapInPandas(
+            _noop, schema="id long"
+        ).count()
+        spark.read.parquet(args.input).limit(1000).count()
+
     t0 = time.time()
 
     # --- driver-side small data: ontology → dictionary + is-a closure ----
@@ -119,14 +141,18 @@ def main() -> None:
     isa_df = local_df(
         spark, [(c, "is_a", p, None) for c, p in isa_pairs], triple_schema
     )
-    triples = (
-        mention_triples(mentions)
-        .unionByName(cooccurrence_triples(cooccurrence_edges(
-            mentions, min_weight=args.min_cooccur_weight,
-            max_doc_freq=args.max_doc_freq,
-        )))
-        .unionByName(isa_df)
-    )
+    if args.max_doc_freq is None:
+        derived = shared_mention_and_cooccur_triples(
+            mentions, min_cooccur_weight=args.min_cooccur_weight
+        )
+    else:
+        derived = mention_triples(mentions).unionByName(
+            cooccurrence_triples(cooccurrence_edges(
+                mentions, min_weight=args.min_cooccur_weight,
+                max_doc_freq=args.max_doc_freq,
+            ))
+        )
+    triples = derived.unionByName(isa_df)
     timed("triples", lambda: write_stage(
         triples, args.output, "triples",
         partition_by=["pred"], input_fingerprint=fp,

@@ -212,7 +212,7 @@ def documents_df(spark, n_docs: int = 200, seed: int = 42):
 
 
 def synth_row(i: int, seed: int = 42, min_sents: int = 2,
-              max_sents: int = 6) -> dict:
+              max_sents: int = 6, filler_prob: float = 0.7) -> dict:
     """One document row, seeded per row id — embarrassingly parallel, so
     executors can generate disjoint id ranges with no driver round-trip
     and no cross-partition RNG state (unlike ``synth_documents``'s
@@ -227,7 +227,7 @@ def synth_row(i: int, seed: int = 42, min_sents: int = 2,
     k = rng.randint(min_sents, max_sents)
     paragraphs = []
     for _ in range(k):
-        if rng.random() < 0.7:
+        if rng.random() < filler_prob:
             s = _filler_sentence(rng)
         else:
             s = rng.choice(_SENTENCES)
@@ -257,7 +257,8 @@ def synth_row(i: int, seed: int = 42, min_sents: int = 2,
 
 def distributed_documents_df(spark, n_docs: int, seed: int = 42,
                              partitions: int | None = None,
-                             min_sents: int = 2, max_sents: int = 6):
+                             min_sents: int = 2, max_sents: int = 6,
+                             filler_prob: float = 0.7):
     """Corpus generator that scales: ``spark.range`` id space →
     ``mapInPandas`` row synthesis per partition (no driver materialize)."""
     import pandas as pd
@@ -269,7 +270,7 @@ def distributed_documents_df(spark, n_docs: int, seed: int = 42,
 
     def gen(batches):
         for b in batches:
-            rows = [synth_row(int(i), seed, min_sents, max_sents)
+            rows = [synth_row(int(i), seed, min_sents, max_sents, filler_prob)
                     for i in b["id"]]
             yield pd.DataFrame(rows, columns=cols)
 

@@ -303,6 +303,68 @@ GROUP BY a.curie, b.curie
 """
 
 
+def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P7+P8 scalar surface (SURVEY.md §2.2): IRI → CURIE
+    normalization, namespace extraction, vocabulary-link projection —
+    all JVM builtins (functions/scalars.py)."""
+    from onto_text_tag_spark.functions.scalars import (
+        curie_from_iri_col,
+        namespace_col,
+        vocab_link_col,
+    )
+
+    onto = driver_ontology_df(spark)
+    curie = curie_from_iri_col("iri")
+    return onto.select(
+        "iri",
+        curie.alias("curie"),
+        namespace_col(curie).alias("ns"),
+        vocab_link_col(curie).alias("link"),
+    )
+
+
+def sql_kg_links() -> str:
+    iris = ", ".join(
+        f"('{_OBO + c.replace(':', '_')}')" for c, *_rest in DRIVER_ONTOLOGY
+    )
+    return f"""
+WITH iris(iri) AS (VALUES {iris}),
+ curies AS (
+   SELECT iri,
+          regexp_replace(regexp_extract(iri, '([^/]+)$', 1), '_', ':', 'g')
+            AS curie
+   FROM iris
+ )
+SELECT iri, curie,
+       split_part(curie, ':', 1) AS ns,
+       CASE WHEN curie LIKE '%BCIO%'
+            THEN 'http://bciovocab.org/' || curie
+            ELSE 'http://addictovocab.org/' || curie END AS link
+FROM curies
+"""
+
+
+def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 distinct node set of the co-occurrence edge list
+    (hv_generate.py:65-66)."""
+    from onto_text_tag_spark.functions.scalars import nodes_from_edges
+
+    return nodes_from_edges(q_kg_cooccur(spark, sf_dir))
+
+
+def sql_kg_nodes() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ e AS (
+   SELECT a.curie AS src, b.curie AS dst
+   FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie
+   GROUP BY a.curie, b.curie
+ )
+SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+"""
+
+
 def q_kg_term_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _mentions(spark, sf_dir)
     return m.groupBy("curie").agg(
@@ -969,6 +1031,8 @@ QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_mention_triples": q_kg_mention_triples,
     "kg_cooccur": q_kg_cooccur,
+    "kg_links": q_kg_links,
+    "kg_nodes": q_kg_nodes,
     "kg_term_index": q_kg_term_index,
     "kg_isa_closure": q_kg_isa_closure,
     "kg_descendants": q_kg_descendants,
@@ -996,6 +1060,8 @@ ORACLES = {
     "kg_mentions": sql_kg_mentions(),
     "kg_mention_triples": sql_kg_mention_triples(),
     "kg_cooccur": sql_kg_cooccur(),
+    "kg_links": sql_kg_links(),
+    "kg_nodes": sql_kg_nodes(),
     "kg_term_index": sql_kg_term_index(),
     "kg_isa_closure": sql_kg_isa_closure(),
     "kg_descendants": sql_kg_descendants(),

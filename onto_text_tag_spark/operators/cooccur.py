@@ -39,6 +39,39 @@ def doc_term_pairs(mentions: DataFrame, doc_col: str = "url",
     return mentions.select(doc_col, term_col).distinct()
 
 
+def doc_term_arrays(mentions: DataFrame, doc_col: str = "url",
+                    term_col: str = "curie") -> DataFrame:
+    """One row per doc with its deduped term array: the SHARED exchange
+    both mention-triples (explode) and co-occurrence (pair explode)
+    derive from.  Using the same subplan in both union branches lets
+    Spark plan a ReusedExchange — the corpus-sized shuffle runs once."""
+    return (
+        mentions.select(doc_col, term_col)
+        .groupBy(doc_col)
+        .agg(F.collect_set(term_col).alias("_terms"))
+    )
+
+
+def cooccurrence_edges_from_arrays(
+    arrays: DataFrame,
+    min_weight: int = 1,
+    max_terms_per_doc: int | None = None,
+) -> DataFrame:
+    """(src, dst, weight) edges from ``doc_term_arrays`` output."""
+    if max_terms_per_doc is not None:
+        arrays = arrays.where(F.size("_terms") <= max_terms_per_doc)
+    pairs = (
+        arrays.select(F.explode("_terms").alias("src"), "_terms")
+        .select("src", F.explode("_terms").alias("dst"))
+        .where(F.col("src") < F.col("dst"))  # P11 + canonical order
+    )
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+        .where(F.col("weight") >= min_weight)
+    )
+
+
 def cooccurrence_edges(
     mentions: DataFrame,
     doc_col: str = "url",
@@ -79,21 +112,12 @@ def cooccurrence_edges(
     # hv_generate.py:49-51) and emit pairs with a double explode.  Both
     # remaining exchanges (by doc, then by pair) partition evenly; the
     # explode is map-side, whole-stage-codegen JVM work.
-    terms = dt.groupBy(doc_col).agg(F.collect_set(term_col).alias("_terms"))
-    if max_terms_per_doc is not None:
-        # k-term docs emit k(k-1)/2 pairs — cap fan-out BEFORE exploding
-        terms = terms.where(F.size("_terms") <= max_terms_per_doc)
-    pairs = (
-        terms.select(F.explode("_terms").alias("src"), "_terms")
-        .select("src", F.explode("_terms").alias("dst"))
-        .where(F.col("src") < F.col("dst"))  # P11 + canonical order
+    terms = (
+        dt.groupBy(doc_col).agg(F.collect_set(term_col).alias("_terms"))
     )
-    edges = (
-        pairs.groupBy("src", "dst")
-        .agg(F.count("*").alias("weight"))  # per-doc sets → count == countDistinct(doc)
-        .where(F.col("weight") >= min_weight)
+    return cooccurrence_edges_from_arrays(
+        terms, min_weight=min_weight, max_terms_per_doc=max_terms_per_doc
     )
-    return edges
 
 
 def cooccurrence_triples(edges: DataFrame) -> DataFrame:

@@ -125,13 +125,48 @@ def triples_from_mentions(
     MATERIALIZED mentions table — the resume path: a snapshot-read
     mentions DF here means tagging runs exactly once per pipeline run,
     not once per downstream action."""
+    i_triples = isa_triples(isa_edges_from_ontology(ontology))
+    if max_doc_freq is None:
+        return shared_mention_and_cooccur_triples(
+            mentions, min_cooccur_weight
+        ).unionByName(i_triples)
     m_triples = mention_triples(mentions)
     edges = cooccurrence_edges(
         mentions, min_weight=min_cooccur_weight, max_doc_freq=max_doc_freq
     )
     co_triples = cooccurrence_triples(edges)
-    i_triples = isa_triples(isa_edges_from_ontology(ontology))
     return m_triples.unionByName(co_triples).unionByName(i_triples)
+
+
+def shared_mention_and_cooccur_triples(
+    mentions: DataFrame, min_cooccur_weight: int = 1
+) -> DataFrame:
+    """Mention triples AND co-occurrence triples from ONE shared
+    groupBy(url)→collect_set exchange.
+
+    ``mention_triples`` (distinct on (url, curie)) and
+    ``cooccurrence_edges`` (collect_set per url) each shuffle the same
+    corpus-sized relation.  Deriving both union branches from the
+    identical ``doc_term_arrays`` subplan makes Catalyst plan a
+    ReusedExchange: the mentions table crosses the wire once.  Explode
+    of the per-doc set is exactly the distinct (url, curie) relation, so
+    semantics are unchanged (pinned by oracle parity tests)."""
+    from onto_text_tag_spark.operators.cooccur import (
+        cooccurrence_edges_from_arrays,
+        doc_term_arrays,
+    )
+
+    arrays = doc_term_arrays(mentions)
+    m_triples = arrays.select(
+        F.col("url").alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.explode("_terms").alias("obj"),
+        F.lit(None).cast("long").alias("weight"),
+    )
+    co_triples = cooccurrence_triples(
+        cooccurrence_edges_from_arrays(arrays, min_weight=min_cooccur_weight)
+    )
+    return m_triples.unionByName(co_triples)
 
 
 def closure_triples(isa_edges: DataFrame) -> DataFrame:
