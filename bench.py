@@ -228,7 +228,9 @@ def run_scaling(low: int = 2, high: int = 8) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        scaling = run_scaling()
+        low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
+        high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
+        scaling = run_scaling(low=low, high=high)
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "a") as fh:
             fh.write(

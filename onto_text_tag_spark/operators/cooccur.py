@@ -56,18 +56,31 @@ def cooccurrence_edges_from_arrays(
     arrays: DataFrame,
     min_weight: int = 1,
     max_terms_per_doc: int | None = None,
+    doc_col: str = "url",
 ) -> DataFrame:
-    """(src, dst, weight) edges from ``doc_term_arrays`` output."""
+    """(src, dst, weight) edges from ``doc_term_arrays`` output.
+
+    ``weight`` is computed as ``countDistinct(doc_col)`` — identical to
+    ``count(*)`` here (collect_set dedupes per doc, so each
+    (src, dst, doc) occurs once) but, unlike ``count(*)`` or
+    ``count(doc)`` (which the optimizer rewrites to ``count(1)`` for a
+    non-null column), it keeps ``doc_col`` referenced through the
+    explode chain.  That matters: with doc pruned, this branch's
+    collect_set aggregate outputs ``(_terms)`` while the mention-triple
+    branch's outputs ``(doc, _terms)``, the two union subplans stop
+    canonicalizing equal, and ReusedExchange silently fails — tagging +
+    the corpus-sized shuffle run TWICE (observed via executedPlan;
+    pinned by test_kg plan assertions)."""
     if max_terms_per_doc is not None:
         arrays = arrays.where(F.size("_terms") <= max_terms_per_doc)
     pairs = (
-        arrays.select(F.explode("_terms").alias("src"), "_terms")
-        .select("src", F.explode("_terms").alias("dst"))
+        arrays.select(doc_col, F.explode("_terms").alias("src"), "_terms")
+        .select(doc_col, "src", F.explode("_terms").alias("dst"))
         .where(F.col("src") < F.col("dst"))  # P11 + canonical order
     )
     return (
         pairs.groupBy("src", "dst")
-        .agg(F.count("*").alias("weight"))
+        .agg(F.countDistinct(doc_col).alias("weight"))
         .where(F.col("weight") >= min_weight)
     )
 
@@ -116,7 +129,8 @@ def cooccurrence_edges(
         dt.groupBy(doc_col).agg(F.collect_set(term_col).alias("_terms"))
     )
     return cooccurrence_edges_from_arrays(
-        terms, min_weight=min_weight, max_terms_per_doc=max_terms_per_doc
+        terms, min_weight=min_weight, max_terms_per_doc=max_terms_per_doc,
+        doc_col=doc_col,
     )
 
 

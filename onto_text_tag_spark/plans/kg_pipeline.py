@@ -104,7 +104,15 @@ def build_kg(
     isa = isa_edges_from_ontology(ontology)
     i_triples = isa_triples(isa)
 
-    triples = m_triples.unionByName(co_triples).unionByName(i_triples)
+    # The combined triples output derives both corpus-sized branches
+    # from one shared exchange (ReusedExchange) when no doc-frequency
+    # cap forces the per-term side computation.
+    if max_doc_freq is None:
+        triples = shared_mention_and_cooccur_triples(
+            mentions, min_cooccur_weight
+        ).unionByName(i_triples)
+    else:
+        triples = m_triples.unionByName(co_triples).unionByName(i_triples)
     return KGResult(
         dictionary=dictionary,
         mentions=mentions,

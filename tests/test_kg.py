@@ -111,3 +111,28 @@ def test_triples_union_shape(kg):
 def test_mention_triples_set_semantics(kg):
     m = kg.triples.where(F.col("pred") == "mentions")
     assert m.count() == m.select("subj", "obj").distinct().count()
+
+
+def test_shared_triples_reuse_one_exchange(spark, kg, tmp_path):
+    """The mention-triple and co-occurrence branches of the combined
+    triples output must derive from ONE corpus-sized shuffle: after
+    execution, the finalized AQE plan contains a ReusedExchange (the
+    second branch reads the first branch's shuffle output instead of
+    re-scanning + re-aggregating mentions).  Exercised in the production
+    shape — mentions materialized to parquet, as jobs/kg_build.py does
+    (a cached-DataFrame input defeats reuse: AQE wraps each branch in
+    its own TableCacheQueryStage and they don't canonicalize equal).
+    Regression pin: count(*) for the edge weight lets column pruning
+    diverge the two subplans and reuse silently fails — weight must stay
+    countDistinct(doc)."""
+    from onto_text_tag_spark.plans.kg_pipeline import (
+        shared_mention_and_cooccur_triples,
+    )
+
+    path = str(tmp_path / "mentions.parquet")
+    kg.mentions.write.parquet(path)
+    t = shared_mention_and_cooccur_triples(spark.read.parquet(path))
+    t.collect()
+    plan = t._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1
