@@ -1023,6 +1023,67 @@ SELECT node, min(m) AS comp FROM reach GROUP BY node
 
 
 # ---------------------------------------------------------------------------
+# Multimodal: binary payload columns, decode plumbing, frame sampling
+# ---------------------------------------------------------------------------
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode roundtrip over binary media columns: synthesize a
+    deterministic payload per document (mapInPandas encode), then run the
+    real Arrow-batched decode stage.  The oracle re-derives every decoded
+    feature arithmetically from doc_id — so it genuinely cross-checks the
+    decode path, not just the arithmetic."""
+    from onto_text_tag_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(_docs(spark, sf_dir))
+    return extract_media_features(media).select(
+        "media_id", "kind", "format", "n_bytes",
+        "width", "height", "duration_ms",
+    )
+
+
+def sql_mm_features() -> str:
+    # header = 4B magic + packed <BIIQ (1+4+4+8) = 21 bytes before body
+    return """
+SELECT doc_id::VARCHAR AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       'synm' AS format,
+       (21 + octet_length(encode(text)))::BIGINT AS n_bytes,
+       CASE WHEN doc_id % 3 <> 1
+            THEN (640 + (doc_id % 64) * 10)::INT END AS width,
+       CASE WHEN doc_id % 3 <> 1
+            THEN (360 + (doc_id % 36) * 10)::INT END AS height,
+       CASE WHEN doc_id % 3 <> 0
+            THEN ((1 + doc_id % 30) * 1000)::BIGINT END AS duration_ms
+FROM documents
+"""
+
+
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: filter to videos, decode duration, fan
+    out one row per 1-second frame offset (explode over sequence)."""
+    from onto_text_tag_spark.operators.multimodal import (
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    media = synthesize_media(_docs(spark, sf_dir))
+    return frame_sample_plan(media, every_ms=1000)
+
+
+def sql_mm_frames() -> str:
+    return """
+SELECT doc_id::VARCHAR AS media_id,
+       unnest(range(0, (1 + doc_id % 30) * 1000, 1000))::BIGINT
+           AS frame_offset_ms
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1053,6 +1114,8 @@ QUERIES = {
     "top_orders": q_top_orders,
     "nation_revenue": q_nation_revenue,
     "part_pairs": q_part_pairs,
+    "mm_features": q_mm_features,
+    "mm_frames": q_mm_frames,
 }
 
 ORACLES = {
@@ -1082,4 +1145,6 @@ ORACLES = {
     "top_orders": sql_top_orders(),
     "nation_revenue": sql_nation_revenue(),
     "part_pairs": sql_part_pairs(),
+    "mm_features": sql_mm_features(),
+    "mm_frames": sql_mm_frames(),
 }

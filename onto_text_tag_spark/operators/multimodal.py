@@ -13,7 +13,8 @@ explicit: ``register_decoder`` plugs a real decoder in; without one the
 stage uses a deterministic structural fake (parses our own synthetic
 header) or raises ``NotImplementedError`` for unknown formats.  The
 Spark-side plumbing — schemas, batch iteration, partition sizing — is
-real and tested (tests/test_multimodal.py).
+real and tested (tests/test_dedup_similarity.py, oracle-checked via the
+mm_features/mm_frames driver queries).
 
 Scale notes: binary columns dominate bytes; always project them away
 before shuffles (the metadata struct is enough downstream), and size
@@ -106,6 +107,54 @@ def _decode_one(fmt: str | None, payload: bytes) -> dict:
         f"not available in this environment — register_decoder() to plug "
         f"one in (Pillow/ffmpeg on a real cluster image)"
     )
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """documents → deterministic media(media_id, kind, format, payload).
+
+    Test/bench corpus synthesis: every document becomes one media row
+    whose kind/dimensions/duration are pure functions of the id and
+    whose payload body is the document text bytes — so an oracle can
+    re-derive the decoded features arithmetically without decoding.  A
+    production pipeline replaces this stage with a WARC/object-store
+    reader producing the same schema; everything downstream is shared.
+
+    Arrow-batched ``mapInPandas`` (the encode twin of the decode stage).
+    """
+    src = docs.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        (F.col(id_col) % 3).cast("int").alias("kind_id"),
+        F.when(F.col(id_col) % 3 != 1, (640 + (F.col(id_col) % 64) * 10))
+        .otherwise(0).cast("int").alias("width"),
+        F.when(F.col(id_col) % 3 != 1, (360 + (F.col(id_col) % 36) * 10))
+        .otherwise(0).cast("int").alias("height"),
+        F.when(F.col(id_col) % 3 != 0, (1 + F.col(id_col) % 30) * 1000)
+        .otherwise(0).cast("long").alias("duration_ms"),
+        F.encode(F.col("text"), "UTF-8").alias("body"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            payloads = [
+                encode_fake_media(
+                    _KINDS[int(k)], int(w), int(h), int(d),
+                    bytes(body) if body is not None else b"",
+                )
+                for k, w, h, d, body in zip(
+                    batch["kind_id"], batch["width"], batch["height"],
+                    batch["duration_ms"], batch["body"],
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "kind": [_KINDS[int(k)] for k in batch["kind_id"]],
+                    "format": "synm",
+                    "payload": payloads,
+                }
+            )
+
+    return src.mapInPandas(batches, schema=MEDIA)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
