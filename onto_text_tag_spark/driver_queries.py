@@ -862,13 +862,17 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = revenue.join(
         orders, revenue.l_orderkey == orders.o_orderkey
     ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    w = Window.orderBy(F.col("revenue_c").desc(), F.col("o_orderkey").asc())
-    return (
+    # Distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition partial top-10, merged on the driver) — never a
+    # global single-partition window over the full joined table.  The
+    # rank window then runs over only the 10 surviving rows.
+    top = (
         joined.select("o_orderkey", "c_mktsegment", "revenue_c")
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("o_orderkey", "c_mktsegment", "revenue_c", F.col("rank").cast("long").alias("rank"))
+        .orderBy(F.col("revenue_c").desc(), F.col("o_orderkey").asc())
+        .limit(10)
     )
+    w = Window.orderBy(F.col("revenue_c").desc(), F.col("o_orderkey").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def sql_top_orders() -> str:

@@ -102,21 +102,31 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 
 def minhash_signature(shingles_col: str, num_hashes: int) -> Column:
     """array<long> MinHash signature via one md5 per shingle + a
-    universal-hash permutation family (bit-identical in the SQL twin)."""
-    base = (
+    universal-hash permutation family (bit-identical in the SQL twin).
+
+    Single ``aggregate`` pass: each shingle is md5-hashed ONCE and the
+    running minimum of every permutation advances via ``zip_with`` — a
+    naive per-permutation ``array_min(transform(...))`` re-evaluates the
+    md5 hot loop num_hashes times (Catalyst does not CSE across sibling
+    expressions), which measured ~10× slower at 16 hashes.
+    """
+    coeffs = minhash_coeffs(num_hashes)
+    coeff_arr = (
+        "array("
+        + ", ".join(f"struct({a}L AS a, {b}L AS b)" for a, b in coeffs)
+        + ")"
+    )
+    hashed = (
         f"transform({shingles_col}, s -> "
         f"pmod(cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10)"
         f" as bigint), {MOD_PRIME}L))"
     )
-    mins = [
-        F.array_min(
-            F.expr(
-                f"transform({base}, h -> pmod({a}L * h + {b}L, {MOD_PRIME}L))"
-            )
-        )
-        for a, b in minhash_coeffs(num_hashes)
-    ]
-    return F.array(*mins)
+    return F.expr(
+        f"aggregate({hashed}, "
+        f"transform({coeff_arr}, c -> {MOD_PRIME}L), "
+        f"(acc, h) -> zip_with(acc, {coeff_arr}, "
+        f"(m, c) -> least(m, pmod(c.a * h + c.b, {MOD_PRIME}L))))"
+    )
 
 
 def minhash_signature_sql(shingles_expr: str, num_hashes: int) -> str:

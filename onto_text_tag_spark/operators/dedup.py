@@ -130,18 +130,28 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    if max_bucket_size is not None:
-        sizes = band_rows.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
-        small = sizes.where(F.col("_n") <= max_bucket_size).select("band", "bucket")
-        band_rows = band_rows.join(small, ["band", "bucket"], "inner")
-
-    a, b = band_rows.alias("a"), band_rows.alias("b")
-    return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    # Joinless bucket expansion (same shape as cooccur.py): a self-join
+    # on (band, bucket) would evaluate the expensive signature subplan
+    # TWICE (Spark broadcasts one side — no ReusedExchange) and shuffle
+    # both.  Instead: ONE shuffle to group ids per bucket, then generate
+    # the intra-bucket pairs locally with array transforms.  Quadratic
+    # work stays bounded per bucket (max_bucket_size at web scale).
+    buckets = band_rows.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
     )
+    buckets = buckets.where(F.size("ids") > 1)
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def ngram_jaccard_pairs(
@@ -203,26 +213,27 @@ def simhash_col(text_col: str = "text") -> Column:
     Bit i is set iff sum over tokens of ±1 (sign = bit i of the token's
     md5_long) is positive.  16 bits keeps the expression tree compact
     while still separating non-near documents; near-dups collide exactly.
+
+    Single ``aggregate`` pass: each token is md5-hashed ONCE and all 16
+    signed bit-counters advance via ``zip_with`` — one aggregate per bit
+    would re-run the md5 hot loop 16× (no CSE across siblings).
     """
-    tokens = F.expr(
-        f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
-    )
     th = (
-        "transform({toks}, t -> "
-        "cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint))"
-    ).format(toks=f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')")
-    bit_sums = [
-        F.expr(
-            f"aggregate({th}, 0L, (acc, h) -> acc + "
-            f"(case when (h div {1 << i}) % 2 = 1 then 1 else -1 end))"
-        )
-        for i in range(SIMHASH_BITS)
-    ]
-    value = None
-    for i, s in enumerate(bit_sums):
-        bit = F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        value = bit if value is None else (value + bit)
-    return value.cast("long")
+        "transform(filter(split(lower({col}), '\\\\s+'), t -> t != ''), "
+        "t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10)"
+        " as bigint))"
+    ).format(col=text_col)
+    bits = ", ".join(f"{1 << i}L" for i in range(SIMHASH_BITS))
+    sums = (
+        f"aggregate({th}, transform(array({bits}), p -> 0L), "
+        f"(acc, h) -> zip_with(acc, array({bits}), "
+        f"(s, p) -> s + (case when (h div p) % 2 = 1 then 1 else -1 end)))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({sums}, array({bits}), "
+        f"(s, p) -> case when s > 0 then p else 0L end), "
+        f"0L, (acc, v) -> acc + v)"
+    ).cast("long")
 
 
 def simhash_duplicates(documents: DataFrame, id_col: str = "doc_id",
