@@ -93,8 +93,25 @@ def driver_dictionary(spark: SparkSession) -> DataFrame:
     return resolve_collisions(build_dictionary(driver_ontology_df(spark)))
 
 
+def _parallel(df: DataFrame) -> DataFrame:
+    """Ensure ≥1 partition per core before CPU-bound narrow stages.
+
+    The driver testdata parquet is a single row group per file, so
+    Spark's byte-range splitting cannot parallelize the scan — every
+    per-row expression (tagging, shingle hashing, text stats) would run
+    on ONE core.  A round-robin repartition costs a few MB of shuffle
+    and unlocks all cores.  Gated on the actual scan partition count, so
+    at production scale (input splits ≫ cores) it is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _parallel(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -633,7 +650,7 @@ _COS_SQL = (
 
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _parallel(_read(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -671,7 +688,7 @@ def _planes_sql_signature(alias: str) -> str:
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _parallel(_read(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -701,7 +718,7 @@ FROM ranked WHERE rank <= {_TOPK}
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _parallel(_read(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     doubled = emb.unionByName(
         emb.select((F.col("vec_id") + _ID_SHIFT).alias("vec_id"), "embedding")
     )

@@ -39,10 +39,17 @@ TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 _TOKEN_REGEX_SPARK = TOKEN_REGEX.replace("\\", "\\\\")
 
 
-def token_count_cols(text_col: str = "text") -> list[Column]:
-    """Whitespace token count + regex (BPE-ish) token count + char count."""
+def token_count_cols(text_col: str = "text",
+                     tokens_col: str | None = None) -> list[Column]:
+    """Whitespace token count + regex (BPE-ish) token count + char count.
+
+    ``tokens_col`` names a pre-projected token array (see
+    ``text_profile``) so the regex tokenization runs once per row instead
+    of once per consuming expression.
+    """
+    toks = F.col(tokens_col) if tokens_col else word_tokens(text_col)
     return [
-        F.size(word_tokens(text_col)).cast("long").alias("ws_tokens"),
+        F.size(toks).cast("long").alias("ws_tokens"),
         F.size(F.expr(f"regexp_extract_all({text_col}, '{_TOKEN_REGEX_SPARK}', 0)"))
         .cast("long")
         .alias("re_tokens"),
@@ -50,14 +57,16 @@ def token_count_cols(text_col: str = "text") -> list[Column]:
     ]
 
 
-def quality_cols(text_col: str = "text") -> list[Column]:
+def quality_cols(text_col: str = "text",
+                 tokens_col: str | None = None) -> list[Column]:
     """Heuristic quality signals: mean word length, stopword ratio,
     punctuation ratio, all rounded for cross-engine comparability."""
-    tokens = word_tokens(text_col)
+    toks_sql = tokens_col if tokens_col else _tokens_sql_spark(text_col)
+    tokens = F.expr(toks_sql)
     n_tokens = F.size(tokens)
     en_stop = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
     stop_hits = F.size(
-        F.expr(f"filter({_tokens_sql_spark(text_col)}, t -> t in ({en_stop}))")
+        F.expr(f"filter({toks_sql}, t -> t in ({en_stop}))")
     )
     punct = F.size(
         F.expr(f"regexp_extract_all({text_col}, '[^A-Za-z0-9\\\\s]', 0)")
@@ -81,19 +90,20 @@ def _tokens_sql_spark(text_col: str) -> str:
     return f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
 
 
-def lang_id_col(text_col: str = "text") -> Column:
+def lang_id_col(text_col: str = "text",
+                distinct_tokens_col: str | None = None) -> Column:
     """Stopword-profile language ID: language with the most distinct
     profile-word hits among the document's tokens; ties break by language
     code ascending; zero hits everywhere → 'und'."""
+    dtoks = (
+        distinct_tokens_col
+        if distinct_tokens_col
+        else f"array_distinct({_tokens_sql_spark(text_col)})"
+    )
     scores = []
     for lang in sorted(LANG_PROFILES):
         profile = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
-        hits = F.size(
-            F.expr(
-                f"filter(array_distinct({_tokens_sql_spark(text_col)}),"
-                f" t -> t in ({profile}))"
-            )
-        )
+        hits = F.size(F.expr(f"filter({dtoks}, t -> t in ({profile}))"))
         scores.append((lang, hits))
     # argmax with deterministic tie-break: greatest() over structs compares
     # fieldwise (score, then rank); rank is inverted lexicographic position
@@ -119,12 +129,25 @@ def fingerprint_col(text_col: str = "text") -> Column:
 
 def text_profile(documents: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
-    """One row per document with all text statistics."""
-    return documents.select(
+    """One row per document with all text statistics.
+
+    The token array is projected ONCE (``_toks``/``_dtoks``) and every
+    statistic derives from it — inlining the tokenizer into each of the
+    ~7 consuming sibling expressions re-ran the regex split per sibling
+    (Catalyst does not CSE across siblings; measured ~3× slower).
+    CollapseProject keeps the staging Project because a non-cheap
+    expression referenced more than once is not collapsed.
+    """
+    staged = documents.select(
         F.col(id_col),
-        *token_count_cols(text_col),
-        *quality_cols(text_col),
-        lang_id_col(text_col).alias("lang_pred"),
+        F.col(text_col),
+        word_tokens(text_col).alias("_toks"),
+    ).withColumn("_dtoks", F.array_distinct("_toks"))
+    return staged.select(
+        F.col(id_col),
+        *token_count_cols(text_col, tokens_col="_toks"),
+        *quality_cols(text_col, tokens_col="_toks"),
+        lang_id_col(text_col, distinct_tokens_col="_dtoks").alias("lang_pred"),
         fingerprint_col(text_col).alias("fingerprint"),
     )
 
