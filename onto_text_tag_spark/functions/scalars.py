@@ -58,3 +58,23 @@ def nodes_from_edges(edges, src: str = "src", dst: str = "dst"):
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
+
+
+def slash_date_col(day: Column | str, month: Column | str,
+                   year: Column | str) -> Column:
+    """P10 date string assembly: the reference joins day/month/year with
+    '/' into "d/m/y" strings — no real date types anywhere
+    (app.py:195-196,428)."""
+    d = F.col(day) if isinstance(day, str) else day
+    m = F.col(month) if isinstance(month, str) else month
+    y = F.col(year) if isinstance(year, str) else year
+    return F.concat_ws("/", d.cast("string"), m.cast("string"),
+                       y.cast("string"))
+
+
+def author_list_col(last_names: Column | str) -> Column:
+    """P10 author string assembly: concatenate author last names with
+    ", " (app.py:173-214,419-460 builds the display string the same
+    way)."""
+    c = F.col(last_names) if isinstance(last_names, str) else last_names
+    return F.array_join(c, ", ")

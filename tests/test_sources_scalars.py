@@ -120,3 +120,52 @@ def test_reverse_lookups(spark):
     assert entry_by_curie(d, "CHEBI:0012").count() >= 2  # label + plural
     got = entry_by_label(d, "CAFFEINE").select("id").distinct().collect()
     assert [r["id"] for r in got] == ["CHEBI:0012"]
+
+
+def test_mentions_csv_scan(spark, tmp_path):
+    """S4: positional 4-col CSV scan + P6 CURIE normalization
+    (load_ontotermentions.py:68-80)."""
+    from onto_text_tag_spark.sources.mentions_csv import (
+        normalized_mentions,
+        read_mentions_csv,
+    )
+
+    csv = tmp_path / "ontotermmentions.csv"
+    csv.write_text(
+        "1,http://purl.obolibrary.org/obo/ADDICTO_0007,craving,100001\n"
+        "2,ADDICTO:0006,withdrawal symptom,100001\n"
+        "3,http://humanbehaviourchange.org/ontology/BCIO_0002,goal setting,100002\n"
+    )
+    raw = read_mentions_csv(spark, str(csv))
+    assert raw.columns == ["number", "id", "surface", "pmid"]
+    rows = {
+        (r["doc_id"], r["curie"]): r["surface"]
+        for r in normalized_mentions(raw).collect()
+    }
+    assert rows[("100001", "ADDICTO:0007")] == "craving"
+    assert rows[("100001", "ADDICTO:0006")] == "withdrawal symptom"
+    assert rows[("100002", "BCIO:0002")] == "goal setting"
+
+
+def test_p10_string_assembly(spark):
+    """P10: slash-date + author-list string assembly
+    (app.py:195-196,428 and app.py:173-214)."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.functions.scalars import (
+        author_list_col,
+        slash_date_col,
+    )
+    from onto_text_tag_spark.session import local_df
+
+    df = local_df(
+        spark,
+        [(12, 4, 2021, ["West", "Brown", "Michie"])],
+        "d int, m int, y int, authors array<string>",
+    )
+    row = df.select(
+        slash_date_col("d", "m", "y").alias("date"),
+        author_list_col("authors").alias("authors"),
+    ).first()
+    assert row["date"] == "12/4/2021"
+    assert row["authors"] == "West, Brown, Michie"
