@@ -182,14 +182,36 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("vec"),
         signature_col(vec_col, planes).alias("sig"),
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
+    # Joinless bucket expansion (same shape as dedup.lsh_candidate_pairs):
+    # a self-join on sig evaluates the signature subplan twice and
+    # shuffles both sides; grouping ids+vecs per bucket computes the
+    # signatures ONCE, shuffles once, and generates the intra-bucket
+    # pairs locally.  array_sort on (id, vec) structs orders by id, so
+    # pairs come out canonical (id_a < id_b) for free.
+    buckets = (
+        sigs.groupBy("sig")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("vec")))
+            ).alias("items")
+        )
+        .where(F.size("items") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items) - i - 1), "
+                "y -> struct(x.id AS id_a, y.id AS id_b, "
+                "x.vec AS vec_a, y.vec AS vec_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.vec_a", "p.vec_b")
     return (
-        a.join(b, "sig")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine_similarity_col("a.vec", "b.vec").alias("score"),
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine_similarity_col("vec_a", "vec_b").alias("score"),
         )
         .where(F.col("score") >= threshold)
     )

@@ -75,6 +75,80 @@ def windowed_mention_counts(
     )
 
 
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the streaming twin of the batch
+    ``events_sessionize`` driver query).
+
+    Per-user state = (session_start, last_ts, n_events) as epoch
+    seconds; an event arriving more than ``gap_seconds`` after the last
+    one CLOSES the current session (emitted with ``closed=true``) and
+    opens a new one.  The currently-open session is emitted each
+    micro-batch with ``closed=false`` (update mode), so downstream sinks
+    always see the freshest session picture without waiting for
+    timeouts.
+
+    Scale notes: state is O(active users), a few longs each; the only
+    shuffle is the groupBy on the user key — identical key layout to the
+    batch sessionizer, so a lambda architecture shares partitioning.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} string, session_start timestamp, "
+        "session_end timestamp, n_events long, closed boolean"
+    )
+    state_schema = "start long, last long, n long"
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        (user,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed_rows = []
+        ts_values = []
+        for pdf in pdfs:
+            ts_values.extend(
+                int(t.timestamp()) for t in pd.to_datetime(pdf[ts_col])
+            )
+        for t in sorted(ts_values):
+            if last is not None and t - last > gap_seconds:
+                closed_rows.append((user, start, last, n, True))
+                start, last, n = t, t, 1
+            else:
+                start = t if start is None else start
+                last, n = t, n + 1
+        state.update((start, last, n))
+        rows = closed_rows + [(user, start, last, n, False)]
+        yield pd.DataFrame(
+            {
+                user_col: [r[0] for r in rows],
+                "session_start": pd.to_datetime(
+                    [r[1] for r in rows], unit="s"
+                ),
+                "session_end": pd.to_datetime([r[2] for r in rows], unit="s"),
+                "n_events": [r[3] for r in rows],
+                "closed": [r[4] for r in rows],
+            }
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_mentions_sink(
     mentions: DataFrame,
     out_path: str,

@@ -93,3 +93,76 @@ def test_streaming_tagging_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, streamed.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_stateful_streaming_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionizer: state carries across
+    micro-batches; a gap closes the session, a new one opens."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.streaming.incremental import sessionize_stream
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id string, ts timestamp"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    # batch 1: two close events for u1, one for u2
+    write_batch("b1", [
+        ("u1", t0), ("u1", t0 + dt.timedelta(seconds=60)),
+        ("u2", t0),
+    ])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("update")
+        .start(checkpointLocation=ckpt)
+    )
+    try:
+        q.processAllAvailable()
+        open_rows = {
+            r["user_id"]: r
+            for r in spark.sql(
+                "SELECT * FROM sess_test WHERE NOT closed"
+            ).collect()
+        }
+        assert open_rows["u1"]["n_events"] == 2
+        assert open_rows["u2"]["n_events"] == 1
+
+        # batch 2: u1 event far beyond the gap -> closes session 1
+        write_batch("b2", [("u1", t0 + dt.timedelta(seconds=7200))])
+        q.processAllAvailable()
+
+        closed = spark.sql(
+            "SELECT * FROM sess_test WHERE closed"
+        ).collect()
+        assert len(closed) == 1
+        c = closed[0]
+        assert c["user_id"] == "u1" and c["n_events"] == 2
+        assert c["session_start"] == t0
+        reopened = [
+            r
+            for r in spark.sql(
+                "SELECT * FROM sess_test WHERE NOT closed"
+            ).collect()
+            if r["user_id"] == "u1" and r["n_events"] == 1
+        ]
+        assert reopened, "new open session for u1 after the gap"
+    finally:
+        q.stop()
