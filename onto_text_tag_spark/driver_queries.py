@@ -717,6 +717,68 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
+_NUM_CENTROIDS = 8
+_NPROBE = 2
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onto_text_tag_spark.operators.similarity import ivf_topk
+
+    emb = _parallel(_read(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries, k=_TOPK, num_centroids=_NUM_CENTROIDS, nprobe=_NPROBE
+    )
+
+
+def sql_sim_ivf_topk() -> str:
+    cos_cent = (
+        "round(list_dot_product({v}.embedding, ct.embedding) / "
+        "(sqrt(list_dot_product({v}.embedding, {v}.embedding)) * "
+        "sqrt(list_dot_product(ct.embedding, ct.embedding))), 4)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings
+  ORDER BY vec_id LIMIT {_NUM_CENTROIDS}
+),
+ cell_scored AS (
+   SELECT e.vec_id, ct.cid, {cos_cent.format(v='e')} AS cscore
+   FROM embeddings e, cents ct
+ ),
+ cells AS (
+   SELECT vec_id AS cand_id, cid AS cell FROM (
+     SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cscore DESC, cid ASC) AS rn
+     FROM cell_scored
+   ) WHERE rn = 1
+ ),
+ probes AS (
+   SELECT vec_id AS query_id, cid AS cell FROM (
+     SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cscore DESC, cid ASC) AS rn
+     FROM cell_scored WHERE vec_id < {_N_QUERIES}
+   ) WHERE rn <= {_NPROBE}
+ ),
+ scored AS (
+   SELECT p.query_id, cl.cand_id, {_COS_SQL} AS score
+   FROM probes p
+   JOIN cells cl ON cl.cell = p.cell AND cl.cand_id != p.query_id
+   JOIN embeddings q ON q.vec_id = p.query_id
+   JOIN embeddings c ON c.vec_id = cl.cand_id
+ ),
+ ranked AS (
+   SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, cand_id ASC) AS rank
+   FROM scored
+ )
+SELECT query_id, cand_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _parallel(_read(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     doubled = emb.unionByName(
@@ -1128,6 +1190,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "sim_topk": q_sim_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
     "emb_neardup": q_emb_neardup,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
@@ -1159,6 +1222,7 @@ ORACLES = {
     "dedup_simhash": sql_dedup_simhash(),
     "sim_topk": sql_sim_topk(),
     "sim_lsh_topk": sql_sim_lsh_topk(),
+    "sim_ivf_topk": sql_sim_ivf_topk(),
     "emb_neardup": sql_emb_neardup(),
     "events_tumbling": sql_events_tumbling(),
     "events_sessionize": sql_events_sessionize(),

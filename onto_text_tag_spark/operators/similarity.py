@@ -163,6 +163,120 @@ def lsh_topk(
     )
 
 
+def _centroid_literal(cent_rows: list[tuple[int, list[float]]]) -> str:
+    """SQL literal array<struct<cid,cvec>> for the centroid set.
+
+    Only the raw vector components are inlined — norms are computed
+    in-expression so both engines derive every float from the same
+    stored values (floating-point parity with the SQL oracle)."""
+    structs = []
+    for cid, vec in cent_rows:
+        arr = "array(" + ", ".join(f"cast({c!r} as double)" for c in vec) + ")"
+        structs.append(f"struct({cid}L AS cid, {arr} AS cvec)")
+    return "array(" + ", ".join(structs) + ")"
+
+
+def ivf_cell_expr(vec_col: str, cents_lit: str) -> Column:
+    """IVF cell assignment as a PURE MAP expression: argmax over the
+    centroid literal of rounded cosine similarity, ties to the smallest
+    centroid id (fold iterates cids ascending, strict > keeps the
+    first maximum).  No shuffle, no window — at 10^12 rows assignment
+    pipelines with the scan."""
+    return F.expr(
+        f"aggregate({cents_lit}, "
+        f"struct(cast(-1e18 as double) AS s, cast(-1 as bigint) AS c), "
+        f"(best, ct) -> CASE WHEN round("
+        f"aggregate(zip_with({vec_col}, ct.cvec, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v) / "
+        f"(sqrt(aggregate({vec_col}, cast(0.0 as double), "
+        f"(acc, v) -> acc + v * v)) * "
+        f"sqrt(aggregate(ct.cvec, cast(0.0 as double), "
+        f"(acc, v) -> acc + v * v))), 4) > best.s "
+        f"THEN struct(round("
+        f"aggregate(zip_with({vec_col}, ct.cvec, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v) / "
+        f"(sqrt(aggregate({vec_col}, cast(0.0 as double), "
+        f"(acc, v) -> acc + v * v)) * "
+        f"sqrt(aggregate(ct.cvec, cast(0.0 as double), "
+        f"(acc, v) -> acc + v * v))), 4) AS s, ct.cid AS c) "
+        f"ELSE best END).c"
+    )
+
+
+def ivf_probe_cells_expr(vec_col: str, cents_lit: str, nprobe: int) -> Column:
+    """Top-``nprobe`` cells for a query vector, as an array<bigint> —
+    array_sort on (-score, cid) structs gives score-desc, cid-asc."""
+    return F.expr(
+        f"transform(slice(array_sort(transform({cents_lit}, ct -> "
+        f"struct(-round("
+        f"aggregate(zip_with({vec_col}, ct.cvec, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v) / "
+        f"(sqrt(aggregate({vec_col}, cast(0.0 as double), "
+        f"(acc, v) -> acc + v * v)) * "
+        f"sqrt(aggregate(ct.cvec, cast(0.0 as double), "
+        f"(acc, v) -> acc + v * v))), 4) AS ns, ct.cid AS cid))), "
+        f"1, {nprobe}), p -> p.cid)"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantization
+    alternative to ``lsh_topk``.
+
+    Deterministic "training": the ``num_centroids`` vectors with the
+    smallest ids are the centroids (a stand-in for k-means that any SQL
+    engine reproduces; swap in trained centroids at the same literal).
+    Every vector's cell = argmax cosine vs the centroid literal — a pure
+    map pipelined with the scan (NO shuffle over the corpus for
+    assignment).  Queries probe their ``nprobe`` best cells; candidates
+    are only the vectors in probed cells — the classic IVF recall/cost
+    dial.  Only shuffles: the cell equi-join and the final per-query
+    top-k window (query side is small by construction).
+    """
+    cent_rows = [
+        (int(r[0]), list(r[1]))
+        for r in embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(num_centroids)
+        .collect()
+    ]
+    cents_lit = _centroid_literal(cent_rows)
+    cells = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        ivf_cell_expr(vec_col, cents_lit).alias("cell"),
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            ivf_probe_cells_expr(vec_col, cents_lit, nprobe)
+        ).alias("cell"),
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("score", cosine_similarity_col("q_vec", "cand_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "score", "rank")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.98,
