@@ -446,6 +446,35 @@ def sql_text_profile() -> str:
     return text_profile_sql("documents")
 
 
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup — per (source, lang), per source, and
+    grand total in ONE pass (`ROLLUP` = grouping sets, a single shuffle
+    with partial aggregation; at 10^12 docs this is the cheap way to get
+    every subtotal level without re-scanning per level)."""
+    return (
+        _docs(spark, sf_dir)
+        .rollup("source", "lang")
+        .agg(
+            F.grouping_id().cast("long").alias("level"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def sql_corpus_rollup() -> str:
+    return """
+SELECT source, lang,
+       GROUPING(source, lang)::BIGINT AS level,
+       count(*) AS n_docs,
+       sum(n_chars) AS sum_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deduplication — run on the corpus unioned with an id-shifted copy so
 # duplicate groups exist by construction (same trick in both engines).
@@ -1183,6 +1212,7 @@ QUERIES = {
     "canon_components": q_canon_components,
     "graph_components": q_graph_components,
     "text_profile": q_text_profile,
+    "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -1215,6 +1245,7 @@ ORACLES = {
     "canon_components": sql_canon_components(),
     "graph_components": sql_graph_components(),
     "text_profile": sql_text_profile(),
+    "corpus_rollup": sql_corpus_rollup(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash_sig": sql_dedup_minhash_sig(),
     "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
