@@ -123,6 +123,28 @@ def test_lsh_topk_recall(spark):
     assert len(approx_set & exact_set) > 0
 
 
+def test_ivf_topk_recall_and_cells(spark):
+    from onto_text_tag_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rows = _unit_rows(n=60)
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(rows[:5], ["query_id", "embedding"])
+    exact = cosine_topk(emb, queries, k=3).collect()
+    # probing ALL cells makes IVF exhaustive → must equal brute force
+    full = ivf_topk(emb, queries, k=3, num_centroids=4, nprobe=4).collect()
+    assert {(r["query_id"], r["cand_id"], r["rank"]) for r in full} == {
+        (r["query_id"], r["cand_id"], r["rank"]) for r in exact
+    }
+    # restricted probing is a subset search: sane shape + nonzero overlap
+    approx = ivf_topk(emb, queries, k=3, num_centroids=4, nprobe=1).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    assert len(approx_set) > 0
+    assert len(approx_set & exact_set) > 0
+    ranks = [r["rank"] for r in approx if r["query_id"] == approx[0]["query_id"]]
+    assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_embedding_near_duplicates(spark):
     from onto_text_tag_spark.operators.similarity import embedding_near_duplicates
 
