@@ -23,7 +23,12 @@ import time
 os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+# Default parallelism is sized to the sf0.1 workload, not the host:
+# measured totals on this box are ~24 s at local[8] vs ~60-75 s at
+# local[32] for the identical queries — the 32 hypervisor-oversubscribed
+# vCPUs add scheduling overhead and stalls that dwarf the tiny per-task
+# work at this scale.  $SPARK_GRAFT_CPUS still overrides.
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", min(8, os.cpu_count() or 8)))
 
 BENCH_QUERIES = [
     "kg_mentions",
