@@ -808,6 +808,27 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
+def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with DISTRIBUTEDLY TRAINED centroids (spherical k-means,
+    Lloyd's over DataFrame built-ins).  Iterative training is not
+    SQL-expressible, so this query has no DuckDB oracle — the driver
+    records the weaker rows-only check; the semantics (full-probe ==
+    brute force, convergence) are pinned by unit tests instead."""
+    from onto_text_tag_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = _parallel(_read(spark, sf_dir, "embeddings"))
+    cents = kmeans_centroids(emb, k=_NUM_CENTROIDS, iterations=3)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries, k=_TOPK, nprobe=_NPROBE, centroids=cents
+    )
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _parallel(_read(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     doubled = emb.unionByName(
@@ -1221,6 +1242,7 @@ QUERIES = {
     "sim_topk": q_sim_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_trained": q_sim_ivf_trained,
     "emb_neardup": q_emb_neardup,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,

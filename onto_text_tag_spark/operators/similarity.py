@@ -219,6 +219,71 @@ def ivf_probe_cells_expr(vec_col: str, cents_lit: str, nprobe: int) -> Column:
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed spherical k-means (Lloyd's) over the embedding column
+    — the trained-centroid scale path for ``ivf_topk``.
+
+    Everything stays in DataFrame built-ins:
+
+    * **Assignment** is the same pure-map argmax expression IVF uses
+      (``ivf_cell_expr`` against a centroid literal) — pipelined with
+      the scan, NO shuffle of the corpus.
+    * **Update** shuffles only ``(cell, component_position)`` partial
+      sums: ``posexplode`` the vector, ``groupBy(cell, pos)`` with
+      map-side partial aggregation — k·dim result rows per iteration,
+      driver-sized regardless of corpus size.
+    * Means are L2-normalized (spherical variant — assignment is by
+      cosine, so centroids live on the unit sphere); a cell that loses
+      all members keeps its previous centroid.
+
+    Deterministic: init = the ``k`` vectors with the smallest ids, and
+    every reduction is order-insensitive (sum/count).  Returns
+    ``[(cid, vector), ...]`` ready for ``ivf_topk(centroids=...)``.
+    """
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    ]
+    for _it in range(iterations):
+        lit = _centroid_literal(cents)
+        stats = (
+            embeddings.select(
+                ivf_cell_expr(vec_col, lit).alias("cell"),
+                F.posexplode(vec_col).alias("pos", "comp"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("comp").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = (
+                float(r["s"]) / int(r["n"])
+            )
+        new_cents = []
+        for cid, old in cents:
+            mean = by_cell.get(cid)
+            if not mean:
+                new_cents.append((cid, old))  # empty cell: keep centroid
+                continue
+            vec = [mean[i] for i in range(len(old))]
+            nrm = sum(x * x for x in vec) ** 0.5
+            new_cents.append((cid, [x / nrm for x in vec] if nrm else old))
+        if new_cents == cents:
+            break  # converged
+        cents = new_cents
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -228,13 +293,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantization
     alternative to ``lsh_topk``.
 
     Deterministic "training": the ``num_centroids`` vectors with the
     smallest ids are the centroids (a stand-in for k-means that any SQL
-    engine reproduces; swap in trained centroids at the same literal).
+    engine reproduces), unless ``centroids`` supplies a trained set —
+    ``kmeans_centroids`` produces one distributedly.
     Every vector's cell = argmax cosine vs the centroid literal — a pure
     map pipelined with the scan (NO shuffle over the corpus for
     assignment).  Queries probe their ``nprobe`` best cells; candidates
@@ -242,7 +309,7 @@ def ivf_topk(
     dial.  Only shuffles: the cell equi-join and the final per-query
     top-k window (query side is small by construction).
     """
-    cent_rows = [
+    cent_rows = centroids if centroids is not None else [
         (int(r[0]), list(r[1]))
         for r in embeddings.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())

@@ -145,6 +145,42 @@ def test_ivf_topk_recall_and_cells(spark):
     assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_kmeans_centroids_separable_clusters(spark):
+    from onto_text_tag_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    # two well-separated direction clusters on the unit circle (8-dim)
+    def vec(main_axis, wobble):
+        v = [0.0] * 8
+        v[main_axis] = 1.0
+        v[(main_axis + 1) % 8] = wobble
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    rows = [(i, vec(0, 0.01 * (i % 5))) for i in range(20)] + [
+        (20 + i, vec(4, 0.01 * (i % 5))) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_centroids(emb, k=2, iterations=5)
+    assert len(cents) == 2
+    # each trained centroid points at one cluster's main axis
+    axes = sorted(max(range(8), key=lambda i: c[1][i]) for c in cents)
+    assert axes == [0, 4]
+    # centroids are unit-normalized
+    for _cid, v in cents:
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+    # determinism: same input -> same centroids
+    assert cents == kmeans_centroids(emb, k=2, iterations=5)
+    # trained IVF with nprobe=1 on separable data: every neighbor of a
+    # cluster-0 query is a cluster-0 member
+    queries = spark.createDataFrame(rows[:2], ["query_id", "embedding"])
+    got = ivf_topk(emb, queries, k=3, nprobe=1, centroids=cents).collect()
+    assert len(got) == 6
+    assert all(r["cand_id"] < 20 for r in got)
+
+
 def test_embedding_near_duplicates(spark):
     from onto_text_tag_spark.operators.similarity import embedding_near_duplicates
 
