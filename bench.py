@@ -34,10 +34,12 @@ BENCH_QUERIES = [
     "kg_mentions",
     "kg_cooccur",
     "text_profile",
+    "corpus_rollup",
     "dedup_exact",
     "dedup_lsh_pairs",
     "dedup_simhash",
     "sim_topk",
+    "sim_ivf_topk",
     "events_tumbling",
     "events_sessionize",
     "pricing_summary",

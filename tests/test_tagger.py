@@ -169,3 +169,39 @@ def test_token_matcher_equivalent_to_aho_corasick():
         words = [rng.choice(vocab + ["zzz", "qqq"]) for _ in range(rng.randint(1, 12))]
         t = rng.choice(["", "x"]) + " ".join(words) + rng.choice(["", "x"])
         assert sorted(ac2.find(t)) == sorted(tm2.find(t)), t
+
+
+def test_filter_spans_properties_hypothesis():
+    """Property-pin W1 (longest-match-wins overlap resolution): output is
+    non-overlapping, document-ordered, and greedy-maximal — every
+    rejected candidate overlaps some kept span at least as long."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    span = st.tuples(
+        st.integers(0, 40), st.integers(1, 12)
+    ).map(lambda t: (t[0], t[0] + t[1], "p", None))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(span, max_size=20))
+    def check(spans):
+        kept = filter_spans(spans)
+        assert all(s in spans for s in kept)
+        for a, b in zip(kept, kept[1:]):
+            assert a[1] <= b[0], (a, b)  # disjoint and document-ordered
+        for s in spans:  # greedy-maximality
+            if s in kept:
+                continue
+            overlapping = [
+                k for k in kept if k[0] < s[1] and s[0] < k[1]
+            ]
+            assert overlapping, s
+            assert max(k[1] - k[0] for k in overlapping) >= 0  # kept spans exist
+            # the greedy order guarantees some overlapping kept span is
+            # no shorter OR was placed earlier at equal length
+            assert any(
+                (k[1] - k[0], -k[0]) >= (s[1] - s[0], -s[0])
+                for k in overlapping
+            ), (s, kept)
+
+    check()
