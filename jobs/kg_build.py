@@ -2,8 +2,9 @@
 
 north_rule evidence: ``spark-submit --py-files onto_text_tag_spark.zip
 jobs/kg_build.py --input <docs> --ontology <owl...> --output <root>``
-runs the whole DAG (extract → dictionary → tag → triples → co-occur →
-closure) with per-stage resumable snapshots and lineage manifests.
+runs the whole DAG (extract → dictionary → tag → doc-term arrays →
+per-predicate triple branches → closure) with per-stage resumable
+snapshots and lineage manifests.
 
 Scale split: the ontology is driver-side small data (it is parsed on
 the driver before it could ever become a DataFrame), so dictionary
@@ -47,20 +48,19 @@ def main() -> None:
     from onto_text_tag_spark.operators.closure import transitive_closure_rows
     from onto_text_tag_spark.operators.cooccur import (
         cooccurrence_edges,
-        cooccurrence_triples,
+        cooccurrence_edges_from_arrays,
+        doc_term_arrays,
     )
     from onto_text_tag_spark.operators.tagger import tag_documents
-    from onto_text_tag_spark.plans.kg_pipeline import (
-        extract_texts,
-        mention_triples,
-        shared_mention_and_cooccur_triples,
-    )
+    from onto_text_tag_spark.plans.kg_pipeline import extract_texts
     from onto_text_tag_spark.session import apply_engine_conf, local_df
     from onto_text_tag_spark.sinks import (
         fingerprint_parquet_inputs,
         read_manifest,
         run_stage,
+        stage_is_current,
         write_stage,
+        write_stage_branches,
     )
     from onto_text_tag_spark.sources.ontology import parse_obo, parse_owl_xml
 
@@ -137,32 +137,69 @@ def main() -> None:
     # count jobs; fixed overhead is what caps scaling efficiency here
     n_mentions = read_manifest(args.output, "mentions")["total_rows"]
 
-    triple_schema = "subj string, pred string, obj string, weight long"
-    isa_df = local_df(
-        spark, [(c, "is_a", p, None) for c, p in isa_pairs], triple_schema
+    # Stage 2: per-doc distinct term arrays — the shared corpus-sized
+    # intermediate BOTH triple branches derive from (explode ≡ the
+    # distinct (url, curie) relation; double-explode ≡ co-occurring
+    # pairs).  Snapshotting it makes the groupBy(url) shuffle run once,
+    # resumably, and lets each triple branch below execute as its own
+    # clean single-shuffle job.  The previous fused shape (both branches
+    # behind one ReusedExchange + one dynamic-partition write) scheduled
+    # every branch's partitions into a single write stage whose critical
+    # path was the skewed co-occurrence aggregate: measured 1.41x 2->8
+    # core speedup vs 2.08x for this split, and 32% more 8-core wall
+    # time (see write_stage_branches docstring).
+    doc_terms = timed("doc_terms", lambda: run_stage(
+        spark, args.output, "doc_terms",
+        lambda: doc_term_arrays(mentions),
+        input_fingerprint=fp,
+    ))
+
+    branch_schema = "subj string, obj string, weight long"
+    mention_branch = doc_terms.select(
+        F.col("url").alias("subj"),
+        F.explode("_terms").alias("obj"),
+        F.lit(None).cast("long").alias("weight"),
     )
     if args.max_doc_freq is None:
-        derived = shared_mention_and_cooccur_triples(
-            mentions, min_cooccur_weight=args.min_cooccur_weight
+        edges = cooccurrence_edges_from_arrays(
+            doc_terms, min_weight=args.min_cooccur_weight
         )
     else:
-        derived = mention_triples(mentions).unionByName(
-            cooccurrence_triples(cooccurrence_edges(
-                mentions, min_weight=args.min_cooccur_weight,
-                max_doc_freq=args.max_doc_freq,
-            ))
+        # The doc-frequency cap filters terms BEFORE pair emission, so
+        # this branch re-derives from the mentions snapshot (one extra
+        # groupBy(url) shuffle — only paid when the cap is requested).
+        edges = cooccurrence_edges(
+            mentions, min_weight=args.min_cooccur_weight,
+            max_doc_freq=args.max_doc_freq,
         )
-    triples = derived.unionByName(isa_df)
-    timed("triples", lambda: write_stage(
-        triples, args.output, "triples",
-        partition_by=["pred"], input_fingerprint=fp,
-        metrics={"n_mentions": n_mentions},
-    ))
+    cooccur_branch = edges.select(
+        F.col("src").alias("subj"),
+        F.col("dst").alias("obj"),
+        F.col("weight").cast("long").alias("weight"),
+    )
+    isa_branch = local_df(
+        spark, [(c, p, None) for c, p in isa_pairs], branch_schema
+    )
+
+    def _write_triples():
+        if stage_is_current(args.output, "triples", fp):
+            return
+        write_stage_branches(
+            {
+                "mentions": mention_branch,
+                "co_occurs_with": cooccur_branch,
+                "is_a": isa_branch,
+            },
+            args.output, "triples", partition_col="pred",
+            input_fingerprint=fp, metrics={"n_mentions": n_mentions},
+        )
+
+    timed("triples", _write_triples)
 
     closure_df = local_df(
         spark,
         [(d, "is_a_transitive", a, None) for d, a in closure_pairs],
-        triple_schema,
+        "subj string, pred string, obj string, weight long",
     ).coalesce(1)  # driver-sized: one task, one file
     timed("isa_closure", lambda: write_stage(
         closure_df, args.output, "isa_closure", input_fingerprint=fp,

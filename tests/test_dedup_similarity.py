@@ -281,3 +281,50 @@ def test_sinks_resume_cycle(spark, tmp_path):
     assert out.count() == 30 and calls == [1]  # fingerprint change → rerun
     manifest = read_manifest(root, "mentions")
     assert manifest["input_fingerprint"] == "fp2"
+
+
+def test_write_stage_branches_equals_partitioned_union(spark, tmp_path):
+    """Branch-split stage write is indistinguishable on read-back from
+    write_stage(union, partition_by): same hive layout, same manifest
+    per-partition lineage, same recovered column."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.sinks import (
+        read_manifest,
+        read_stage,
+        stage_is_current,
+        write_stage_branches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}") for i in range(30)], ["id", "part"]
+    )
+    branches = {
+        v: df.where(F.col("part") == v).drop("part") for v in ("p0", "p1", "p2")
+    }
+    root = str(tmp_path / "kg")
+    m = write_stage_branches(
+        branches, root, "triples", partition_col="part",
+        input_fingerprint="fp1", metrics={"n": 30},
+    )
+    assert m["total_rows"] == 30
+    assert m["partition_by"] == ["part"]
+    assert {p["part"]: p["rows"] for p in m["partitions"]} == {
+        "p0": 10, "p1": 10, "p2": 10,
+    }
+    assert [f["name"] for f in m["schema"]["fields"]] == ["id", "part"]
+    assert stage_is_current(root, "triples", "fp1")
+
+    back = read_stage(spark, root, "triples")
+    assert set(back.columns) == {"id", "part"}
+    got = {(r.id, r.part) for r in back.collect()}
+    assert got == {(i, f"p{i % 3}") for i in range(30)}
+    assert read_manifest(root, "triples")["metrics"] == {"n": 30}
+
+    # overwrite replaces stale branch dirs from a prior layout
+    m2 = write_stage_branches(
+        {"p0": branches["p0"]}, root, "triples", partition_col="part",
+        input_fingerprint="fp2",
+    )
+    assert m2["total_rows"] == 10
+    assert read_stage(spark, root, "triples").count() == 10
