@@ -1,0 +1,96 @@
+"""End-to-end test of the north_rule deployment form: the full KG build
+run via ``spark-submit --py-files`` (jobs/kg_build.py), then re-run to
+prove snapshot resume, then re-run with one snapshot invalidated.
+
+SURVEY.md §5 invariant 4: resume-from-snapshot equals clean run.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit(tmp: str, *script_args: str) -> dict:
+    pkg = os.path.join(tmp, "pkg.zip")
+    if not os.path.exists(pkg):
+        with zipfile.ZipFile(pkg, "w", zipfile.ZIP_DEFLATED) as zf:
+            pkgdir = os.path.join(REPO, "onto_text_tag_spark")
+            for root, _dirs, files in os.walk(pkgdir):
+                for f in files:
+                    if f.endswith(".py"):
+                        p = os.path.join(root, f)
+                        zf.write(p, os.path.relpath(p, REPO))
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    out = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", pkg,
+            os.path.join(REPO, "jobs", "kg_build.py"),
+            "--no-warmup", *script_args,
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    return json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+
+
+@pytest.fixture(scope="module")
+def job_tmp(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("kgjob"))
+
+
+@pytest.fixture(scope="module")
+def corpus(job_tmp, spark):
+    from onto_text_tag_spark.corpus import distributed_documents_df
+
+    path = os.path.join(job_tmp, "corpus.parquet")
+    distributed_documents_df(
+        spark, 400, seed=7, partitions=4
+    ).write.parquet(path)
+    return path
+
+
+def test_kg_build_clean_then_resume(job_tmp, corpus):
+    out_dir = os.path.join(job_tmp, "kg_out")
+    clean = _spark_submit(job_tmp, "--input", corpus, "--output", out_dir)
+    assert clean["n_mentions"] > 0
+    assert clean["n_triples"] > clean["n_mentions"] * 0  # present
+    assert set(clean["stage_sec"]) == {
+        "setup", "mentions", "doc_terms", "triples", "isa_closure"
+    }
+    # triples stage landed as hive-partitioned predicate branches
+    preds = sorted(
+        d for d in os.listdir(os.path.join(out_dir, "triples", "data"))
+        if d.startswith("pred=")
+    )
+    assert preds == ["pred=co_occurs_with", "pred=is_a", "pred=mentions"]
+    with open(os.path.join(out_dir, "triples", "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["total_rows"] == clean["n_triples"]
+    assert {p["pred"] for p in manifest["partitions"]} == {
+        "co_occurs_with", "is_a", "mentions"
+    }
+
+    # resume: unchanged input -> every stage skipped, identical counts
+    resumed = _spark_submit(job_tmp, "--input", corpus, "--output", out_dir)
+    assert resumed["n_mentions"] == clean["n_mentions"]
+    assert resumed["n_triples"] == clean["n_triples"]
+    assert resumed["stage_sec"]["triples"] == 0.0
+
+    # invalidate one snapshot marker -> only that stage recomputes,
+    # and the rebuilt output equals the clean run
+    os.remove(os.path.join(out_dir, "triples", "_SUCCESS_STAGE"))
+    repaired = _spark_submit(job_tmp, "--input", corpus, "--output", out_dir)
+    assert repaired["n_triples"] == clean["n_triples"]
+    assert repaired["stage_sec"]["triples"] > 0.0
+    assert repaired["stage_sec"]["mentions"] < 1.0  # still skipped
