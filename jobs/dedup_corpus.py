@@ -8,13 +8,16 @@ Pipeline (every stage corpus-scale-safe):
 
 1. ``exact_edges``    — normalized-content digest groups → duplicate
                         edges to the group's min id (one shuffle).
-2. ``candidates``     — banded MinHash-LSH candidate pairs (joinless
+2. ``signatures``     — MinHash signatures (vectorized numpy byte-shingle
+                        path by default), snapshotted for re-banding.
+3. ``candidates``     — banded MinHash-LSH candidate pairs (joinless
                         bucket expansion; mega-buckets capped).
-3. ``verified``       — exact shingle-Jaccard over candidates only
-                        (never a cross product), threshold-filtered.
-4. ``clusters``       — connected components over exact ∪ verified
+4. ``verified``       — exact shingle-Jaccard over candidate documents
+                        only (corpus semi-joined first; never a cross
+                        product), threshold-filtered.
+5. ``clusters``       — connected components over exact ∪ verified
                         edges (edge set is dup-sized, not corpus-sized).
-5. ``deduped``        — corpus anti-joined against non-representative
+6. ``deduped``        — corpus anti-joined against non-representative
                         members; representative = min id per cluster.
 
 Usage:
@@ -41,6 +44,9 @@ def main() -> None:
     ap.add_argument("--bands", type=int, default=4)
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--max-bucket-size", type=int, default=200)
+    ap.add_argument("--portable-minhash", action="store_true",
+                    help="use the md5/DuckDB-reproducible MinHash instead "
+                    "of the vectorized numpy byte-shingle path")
     ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args()
 
@@ -50,6 +56,8 @@ def main() -> None:
     from onto_text_tag_spark.operators.dedup import (
         content_digest,
         lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_signatures_np,
         ngram_jaccard_pairs,
     )
     from onto_text_tag_spark.session import apply_engine_conf
@@ -104,19 +112,43 @@ def main() -> None:
         input_fingerprint=fp,
     ))
 
-    # Stage 2: LSH candidates (near-dup recall set).
+    # Stage 2: MinHash signatures — snapshotted so banding (and any
+    # re-banding with different band counts) never re-shingles the
+    # corpus.  Default is the vectorized numpy byte-shingle path; the
+    # md5/DuckDB-reproducible family is behind --portable-minhash.
+    sig_fn = (
+        minhash_signatures if args.portable_minhash else minhash_signatures_np
+    )
+    fp_sig = fp + f"|h={args.num_hashes}|k={args.shingle_k}" + (
+        "|portable" if args.portable_minhash else "|np"
+    )
+    signatures = timed("signatures", lambda: run_stage(
+        spark, args.output, "signatures",
+        lambda: sig_fn(
+            docs, id_col=id_c, text_col=text_c,
+            num_hashes=args.num_hashes, shingle_k=args.shingle_k,
+        ),
+        input_fingerprint=fp_sig,
+    ))
+
+    # Stage 3: LSH candidates (near-dup recall set).  Fingerprints chain:
+    # each stage's fingerprint embeds its upstream's, so changing any
+    # knob (hash family, bands, threshold) invalidates exactly the
+    # stages downstream of it.
+    fp_cand = fp_sig + f"|b={args.bands}|m={args.max_bucket_size}"
     candidates = timed("candidates", lambda: run_stage(
         spark, args.output, "candidates",
         lambda: lsh_candidate_pairs(
             docs, id_col=id_c, text_col=text_c,
             num_hashes=args.num_hashes, bands=args.bands,
             shingle_k=args.shingle_k, max_bucket_size=args.max_bucket_size,
+            signatures=signatures,
         ),
-        input_fingerprint=fp,
+        input_fingerprint=fp_cand,
     ))
 
-    # Stage 3: exact Jaccard verification of candidates (precision set).
-    fp_verify = fp + f"|t={args.threshold}|k={args.shingle_k}"
+    # Stage 4: exact Jaccard verification of candidates (precision set).
+    fp_verify = fp_cand + f"|t={args.threshold}"
     verified = timed("verified", lambda: run_stage(
         spark, args.output, "verified",
         lambda: ngram_jaccard_pairs(
@@ -126,7 +158,7 @@ def main() -> None:
         input_fingerprint=fp_verify,
     ))
 
-    # Stage 4: duplicate clusters. The edge set is duplicate-sized —
+    # Stage 5: duplicate clusters. The edge set is duplicate-sized —
     # orders of magnitude smaller than the corpus — so the iterative CC
     # runs over a small relation regardless of input scale.
     def _clusters():
@@ -142,7 +174,7 @@ def main() -> None:
         input_fingerprint=fp_verify,
     ))
 
-    # Stage 5: deduped corpus — drop non-representative cluster members.
+    # Stage 6: deduped corpus — drop non-representative cluster members.
     # comp = min id of the component, so the kept member is deterministic.
     def _deduped():
         drop = clusters.where(F.col("node") != F.col("comp")).select(

@@ -25,6 +25,8 @@ anyway, which the exact pass already collapses cheaply.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -87,6 +89,68 @@ def _with_shingles(documents: DataFrame, text_col: str, k: int) -> DataFrame:
     return documents.withColumn("_shingles", char_shingles(text_col, k))
 
 
+def minhash_signatures_np(documents: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", num_hashes: int = 16,
+                          shingle_k: int = 5) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures — the vectorized scale
+    path used by jobs/dedup_corpus.py.
+
+    ``minhash_signature`` (md5 + aggregate/zip_with) is bit-reproducible
+    in DuckDB, which the oracle-checked queries need — but Spark
+    evaluates higher-order-function lambdas interpreted, per element:
+    at ~600 shingles × 16 permutations per web page that path measured
+    minutes-per-million-docs-per-core.  Here the whole signature is
+    numpy inside an Arrow-batched pandas UDF: shingles are byte k-grams
+    packed into uint64 via a stride view (k ≤ 8 bytes — no string hash
+    at all), deduped with np.unique, and permuted with the SAME
+    universal-hash family (a·u+b mod 2³¹−1, functions/hashing.py
+    minhash_coeffs) broadcast across a (num_hashes, n_shingles) matrix.
+    Shingle values differ from ``char_shingles`` (bytes vs chars, no
+    md5 fold), so signatures are NOT comparable across the two paths —
+    banding, bucketing, and Jaccard verification downstream are
+    agnostic to which one produced the signature.
+    """
+    assert shingle_k <= 8, "byte shingles are packed into one uint64"
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from onto_text_tag_spark.functions.hashing import (
+        MOD_PRIME,
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(num_hashes)
+    a = np.array([c[0] for c in coeffs], dtype=np.uint64)[:, None]
+    b = np.array([c[1] for c in coeffs], dtype=np.uint64)[:, None]
+    pow_ = (256 ** np.arange(shingle_k - 1, -1, -1)).astype(np.uint64)
+    p = np.uint64(MOD_PRIME)
+    empty_sig = [MOD_PRIME] * num_hashes  # aggregate identity (no shingles)
+
+    @pandas_udf("array<long>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            raw = t.lower().encode("utf-8")
+            if len(raw) < shingle_k:  # short doc: one zero-padded shingle
+                raw = raw.ljust(shingle_k, b"\x00")
+            if not raw.strip(b"\x00"):
+                out.append(empty_sig)
+                continue
+            bts = np.frombuffer(raw, dtype=np.uint8)
+            win = np.lib.stride_tricks.sliding_window_view(bts, shingle_k)
+            u = np.unique((win.astype(np.uint64) * pow_).sum(axis=1)) % p
+            # a,u,b < 2^31 -> a*u+b < 2^62: exact in uint64
+            out.append(((a * u + b) % p).min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return documents.select(
+        F.col(id_col), sig_udf(F.col(text_col)).alias("sig")
+    )
+
+
 def lsh_candidate_pairs(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -95,6 +159,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_k: int = 5,
     max_bucket_size: int = 200,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -103,12 +168,20 @@ def lsh_candidate_pairs(
     high cardinality, well distributed except boilerplate mega-buckets,
     which ``max_bucket_size`` drops (they are exact-dup territory).
     Output: (id_a, id_b) with id_a < id_b, distinct.
+
+    ``signatures``: optional precomputed (id_col, sig array<long>) frame
+    — e.g. ``minhash_signatures_np`` (the vectorized scale path) or a
+    prior stage snapshot; by default signatures are derived here with
+    the oracle-reproducible md5 family.
     """
     rows_per_band = num_hashes // bands
-    sigs = _with_shingles(documents, text_col, shingle_k).select(
-        F.col(id_col).alias("id"),
-        minhash_signature("_shingles", num_hashes).alias("sig"),
-    )
+    if signatures is not None:
+        sigs = signatures.select(F.col(id_col).alias("id"), "sig")
+    else:
+        sigs = _with_shingles(documents, text_col, shingle_k).select(
+            F.col(id_col).alias("id"),
+            minhash_signature("_shingles", num_hashes).alias("sig"),
+        )
     band_rows = sigs.select(
         "id",
         F.explode(
@@ -167,8 +240,22 @@ def ngram_jaccard_pairs(
     Joins each side's shingle set in (broadcastable when candidates are
     few); J = |A∩B| / (|A|+|B|-|A∩B|) via explode + join on shingle —
     never materializes a cross product.
+
+    Only documents that appear in ``candidates`` are shingled: the
+    corpus is semi-joined against the candidate id set first, so the
+    expensive shingle explode is duplicate-sized, not corpus-sized —
+    at web scale the candidate set is orders of magnitude smaller than
+    the corpus and the explode would otherwise dominate the stage.
     """
-    sh = _with_shingles(documents, text_col, shingle_k).select(
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("_cid"))
+        .unionByName(candidates.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    docs = documents.join(
+        cand_ids, documents[id_col] == cand_ids["_cid"], "left_semi"
+    )
+    sh = _with_shingles(docs, text_col, shingle_k).select(
         F.col(id_col).alias("id"),
         F.col("_shingles").alias("sh"),
         F.size("_shingles").alias("n_sh"),

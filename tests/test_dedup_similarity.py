@@ -328,3 +328,70 @@ def test_write_stage_branches_equals_partitioned_union(spark, tmp_path):
     )
     assert m2["total_rows"] == 10
     assert read_stage(spark, root, "triples").count() == 10
+
+
+def test_minhash_signatures_np_properties(spark):
+    """Vectorized minhash: deterministic, same universal family as the
+    portable path, near-identical texts share most slots, edge cases."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.functions.hashing import MOD_PRIME
+    from onto_text_tag_spark.operators.dedup import minhash_signatures_np
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    rows = [
+        ("a", base),
+        ("a2", base),                  # exact copy -> identical signature
+        ("b", base + " x"),            # near-dup -> mostly shared slots
+        ("c", "completely different words entirely unrelated " * 10),
+        ("short", "ab"),               # shorter than k
+        ("empty", ""),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.sig
+        for r in minhash_signatures_np(df, num_hashes=16).collect()
+    }
+    assert out["a"] == out["a2"]
+    assert all(0 <= v < MOD_PRIME for v in out["a"])
+    shared_near = sum(x == y for x, y in zip(out["a"], out["b"]))
+    shared_far = sum(x == y for x, y in zip(out["a"], out["c"]))
+    assert shared_near >= 12, shared_near  # J ~ 0.99 -> most slots agree
+    assert shared_far <= 4, shared_far
+    assert len(out["short"]) == 16 and out["short"] != out["empty"]
+    assert out["empty"] == [MOD_PRIME] * 16  # aggregate identity
+    assert out["null"] is None
+
+    # determinism across independent evaluations (fresh plan)
+    again = {
+        r.doc_id: r.sig
+        for r in minhash_signatures_np(df, num_hashes=16).collect()
+    }
+    assert again == out
+
+
+def test_lsh_candidate_pairs_accepts_precomputed_signatures(spark):
+    """The banding stage is signature-source-agnostic: np signatures
+    plug into lsh_candidate_pairs and planted near-dups are recalled."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_np,
+    )
+
+    base = [
+        (f"d{i}", f"document number {i} with distinctive content "
+         f"{'filler words repeated here ' * 8}{i}")
+        for i in range(20)
+    ]
+    dups = [("d3near", base[3][1] + " y"), ("d7near", base[7][1] + " z")]
+    df = spark.createDataFrame(base + dups, ["doc_id", "text"])
+    sigs = minhash_signatures_np(df, num_hashes=16)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(df, signatures=sigs).collect()
+    }
+    assert ("d3", "d3near") in pairs
+    assert ("d7", "d7near") in pairs
