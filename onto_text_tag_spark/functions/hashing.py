@@ -100,6 +100,40 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
+def word_shingles(text_col: str, k: int = 5) -> Column:
+    """Distinct k-WORD shingles of ``lower(text)`` as array<string>.
+
+    Word n-grams are the web-dedup shingle unit.  Char k-grams saturate
+    on any corpus with a shared vocabulary: two unrelated pages share
+    most of their char 5-grams (measured 0.33–0.47 Jaccard between
+    RANDOM synthetic pages), so banded LSH degenerates toward all-pairs
+    candidate generation.  Word k-grams draw from a |vocab|^k universe —
+    random-pair Jaccard stays near 0 and only true near-duplicates
+    collide.  Documents with fewer than k words yield one whole-text
+    shingle so no row is lost.
+    """
+    toks = f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != '')"
+    return F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(1, size({toks}) - {k - 1})),"
+        f"  i -> array_join(slice({toks}, i, {k}), ' ')))"
+    )
+
+
+def word_shingles_sql(text_expr: str, k: int = 5) -> str:
+    """DuckDB rendering of ``word_shingles`` (list_slice is inclusive,
+    range end-exclusive)."""
+    toks = (
+        f"list_filter(regexp_split_to_array(trim(lower({text_expr})), "
+        f"'\\s+'), t -> t != '')"
+    )
+    return (
+        f"list_distinct(list_transform("
+        f"  range(1, greatest(1, len({toks}) - {k - 1}) + 1),"
+        f"  i -> array_to_string(list_slice({toks}, i::int, i::int + {k - 1}), ' ')))"
+    )
+
+
 def minhash_signature(shingles_col: str, num_hashes: int) -> Column:
     """array<long> MinHash signature via one md5 per shingle + a
     universal-hash permutation family (bit-identical in the SQL twin).

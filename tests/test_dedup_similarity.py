@@ -395,3 +395,97 @@ def test_lsh_candidate_pairs_accepts_precomputed_signatures(spark):
     }
     assert ("d3", "d3near") in pairs
     assert ("d7", "d7near") in pairs
+
+
+def test_signature_jaccard_filter_prunes_by_estimate(spark):
+    """Estimate pre-filter keeps pairs whose signature agreement clears
+    min_estimate and drops the rest; null-sig pairs never survive."""
+    from onto_text_tag_spark.operators.dedup import signature_jaccard_filter
+
+    full = list(range(100, 116))                      # 16 slots
+    half = full[:8] + [x + 1000 for x in full[8:]]    # 8/16 agree
+    none = [x + 2000 for x in full]                   # 0/16 agree
+    sigs = spark.createDataFrame(
+        [("x", full), ("y", full), ("z", half), ("w", none), ("n", None)],
+        "doc_id string, sig array<bigint>",
+    )
+    cand = spark.createDataFrame(
+        [("x", "y"), ("x", "z"), ("x", "w"), ("x", "n")],
+        ["id_a", "id_b"],
+    )
+
+    def run(min_est):
+        return {
+            (r.id_a, r.id_b)
+            for r in signature_jaccard_filter(
+                cand, sigs, min_estimate=min_est
+            ).collect()
+        }
+
+    assert run(0.9) == {("x", "y")}
+    assert run(0.45) == {("x", "y"), ("x", "z")}
+    assert run(0.0) == {("x", "y"), ("x", "z"), ("x", "w")}  # null sig out
+
+
+def test_word_shingles_spark_duckdb_parity(spark):
+    """word_shingles (Spark HOFs) == word_shingles_sql (DuckDB) on
+    normal, short (<k words), multi-space, and empty-ish texts."""
+    import duckdb
+
+    from onto_text_tag_spark.functions.hashing import (
+        word_shingles,
+        word_shingles_sql,
+    )
+
+    texts = [
+        "The quick  Brown fox\tjumps over the lazy dog today",
+        "only four words here",
+        "one",
+        "  leading and trailing   spaces padded text here ok  ",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [
+        sorted(r.sh)
+        for r in df.select(word_shingles("text", 5).alias("sh")).collect()
+    ]
+    con = duckdb.connect()
+    for t, g in zip(texts, got):
+        (exp,) = con.execute(
+            f"SELECT {word_shingles_sql('t', 5)} FROM (VALUES (?)) v(t)", [t]
+        ).fetchone()
+        assert sorted(exp) == g, t
+
+
+def test_minhash_signatures_np_word_mode(spark):
+    """Word-mode vectorized minhash: near-dups agree on most slots,
+    random template pairs do NOT (the char-mode failure case)."""
+    import random
+
+    from onto_text_tag_spark.operators.dedup import minhash_signatures_np
+
+    vocab = ("market report growth revenue product launch customer "
+             "service platform update release notes community forum").split()
+    rng = random.Random(7)
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(400))
+
+    a = doc()
+    rows = [("a", a), ("a_near", a + " extra"), ("b", doc()), ("c", doc()),
+            ("short", "two words"), ("empty", "   "), ("null", None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.sig
+        for r in minhash_signatures_np(
+            df, num_hashes=64, shingle_mode="word"
+        ).collect()
+    }
+    agree = lambda x, y: sum(u == v for u, v in zip(out[x], out[y]))
+    assert agree("a", "a_near") >= 58   # J ~ 0.99
+    # shared vocab but distinct word 5-grams -> near-zero agreement
+    assert agree("a", "b") <= 8
+    assert agree("b", "c") <= 8
+    assert len(out["short"]) == 64
+    from onto_text_tag_spark.functions.hashing import MOD_PRIME
+    assert out["empty"] == [MOD_PRIME] * 64
+    assert out["null"] is None
