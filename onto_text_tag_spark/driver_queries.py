@@ -586,14 +586,18 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lsh_ctes() -> str:
-    """Shared CTE chain: doubled corpus → shingles → signatures → band rows."""
+def _sql_lsh_ctes(sh: str | None = None) -> str:
+    """Shared CTE chain: doubled corpus → shingles → signatures → band rows.
+
+    ``sh`` is the DuckDB shingle-list expression over column ``text``;
+    defaults to char {_SHINGLE_K}-grams (the fixture-friendly mode)."""
     rows_per_band = _NUM_HASHES // _BANDS
-    sh = (
-        f"list_distinct(list_transform("
-        f"range(1, greatest(1, length(lower(text)) - {_SHINGLE_K - 1}) + 1),"
-        f" i -> substr(lower(text), i::int, {_SHINGLE_K})))"
-    )
+    if sh is None:
+        sh = (
+            f"list_distinct(list_transform("
+            f"range(1, greatest(1, length(lower(text)) - {_SHINGLE_K - 1}) + 1),"
+            f" i -> substr(lower(text), i::int, {_SHINGLE_K})))"
+        )
     from onto_text_tag_spark.functions.hashing import minhash_signature_sql
 
     sig_literal = minhash_signature_sql("sh", _NUM_HASHES)
@@ -618,6 +622,53 @@ def sql_dedup_jaccard() -> str:
     )
     return f"""
 WITH {_sql_lsh_ctes()},
+ cands AS (
+   SELECT DISTINCT a.id AS id_a, b.id AS id_b
+   FROM band_rows a JOIN band_rows b
+     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+ ),
+ doc_sh AS (SELECT doc_id, {sh} AS sh FROM doubled),
+ ex AS (SELECT doc_id, unnest(sh) AS s FROM doc_sh),
+ sizes AS (SELECT doc_id, len(sh) AS n_sh FROM doc_sh),
+ inter AS (
+   SELECT c.id_a, c.id_b, count(*) AS n_inter
+   FROM cands c
+   JOIN ex ea ON ea.doc_id = c.id_a
+   JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+   GROUP BY c.id_a, c.id_b
+ )
+SELECT i.id_a, i.id_b,
+       round(i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round(i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter), 4) >= 0.8
+"""
+
+
+def q_dedup_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-shingle near-dup pipeline — the web-scale dedup mode
+    (jobs/dedup_corpus.py default): word 5-gram MinHash-LSH candidates,
+    then exact word-shingle Jaccard.  Char grams saturate on
+    shared-vocabulary corpora (see functions/hashing.word_shingles);
+    this query pins the word path against the same DuckDB twin."""
+    d = _doubled_docs(spark, sf_dir)
+    cands = lsh_candidate_pairs(
+        d, text_col="text", num_hashes=_NUM_HASHES, bands=_BANDS,
+        shingle_k=_SHINGLE_K, max_bucket_size=None, shingle_mode="word",
+    )
+    return ngram_jaccard_pairs(
+        d, cands, text_col="text", shingle_k=_SHINGLE_K, threshold=0.8,
+        shingle_mode="word",
+    )
+
+
+def sql_dedup_word_jaccard() -> str:
+    from onto_text_tag_spark.functions.hashing import word_shingles_sql
+
+    sh = word_shingles_sql("text", _SHINGLE_K)
+    return f"""
+WITH {_sql_lsh_ctes(sh)},
  cands AS (
    SELECT DISTINCT a.id AS id_a, b.id AS id_b
    FROM band_rows a JOIN band_rows b
@@ -1238,6 +1289,7 @@ QUERIES = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_word_jaccard": q_dedup_word_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "sim_topk": q_sim_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
@@ -1272,6 +1324,7 @@ ORACLES = {
     "dedup_minhash_sig": sql_dedup_minhash_sig(),
     "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
     "dedup_jaccard": sql_dedup_jaccard(),
+    "dedup_word_jaccard": sql_dedup_word_jaccard(),
     "dedup_simhash": sql_dedup_simhash(),
     "sim_topk": sql_sim_topk(),
     "sim_lsh_topk": sql_sim_lsh_topk(),
