@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "corpus_rollup",
     "dedup_exact",
     "dedup_lsh_pairs",
+    "dedup_word_jaccard",
     "dedup_simhash",
     "sim_topk",
     "sim_ivf_topk",
