@@ -243,7 +243,107 @@ def run_scaling(low: int = 2, high: int = 8) -> dict:
     }
 
 
+DEDUP_SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "500000"))
+DEDUP_DUP_FRAC = os.environ.get("SPARK_GRAFT_DEDUP_FRAC", "0.1")
+
+
+def run_scaling_dedup(low: int = 2, high: int = 8) -> dict:
+    """The corpus near-dup job (exact → MinHash signatures → banded LSH
+    → estimate-prefiltered Jaccard verify → components → anti-join),
+    submitted via ``spark-submit --py-files`` at two parallelism levels
+    over the SAME dup-planted corpus (gen_corpus --dup-frac)."""
+    import shutil
+
+    corpus = os.path.join(
+        SCALING_DIR,
+        f"corpus_{DEDUP_SCALING_DOCS}_dup{DEDUP_DUP_FRAC}.parquet",
+    )
+    if not os.path.exists(corpus):
+        _spark_submit(
+            f"local[{high}]", "jobs/gen_corpus.py",
+            "--n-docs", str(DEDUP_SCALING_DOCS), "--output", corpus,
+            "--dup-frac", DEDUP_DUP_FRAC,
+            "--partitions", str(high * 4),
+        )
+
+    best: dict[int, dict] = {}
+    for _rep in range(SCALING_REPEATS):
+        for cores in (low, high):  # interleaved: see run_scaling
+            out_dir = os.path.join(SCALING_DIR, f"dedup_out_c{cores}")
+            shutil.rmtree(out_dir, ignore_errors=True)
+            stdout = _spark_submit(
+                f"local[{cores}]", "jobs/dedup_corpus.py",
+                "--input", corpus, "--output", out_dir,
+            )
+            job = json.loads(
+                [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
+            )
+            if cores not in best or job["sec"] < best[cores]["sec"]:
+                best[cores] = job
+    results = {
+        str(cores): {
+            "sec": b["sec"],
+            "docs_in": b["n_docs_in"],
+            "docs_out": b["n_docs_out"],
+            "candidates": b["n_candidates"],
+            "verified": b["n_verified"],
+            "docs_per_sec": b["docs_per_sec"],
+            "stage_sec": b.get("stage_sec"),
+            "repeats": SCALING_REPEATS,
+        }
+        for cores, b in best.items()
+    }
+    speedup = results[str(low)]["sec"] / results[str(high)]["sec"]
+    return {
+        "job": "jobs/dedup_corpus.py via spark-submit --py-files",
+        "corpus_docs": DEDUP_SCALING_DOCS,
+        "dup_frac": float(DEDUP_DUP_FRAC),
+        "low_cores": low,
+        "high_cores": high,
+        "results": results,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(speedup / (high / low), 3),
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 def main() -> None:
+    if "--scaling-dedup" in sys.argv:
+        low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
+        high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
+        scaling = run_scaling_dedup(low=low, high=high)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Scaling run — {scaling['job']}, "
+                f"{scaling['corpus_docs']} docs, dup_frac="
+                f"{scaling['dup_frac']}\n\n"
+                f"| cores | sec | candidates | verified | docs out | docs/sec | stage_sec |\n"
+                f"|---|---|---|---|---|---|---|\n"
+            )
+            for cores, r in scaling["results"].items():
+                st = ", ".join(
+                    f"{k} {v}" for k, v in (r.get("stage_sec") or {}).items()
+                )
+                fh.write(
+                    f"| local[{cores}] | {r['sec']} | {r['candidates']} | "
+                    f"{r['verified']} | {r['docs_out']} | {r['docs_per_sec']} | {st} |\n"
+                )
+            fh.write(
+                f"\nspeedup {scaling['low_cores']}->{scaling['high_cores']} cores: "
+                f"{scaling['speedup']}x; scaling efficiency: "
+                f"{scaling['scaling_efficiency']}\n"
+            )
+            cap = scaling["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, units/sec "
+                "by process count):\n\n"
+                f"{json.dumps(cap)}\n"
+            )
+        print(json.dumps(scaling))
+        return
     if "--scaling" in sys.argv:
         low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
         high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))

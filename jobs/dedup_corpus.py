@@ -65,6 +65,11 @@ def main() -> None:
                     "disables the estimate pre-filter")
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--max-bucket-size", type=int, default=200)
+    ap.add_argument("--minhash-method", choices=("oph", "dense"),
+                    default="oph",
+                    help="np signature kernel: one-permutation hashing "
+                    "(O(n) per doc, the scale default) or the dense "
+                    "universal-hash permutation family")
     ap.add_argument("--portable-minhash", action="store_true",
                     help="use the md5/DuckDB-reproducible MinHash instead "
                     "of the vectorized numpy byte-shingle path")
@@ -142,14 +147,18 @@ def main() -> None:
         minhash_signatures if args.portable_minhash else minhash_signatures_np
     )
     fp_sig = fp + f"|h={args.num_hashes}|k={args.shingle_k}" + (
-        "|portable" if args.portable_minhash else "|np"
+        "|portable" if args.portable_minhash else
+        f"|np|mm={args.minhash_method}"
     ) + f"|sm={args.shingle_mode}"
+    sig_kwargs = {} if args.portable_minhash else {
+        "method": args.minhash_method
+    }
     signatures = timed("signatures", lambda: run_stage(
         spark, args.output, "signatures",
         lambda: sig_fn(
             docs, id_col=id_c, text_col=text_c,
             num_hashes=args.num_hashes, shingle_k=args.shingle_k,
-            shingle_mode=args.shingle_mode,
+            shingle_mode=args.shingle_mode, **sig_kwargs,
         ),
         input_fingerprint=fp_sig,
     ))
@@ -173,7 +182,9 @@ def main() -> None:
     # Stage 4: Jaccard verification of candidates (precision set) —
     # signature-estimate pre-filter first (cheap, signature-sized),
     # exact shingle Jaccard over the survivors only.
-    fp_verify = fp_cand + f"|t={args.threshold}|pm={args.prefilter_margin}"
+    verify_impl = "sql" if args.portable_minhash else "np"
+    fp_verify = (fp_cand + f"|t={args.threshold}|pm={args.prefilter_margin}"
+                 + f"|vi={verify_impl}")
 
     def _verified():
         cand = candidates
@@ -185,7 +196,7 @@ def main() -> None:
         return ngram_jaccard_pairs(
             docs, cand, id_col=id_c, text_col=text_c,
             shingle_k=args.shingle_k, threshold=args.threshold,
-            shingle_mode=args.shingle_mode,
+            shingle_mode=args.shingle_mode, shingle_impl=verify_impl,
         )
 
     verified = timed("verified", lambda: run_stage(

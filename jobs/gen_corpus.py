@@ -26,6 +26,10 @@ def main() -> None:
     ap.add_argument("--filler", type=float, default=0.95,
                     help="probability a sentence is non-matching filler; "
                     "real web pages mention few ontology terms")
+    ap.add_argument("--dup-frac", type=float, default=0.0,
+                    help="fraction of rows planted as duplicates of an "
+                    "earlier row (~30%% byte-exact mirrors, rest "
+                    "perturbed near-dups)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -37,7 +41,7 @@ def main() -> None:
     df = distributed_documents_df(
         spark, args.n_docs, seed=args.seed, partitions=args.partitions,
         min_sents=args.min_sents, max_sents=args.max_sents,
-        filler_prob=args.filler,
+        filler_prob=args.filler, dup_frac=args.dup_frac,
     )
     df.write.mode("overwrite").parquet(args.output)
     print(f"wrote {args.n_docs} docs to {args.output}")

@@ -211,19 +211,11 @@ def documents_df(spark, n_docs: int = 200, seed: int = 42):
     return local_df(spark, synth_documents(n_docs, seed), DOCUMENTS)
 
 
-def synth_row(i: int, seed: int = 42, min_sents: int = 2,
-              max_sents: int = 6, filler_prob: float = 0.7) -> dict:
-    """One document row, seeded per row id — embarrassingly parallel, so
-    executors can generate disjoint id ranges with no driver round-trip
-    and no cross-partition RNG state (unlike ``synth_documents``'s
-    sequential stream).
-
-    ``min_sents``/``max_sents`` size the body: benchmark corpora use
-    ~40-120 sentences (≈3-8 KB of text) to match real Common-Crawl pages
-    — tiny documents make per-row overhead dominate and understate the
-    tagging stage that dominates at web scale."""
-    rng = random.Random(f"{seed}:{i}")
-    epoch = _dt.datetime(2025, 1, 1, 0, 0, 0)
+def _paragraph_block(rng: random.Random, min_sents: int, max_sents: int,
+                     filler_prob: float) -> list[str]:
+    """The seeded paragraph stream of one document.  Extracted so a
+    planted duplicate can regenerate its BASE document's body from the
+    base's row id alone — no shuffle, no cross-row state."""
     k = rng.randint(min_sents, max_sents)
     paragraphs = []
     for _ in range(k):
@@ -241,24 +233,91 @@ def synth_row(i: int, seed: int = 42, min_sents: int = 2,
         if rng.random() < 0.15:
             s += " \\x1f"
         paragraphs.append(f"<p>{s}</p>")
+    return paragraphs
+
+
+def _is_planted_dup(i: int, seed: int, dup_frac: float) -> bool:
+    return i > 0 and random.Random(f"{seed}:dup?:{i}").random() < dup_frac
+
+
+_EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _row(i: int, html: str, lang: str) -> dict:
+    return {
+        "url": f"https://example.org/p/{i}",
+        "warc_ts": _EPOCH + _dt.timedelta(seconds=i % 86_400_000),
+        "html": html.encode("utf-8"),
+        "text": strip_tags(html),
+        "lang": lang,
+    }
+
+
+def synth_row(i: int, seed: int = 42, min_sents: int = 2,
+              max_sents: int = 6, filler_prob: float = 0.7,
+              dup_frac: float = 0.0) -> dict:
+    """One document row, seeded per row id — embarrassingly parallel, so
+    executors can generate disjoint id ranges with no driver round-trip
+    and no cross-partition RNG state (unlike ``synth_documents``'s
+    sequential stream).
+
+    ``min_sents``/``max_sents`` size the body: benchmark corpora use
+    ~40-120 sentences (≈3-8 KB of text) to match real Common-Crawl pages
+    — tiny documents make per-row overhead dominate and understate the
+    tagging stage that dominates at web scale.
+
+    ``dup_frac`` plants duplicates: that fraction of rows copy an
+    earlier non-duplicate row's body — ~30% byte-exact (same html, new
+    url/warc_ts: mirror pages), the rest perturbed (a paragraph dropped
+    and/or one filler paragraph swapped in: template near-dups).
+    Dup-ness and base choice are pure functions of (seed, i), so any
+    executor count yields the same corpus; ``dup_frac=0`` consumes the
+    RNG stream identically to before the option existed (pinned corpora
+    are unchanged)."""
+    if dup_frac > 0 and _is_planted_dup(i, seed, dup_frac):
+        rng = random.Random(f"{seed}:dup:{i}")
+        while True:  # resample until the base is itself a non-dup
+            j = rng.randrange(i)
+            if not _is_planted_dup(j, seed, dup_frac):
+                break
+        paras = _paragraph_block(
+            random.Random(f"{seed}:{j}"), min_sents, max_sents, filler_prob
+        )
+        if rng.random() < 0.3:  # byte-exact mirror (same title/pid too)
+            html = (
+                _BOILERPLATE_HEAD.format(title=f"Document {j}", pid=j)
+                + "".join(paras) + _BOILERPLATE_TAIL
+            )
+        else:  # near-dup: drop a paragraph and/or swap in one filler
+            if len(paras) > 1 and rng.random() < 0.7:
+                paras.pop(rng.randrange(len(paras)))
+            if rng.random() < 0.7:
+                paras[rng.randrange(len(paras))] = (
+                    f"<p>{_filler_sentence(rng)}</p>"
+                )
+            html = (
+                _BOILERPLATE_HEAD.format(title=f"Document {i}", pid=i)
+                + "".join(paras) + _BOILERPLATE_TAIL
+            )
+        return _row(i, html, "en" if rng.random() > 0.05
+                    else rng.choice(["de", "fr", "es"]))
+
+    rng = random.Random(f"{seed}:{i}")
+    paragraphs = _paragraph_block(rng, min_sents, max_sents, filler_prob)
     html = (
         _BOILERPLATE_HEAD.format(title=f"Document {i}", pid=i)
         + "".join(paragraphs)
         + _BOILERPLATE_TAIL
     )
-    return {
-        "url": f"https://example.org/p/{i}",
-        "warc_ts": epoch + _dt.timedelta(seconds=i % 86_400_000),
-        "html": html.encode("utf-8"),
-        "text": strip_tags(html),
-        "lang": "en" if rng.random() > 0.05 else rng.choice(["de", "fr", "es"]),
-    }
+    return _row(i, html, "en" if rng.random() > 0.05
+                else rng.choice(["de", "fr", "es"]))
 
 
 def distributed_documents_df(spark, n_docs: int, seed: int = 42,
                              partitions: int | None = None,
                              min_sents: int = 2, max_sents: int = 6,
-                             filler_prob: float = 0.7):
+                             filler_prob: float = 0.7,
+                             dup_frac: float = 0.0):
     """Corpus generator that scales: ``spark.range`` id space →
     ``mapInPandas`` row synthesis per partition (no driver materialize)."""
     import pandas as pd
@@ -270,7 +329,8 @@ def distributed_documents_df(spark, n_docs: int, seed: int = 42,
 
     def gen(batches):
         for b in batches:
-            rows = [synth_row(int(i), seed, min_sents, max_sents, filler_prob)
+            rows = [synth_row(int(i), seed, min_sents, max_sents,
+                              filler_prob, dup_frac)
                     for i in b["id"]]
             yield pd.DataFrame(rows, columns=cols)
 

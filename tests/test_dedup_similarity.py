@@ -489,3 +489,41 @@ def test_minhash_signatures_np_word_mode(spark):
     from onto_text_tag_spark.functions.hashing import MOD_PRIME
     assert out["empty"] == [MOD_PRIME] * 64
     assert out["null"] is None
+
+
+def test_ngram_jaccard_shingle_impls_agree(spark):
+    """verify(sql string shingles) == verify(np hashed shingles): the
+    64-bit fold is injective on real shingle sets, so pair Jaccard is
+    identical — the job's scale path computes the same precision set
+    the oracle-checked path does."""
+    import random
+
+    from onto_text_tag_spark.operators.dedup import ngram_jaccard_pairs
+
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    rng = random.Random(13)
+    docs = []
+    for i in range(12):
+        words = [rng.choice(vocab) for _ in range(120)]
+        docs.append((f"d{i}", " ".join(words)))
+        if i % 3 == 0:  # plant a near dup: drop 5 words
+            near = words[:]
+            for _ in range(5):
+                near.pop(rng.randrange(len(near)))
+            docs.append((f"d{i}near", " ".join(near)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ids = [r[0] for r in docs]
+    cands = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+        ["id_a", "id_b"],
+    )
+    kw = dict(text_col="text", shingle_k=5, threshold=0.5,
+              shingle_mode="word")
+    got_sql = {(r.id_a, r.id_b): r.jaccard
+               for r in ngram_jaccard_pairs(df, cands, **kw).collect()}
+    got_np = {(r.id_a, r.id_b): r.jaccard
+              for r in ngram_jaccard_pairs(
+                  df, cands, shingle_impl="np", **kw).collect()}
+    assert got_sql, "no pairs survived the threshold"
+    assert got_sql == got_np
