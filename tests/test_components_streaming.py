@@ -4,7 +4,12 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def test_connected_components_basic(spark):
+# threshold 0 forces the distributed star-contraction loop; the default
+# takes the driver union-find fast path on graphs this small — both must
+# produce identical min-id labelings
+@pytest.mark.parametrize("threshold", [0, 1_000_000],
+                         ids=["distributed", "unionfind"])
+def test_connected_components_basic(spark, threshold):
     from onto_text_tag_spark.operators.components import connected_components
 
     edges = spark.createDataFrame(
@@ -16,23 +21,46 @@ def test_connected_components_basic(spark):
         ],
         ["src", "dst"],
     )
-    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    comp = {r["node"]: r["comp"]
+            for r in connected_components(
+                edges, driver_threshold=threshold).collect()}
     assert comp["a"] == comp["b"] == comp["c"] == "a"
     assert comp["d"] == comp["e"] == "d"
     assert comp["x"] == comp["y"] == comp["z"] == "x"
     assert "f" not in comp  # only self-loop → no edges → not in node set
 
 
-def test_connected_components_long_chain(spark):
+@pytest.mark.parametrize("threshold", [0, 1_000_000],
+                         ids=["distributed", "unionfind"])
+def test_connected_components_long_chain(spark, threshold):
     from onto_text_tag_spark.operators.components import connected_components
 
     n = 64
     edges = spark.createDataFrame(
         [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)], ["src", "dst"]
     )
-    comp = connected_components(edges)
+    comp = connected_components(edges, driver_threshold=threshold)
     assert comp.select("comp").distinct().count() == 1
     assert comp.count() == n + 1
+
+
+def test_connected_components_paths_agree(spark):
+    """Random graph: distributed and union-find labelings identical."""
+    import random
+
+    from onto_text_tag_spark.operators.components import connected_components
+
+    rng = random.Random(3)
+    edges = spark.createDataFrame(
+        [(f"v{rng.randrange(200)}", f"v{rng.randrange(200)}")
+         for _ in range(150)],
+        ["src", "dst"],
+    )
+    dist = {(r["node"], r["comp"])
+            for r in connected_components(edges, driver_threshold=0).collect()}
+    uf = {(r["node"], r["comp"])
+          for r in connected_components(edges).collect()}
+    assert dist == uf
 
 
 def test_canonicalize_surfaces(spark):
