@@ -15,7 +15,9 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 for speed; set SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01
+# to replicate the driver's gate at its actual scale
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
