@@ -6,10 +6,13 @@ snapshots + per-partition lineage manifests via onto_text_tag_spark.sinks).
 
 Pipeline (every stage corpus-scale-safe):
 
-1. ``exact_edges``    — normalized-content digest groups → duplicate
-                        edges to the group's min id (one shuffle).
-2. ``signatures``     — MinHash signatures (vectorized numpy byte-shingle
-                        path by default), snapshotted for re-banding.
+1. ``signatures``     — per-doc fingerprints: OPH MinHash signature +
+                        normalized-content digest in ONE corpus scan
+                        (vectorized numpy word-shingle path by default),
+                        snapshotted for re-banding.
+2. ``exact_edges``    — digest groups → duplicate edges to the group's
+                        min id, derived from the fingerprint snapshot
+                        (narrow rows, no second corpus read).
 3. ``candidates``     — banded MinHash-LSH candidate pairs (joinless
                         bucket expansion; mega-buckets capped).
 4. ``verified``       — candidates pruned by the MinHash Jaccard
@@ -117,14 +120,43 @@ def main() -> None:
         stage_sec[name] = round(time.time() - s, 2)
         return out
 
-    # Stage 1: exact-duplicate edges (member -> min id of digest group).
-    # Emitted as edges, not groups, so stage 4's component union handles
-    # exact and near dups uniformly.
+    # Stage 1: per-doc fingerprints — MinHash signature AND exact
+    # content digest in ONE corpus scan (stage name kept "signatures"
+    # for resume continuity; schema is (id, sig, digest)).  Snapshotted
+    # so banding (and any re-banding with different band counts) never
+    # re-shingles the corpus, and so exact-dup detection never re-reads
+    # it: at corpus scale a second full scan for the digest costs more
+    # than everything downstream of it combined.  Default is the
+    # vectorized numpy path; the md5/DuckDB-reproducible family is
+    # behind --portable-minhash.
+    sig_fn = (
+        minhash_signatures if args.portable_minhash else minhash_signatures_np
+    )
+    fp_sig = fp + f"|h={args.num_hashes}|k={args.shingle_k}" + (
+        "|portable" if args.portable_minhash else
+        f"|np|mm={args.minhash_method}"
+    ) + f"|sm={args.shingle_mode}|digest"
+    sig_kwargs = {} if args.portable_minhash else {
+        "method": args.minhash_method
+    }
+    signatures = timed("signatures", lambda: run_stage(
+        spark, args.output, "signatures",
+        lambda: sig_fn(
+            docs, id_col=id_c, text_col=text_c,
+            num_hashes=args.num_hashes, shingle_k=args.shingle_k,
+            shingle_mode=args.shingle_mode,
+            extras={"digest": content_digest(text_c)}, **sig_kwargs,
+        ),
+        input_fingerprint=fp_sig,
+    ))
+
+    # Stage 2: exact-duplicate edges (member -> min id of digest group),
+    # derived from the fingerprint snapshot — narrow rows, no corpus
+    # read.  Emitted as edges, not groups, so stage 5's component union
+    # handles exact and near dups uniformly.
     def _exact_edges():
         groups = (
-            docs.select(
-                F.col(id_c), content_digest(text_c).alias("digest")
-            )
+            signatures.select(F.col(id_c), "digest")
             .groupBy("digest")
             .agg(F.array_sort(F.collect_list(id_c)).alias("ids"))
             .where(F.size("ids") > 1)
@@ -136,31 +168,7 @@ def main() -> None:
 
     exact_edges = timed("exact_edges", lambda: run_stage(
         spark, args.output, "exact_edges", _exact_edges,
-        input_fingerprint=fp,
-    ))
-
-    # Stage 2: MinHash signatures — snapshotted so banding (and any
-    # re-banding with different band counts) never re-shingles the
-    # corpus.  Default is the vectorized numpy byte-shingle path; the
-    # md5/DuckDB-reproducible family is behind --portable-minhash.
-    sig_fn = (
-        minhash_signatures if args.portable_minhash else minhash_signatures_np
-    )
-    fp_sig = fp + f"|h={args.num_hashes}|k={args.shingle_k}" + (
-        "|portable" if args.portable_minhash else
-        f"|np|mm={args.minhash_method}"
-    ) + f"|sm={args.shingle_mode}"
-    sig_kwargs = {} if args.portable_minhash else {
-        "method": args.minhash_method
-    }
-    signatures = timed("signatures", lambda: run_stage(
-        spark, args.output, "signatures",
-        lambda: sig_fn(
-            docs, id_col=id_c, text_col=text_c,
-            num_hashes=args.num_hashes, shingle_k=args.shingle_k,
-            shingle_mode=args.shingle_mode, **sig_kwargs,
-        ),
-        input_fingerprint=fp_sig,
+        input_fingerprint=fp_sig + "|exact",
     ))
 
     # Stage 3: LSH candidates (near-dup recall set).  Fingerprints chain:

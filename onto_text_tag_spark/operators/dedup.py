@@ -79,11 +79,17 @@ def dedup_exact(documents: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(documents: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 16,
                        shingle_k: int = 5,
-                       shingle_mode: str = "char") -> DataFrame:
-    """(id, sig: array<long>) MinHash signatures."""
+                       shingle_mode: str = "char",
+                       extras: dict | None = None) -> DataFrame:
+    """(id, sig: array<long>, *extras) MinHash signatures.
+
+    ``extras``: {name: Column} computed in the SAME scan — the dedup job
+    rides the content digest along so exact-dup detection never re-reads
+    the corpus (one full-corpus scan instead of two)."""
     return _with_shingles(documents, text_col, shingle_k, shingle_mode).select(
         F.col(id_col),
         minhash_signature("_shingles", num_hashes).alias("sig"),
+        *[c.alias(n) for n, c in (extras or {}).items()],
     )
 
 
@@ -101,7 +107,8 @@ def minhash_signatures_np(documents: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", num_hashes: int = 16,
                           shingle_k: int = 5,
                           shingle_mode: str = "word",
-                          method: str = "oph") -> DataFrame:
+                          method: str = "oph",
+                          extras: dict | None = None) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures — the vectorized scale
     path used by jobs/dedup_corpus.py.
 
@@ -172,7 +179,8 @@ def minhash_signatures_np(documents: DataFrame, id_col: str = "doc_id",
         return pd.Series(out)
 
     return documents.select(
-        F.col(id_col), sig_udf(F.col(text_col)).alias("sig")
+        F.col(id_col), sig_udf(F.col(text_col)).alias("sig"),
+        *[c.alias(n) for n, c in (extras or {}).items()],
     )
 
 
