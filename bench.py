@@ -309,7 +309,123 @@ def run_scaling_dedup(low: int = 2, high: int = 8) -> dict:
     }
 
 
+def run_scaling_pipeline(low: int = 1, high: int = 4) -> dict:
+    """The CHAINED production pipeline — dedup the raw dup-planted
+    corpus (jobs/dedup_corpus.py), then build the KG over the deduped
+    output (jobs/kg_build.py reading ``<dedup_out>/deduped/data``) —
+    submitted via ``spark-submit --py-files`` at two parallelism levels.
+    This is the realistic end-to-end composition (raw web pages →
+    near-dup removal → triples) and its scaling number covers both
+    jobs' stages plus the hand-off through the snapshot sink."""
+    import shutil
+
+    corpus = os.path.join(
+        SCALING_DIR,
+        f"corpus_{DEDUP_SCALING_DOCS}_dup{DEDUP_DUP_FRAC}.parquet",
+    )
+    if not os.path.exists(corpus):
+        _spark_submit(
+            f"local[{high}]", "jobs/gen_corpus.py",
+            "--n-docs", str(DEDUP_SCALING_DOCS), "--output", corpus,
+            "--dup-frac", DEDUP_DUP_FRAC,
+            "--partitions", str(high * 4),
+        )
+
+    best: dict[int, dict] = {}
+    for _rep in range(SCALING_REPEATS):
+        for cores in (low, high):  # interleaved: see run_scaling
+            dedup_out = os.path.join(SCALING_DIR, f"pipe_dedup_c{cores}")
+            kg_out = os.path.join(SCALING_DIR, f"pipe_kg_c{cores}")
+            shutil.rmtree(dedup_out, ignore_errors=True)
+            shutil.rmtree(kg_out, ignore_errors=True)
+            d_out = _spark_submit(
+                f"local[{cores}]", "jobs/dedup_corpus.py",
+                "--input", corpus, "--output", dedup_out,
+            )
+            dedup = json.loads(
+                [ln for ln in d_out.splitlines() if ln.startswith("{")][-1]
+            )
+            k_out = _spark_submit(
+                f"local[{cores}]", "jobs/kg_build.py",
+                "--input", os.path.join(dedup_out, "deduped", "data"),
+                "--output", kg_out,
+            )
+            kg = json.loads(
+                [ln for ln in k_out.splitlines() if ln.startswith("{")][-1]
+            )
+            total = round(dedup["sec"] + kg["sec"], 2)
+            job = {
+                "sec": total,
+                "dedup_sec": dedup["sec"],
+                "kg_sec": kg["sec"],
+                "docs_in": dedup["n_docs_in"],
+                "docs_out": dedup["n_docs_out"],
+                "mentions": kg["n_mentions"],
+                "triples": kg["n_triples"],
+                "triples_per_sec": round(kg["n_triples"] / total, 1),
+                "dedup_stage_sec": dedup.get("stage_sec"),
+                "kg_stage_sec": kg.get("stage_sec"),
+            }
+            if cores not in best or job["sec"] < best[cores]["sec"]:
+                best[cores] = job
+    speedup = best[low]["sec"] / best[high]["sec"]
+    return {
+        "job": "jobs/dedup_corpus.py → jobs/kg_build.py (chained) via "
+               "spark-submit --py-files",
+        "corpus_docs": DEDUP_SCALING_DOCS,
+        "dup_frac": float(DEDUP_DUP_FRAC),
+        "low_cores": low,
+        "high_cores": high,
+        "results": {str(k): v for k, v in best.items()},
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(speedup / (high / low), 3),
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 def main() -> None:
+    if "--scaling-pipeline" in sys.argv:
+        low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "1"))
+        high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
+        scaling = run_scaling_pipeline(low=low, high=high)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Scaling run — {scaling['job']}, "
+                f"{scaling['corpus_docs']} docs, dup_frac="
+                f"{scaling['dup_frac']}\n\n"
+                f"| cores | sec | dedup sec | kg sec | docs in→out | "
+                f"mentions | triples | triples/sec |\n"
+                f"|---|---|---|---|---|---|---|---|\n"
+            )
+            for cores, r in scaling["results"].items():
+                fh.write(
+                    f"| local[{cores}] | {r['sec']} | {r['dedup_sec']} | "
+                    f"{r['kg_sec']} | {r['docs_in']}→{r['docs_out']} | "
+                    f"{r['mentions']} | {r['triples']} | "
+                    f"{r['triples_per_sec']} |\n"
+                )
+            fh.write(
+                f"\nspeedup {scaling['low_cores']}->{scaling['high_cores']} "
+                f"cores: {scaling['speedup']}x; scaling efficiency: "
+                f"{scaling['scaling_efficiency']}\n"
+            )
+            for cores, r in scaling["results"].items():
+                fh.write(
+                    f"\nlocal[{cores}] stage_sec — dedup: "
+                    f"{json.dumps(r['dedup_stage_sec'])}; kg: "
+                    f"{json.dumps(r['kg_stage_sec'])}\n"
+                )
+            cap = scaling["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, units/sec "
+                "by process count):\n\n"
+                f"{json.dumps(cap)}\n"
+            )
+        print(json.dumps(scaling))
+        return
     if "--scaling-dedup" in sys.argv:
         low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
         high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
