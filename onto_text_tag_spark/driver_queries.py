@@ -320,6 +320,44 @@ GROUP BY a.curie, b.curie
 """
 
 
+def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the co-occurrence graph — the skew diagnostic
+    for the materialized KG (hub CURIEs dominate downstream joins)."""
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+    from onto_text_tag_spark.operators.graph_metrics import degree_stats
+
+    m = _mentions(spark, sf_dir)
+    edges = cooccurrence_edges(m, doc_col="url", term_col="curie")
+    return degree_stats(edges)
+
+
+def sql_kg_degree() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ e AS (SELECT a.curie AS src, b.curie AS dst
+       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie
+       GROUP BY a.curie, b.curie),
+ u AS (SELECT src AS node, dst AS nbr FROM e
+       UNION ALL SELECT dst AS node, src AS nbr FROM e)
+SELECT node, count(DISTINCT nbr)::BIGINT AS degree FROM u GROUP BY node
+"""
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-occurrence graph (iterative power method —
+    non-SQL-expressible, rows-only driver check; pinned numerically by
+    tests/test_graph_metrics.py against a local numpy twin)."""
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+    from onto_text_tag_spark.operators.graph_metrics import pagerank
+
+    m = _mentions(spark, sf_dir)
+    edges = cooccurrence_edges(m, doc_col="url", term_col="curie")
+    return pagerank(edges, iterations=10).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
 def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6+P7+P8 scalar surface (SURVEY.md §2.2): IRI → CURIE
     normalization, namespace extraction, vocabulary-link projection —
@@ -1276,6 +1314,8 @@ QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_mention_triples": q_kg_mention_triples,
     "kg_cooccur": q_kg_cooccur,
+    "kg_degree": q_kg_degree,
+    "kg_pagerank": q_kg_pagerank,
     "kg_links": q_kg_links,
     "kg_nodes": q_kg_nodes,
     "kg_term_index": q_kg_term_index,
@@ -1311,6 +1351,7 @@ ORACLES = {
     "kg_mentions": sql_kg_mentions(),
     "kg_mention_triples": sql_kg_mention_triples(),
     "kg_cooccur": sql_kg_cooccur(),
+    "kg_degree": sql_kg_degree(),
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),
     "kg_term_index": sql_kg_term_index(),

@@ -1,0 +1,131 @@
+"""Graph analytics over the materialized KG edge set.
+
+The reference stops at emitting the graph (hv_generate.py writes the
+co-occurrence pairs and is-a edges and serves them); a web-scale KG
+pipeline additionally needs cheap structural metrics over the
+materialized edges — degree profiles for skew diagnosis (which CURIEs
+are hubs and will skew every downstream join) and a centrality score
+for entity ranking.  Both operate on the (src, dst[, weight]) edge
+relation the triple sink produces, never on the corpus.
+
+Scale notes:
+
+* ``degree_stats`` is one explode + one groupBy — a single shuffle on
+  the node id, partial-aggregated map-side.  At 10^12 docs the edge set
+  is the small relation (pairs of ontology CURIEs: bounded by the
+  ontology, not the corpus), so this is trivially cheap; the same code
+  also profiles document-level graphs (mention bipartite) where the
+  map-side combine carries the load.
+* ``pagerank`` is the standard power iteration expressed as DataFrame
+  joins: contributions = ranks ⋈ out-edges (shuffle on src), new ranks
+  = groupBy(dst) (shuffle on dst).  Both shuffles hash-partition on
+  node ids; hub skew is absorbed by partial aggregation of the
+  contribution sum.  Each iteration ``localCheckpoint``s the rank
+  frame, truncating the lineage so the plan stays O(1) deep (the
+  classic iterative-algorithm pitfall: un-truncated plans grow one
+  join per round and overwhelm the optimizer).  Dangling nodes (no
+  out-edges) redistribute uniformly via the standard correction term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node degree over an undirected edge relation.
+
+    Returns (node, degree) — the number of distinct neighbors.  Edges
+    are treated as undirected (each row contributes to both endpoints)
+    and multi-edges collapse (distinct neighbor count, matching the
+    canonical ``src < dst`` storage where each pair appears once).
+    """
+    half = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+    other = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    return (
+        half.unionByName(other)
+        .groupBy("node")
+        .agg(F.countDistinct("nbr").alias("degree"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    undirected: bool = True,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` rounds of power iteration.
+
+    Ranks are a probability distribution (sum to 1).  ``undirected``
+    mirrors every edge, the right reading for the co-occurrence graph;
+    pass False for directed edge sets (e.g. is-a).  Deterministic: no
+    randomness, fixed iteration count.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+    e = e.distinct().localCheckpoint(eager=True)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    # (src, dst, _deg) — static per iteration, checkpoint once
+    contrib_edges = e.join(out_deg, "src").localCheckpoint(eager=True)
+
+    # The dangling node SET is static (only its rank mass moves): find
+    # it once.  Undirected graphs never have one (mirroring gives every
+    # node an out-edge), so the per-iteration mass job is skipped
+    # entirely there — one scalar collect per round only when a real
+    # sink exists.
+    dangling_nodes = (
+        nodes.join(out_deg, nodes["node"] == out_deg["src"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    has_dangling = not undirected and bool(dangling_nodes.head(1))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("_deg")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        # dangling mass: rank held by nodes with no out-edges, spread
+        # uniformly (keeps the distribution summing to 1)
+        dangling = (
+            ranks.join(dangling_nodes, "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        ) if has_dangling else 0.0
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1,0 +1,78 @@
+"""Graph-metrics operators: degree profile + PageRank power iteration.
+
+PageRank is pinned numerically against an independent numpy twin with
+identical semantics (undirected mirroring, dangling-mass uniform
+redistribution, damping 0.85) — the driver check for ``kg_pagerank``
+is rows-only (iterative, no SQL oracle), so this is its value gate.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from onto_text_tag_spark.operators.graph_metrics import degree_stats, pagerank
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    # path a-b-c plus triangle c-d-e(-c), and an isolated pair f-g
+    rows = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("c", "e"),
+        ("f", "g"),
+        ("a", "b"),  # multi-edge: must collapse
+    ]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_degree_stats(edges):
+    got = {r.node: r.degree for r in degree_stats(edges).collect()}
+    assert got == {"a": 1, "b": 2, "c": 3, "d": 2, "e": 2, "f": 1, "g": 1}
+
+
+def _numpy_pagerank(pairs, iterations=10, damping=0.85, undirected=True):
+    es = set()
+    for s, d in pairs:
+        es.add((s, d))
+        if undirected:
+            es.add((d, s))
+    nodes = sorted({x for e in es for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _d in es:
+        out_deg[idx[s]] += 1
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for s, d in es:
+            contrib[idx[d]] += ranks[idx[s]] / out_deg[idx[s]]
+        dangling = ranks[out_deg == 0].sum()
+        ranks = (1 - damping) / n + damping * dangling / n + damping * contrib
+    return dict(zip(nodes, ranks))
+
+
+def test_pagerank_matches_numpy_twin(edges):
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    want = _numpy_pagerank(pairs)
+    got = {r.node: r.rank for r in pagerank(edges).collect()}
+    assert set(got) == set(want)
+    for node, rank in want.items():
+        assert got[node] == pytest.approx(rank, abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # hub c must outrank every leaf
+    assert got["c"] == max(got.values())
+
+
+def test_pagerank_directed_with_dangling(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("c", "b")], "src string, dst string"
+    )
+    want = _numpy_pagerank([("a", "b"), ("c", "b")], undirected=False)
+    got = {
+        r.node: r.rank
+        for r in pagerank(e, undirected=False).collect()
+    }
+    for node, rank in want.items():
+        assert got[node] == pytest.approx(rank, abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got["b"] == max(got.values())  # sink collects the mass
