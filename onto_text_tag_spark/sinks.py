@@ -20,6 +20,17 @@ snapshot write:
                        resume device: re-running the DAG skips stages
                        whose inputs are unchanged (idempotent re-run).
 * ``run_stage``      — compute-or-reuse wrapper implementing resume.
+* ``snapshot_log``   — append-only commit history per stage
+                       (``_SNAPSHOT_LOG.jsonl``, Iceberg snapshot-log
+                       analog): every committed write appends its full
+                       lineage manifest under a monotonically
+                       increasing ``snapshot_id``;
+                       ``read_manifest(snapshot_id=...)`` time-travels
+                       over the committed metadata.  Data files of
+                       superseded snapshots are not retained (plain
+                       overwrite = commit + immediate expire-snapshots),
+                       so time-travel here covers lineage + metrics,
+                       not data — on Iceberg the same log carries both.
 
 Iceberg provides this natively (snapshots + manifests); its runtime jar
 is not present in this sandbox, so the same contract is implemented on
@@ -48,6 +59,10 @@ def iceberg_available(spark: SparkSession) -> bool:
         )
     except Exception:
         return False
+
+
+def _snapshot_log_path(root: str, stage: str) -> str:
+    return os.path.join(root, stage, "_SNAPSHOT_LOG.jsonl")
 
 
 def _stage_paths(root: str, stage: str) -> tuple[str, str, str]:
@@ -171,8 +186,16 @@ def _finalize_stage(
     else:
         part_counts = [{"rows": sum(part_rows.values())}]
 
+    log_path = os.path.join(os.path.dirname(manifest_path),
+                            "_SNAPSHOT_LOG.jsonl")
+    prior_snapshots = 0
+    if os.path.exists(log_path):
+        with open(log_path) as fh:
+            prior_snapshots = sum(1 for ln in fh if ln.strip())
+
     manifest = {
         "stage": stage,
+        "snapshot_id": prior_snapshots + 1,
         "written_at_unix": int(time.time()),
         "input_fingerprint": input_fingerprint,
         "partition_by": partition_by,
@@ -189,6 +212,9 @@ def _finalize_stage(
     # manifest is complete (atomic-enough for a single writer per stage)
     with open(marker_path, "w") as fh:
         json.dump({"fingerprint": input_fingerprint}, fh)
+    # commit history last: one full manifest per committed snapshot
+    with open(log_path, "a") as fh:
+        fh.write(json.dumps(manifest, default=str) + "\n")
     return manifest
 
 
@@ -209,10 +235,33 @@ def read_stage(spark: SparkSession, root: str, stage: str) -> DataFrame:
     return spark.read.parquet(data_path)
 
 
-def read_manifest(root: str, stage: str) -> dict:
+def read_manifest(
+    root: str, stage: str, snapshot_id: int | None = None
+) -> dict:
+    """Current stage manifest, or — with ``snapshot_id`` — the manifest
+    any earlier commit recorded in the stage's snapshot log."""
+    if snapshot_id is not None:
+        for snap in snapshot_log(root, stage):
+            if snap.get("snapshot_id") == snapshot_id:
+                return snap
+        raise KeyError(
+            f"stage {stage!r} has no committed snapshot {snapshot_id}"
+        )
     _d, manifest_path, _s = _stage_paths(root, stage)
     with open(manifest_path) as fh:
         return json.load(fh)
+
+
+def snapshot_log(root: str, stage: str) -> list[dict]:
+    """The stage's append-only commit history (Iceberg snapshot-log
+    analog), oldest first — one full per-partition lineage manifest per
+    committed write.  Resume hits (``stage_is_current``) reuse the
+    snapshot and do not append."""
+    path = _snapshot_log_path(root, stage)
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return [json.loads(ln) for ln in fh if ln.strip()]
 
 
 def run_stage(

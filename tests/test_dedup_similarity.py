@@ -527,3 +527,38 @@ def test_ngram_jaccard_shingle_impls_agree(spark):
                   df, cands, shingle_impl="np", **kw).collect()}
     assert got_sql, "no pairs survived the threshold"
     assert got_sql == got_np
+
+
+def test_sinks_snapshot_log_history(spark, tmp_path):
+    """Every stage commit appends to an Iceberg-style snapshot log:
+    monotonically increasing ids, the full lineage manifest per
+    snapshot, and read_manifest(snapshot_id=...) time-travels over the
+    committed metadata.  Resume hits (fingerprint match) reuse the
+    snapshot and do NOT commit a new one."""
+    from onto_text_tag_spark.sinks import (
+        read_manifest,
+        run_stage,
+        snapshot_log,
+        write_stage,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    root = str(tmp_path / "kg")
+    m1 = write_stage(df, root, "nodes", input_fingerprint="fp1",
+                     metrics={"rev": 1})
+    m2 = write_stage(df.limit(4), root, "nodes", input_fingerprint="fp2",
+                     metrics={"rev": 2})
+    assert (m1["snapshot_id"], m2["snapshot_id"]) == (1, 2)
+
+    log = snapshot_log(root, "nodes")
+    assert [s["snapshot_id"] for s in log] == [1, 2]
+    assert [s["total_rows"] for s in log] == [10, 4]
+    assert read_manifest(root, "nodes")["snapshot_id"] == 2
+    old = read_manifest(root, "nodes", snapshot_id=1)
+    assert old["metrics"] == {"rev": 1} and old["total_rows"] == 10
+    with pytest.raises(KeyError):
+        read_manifest(root, "nodes", snapshot_id=99)
+
+    out = run_stage(spark, root, "nodes", lambda: df, input_fingerprint="fp2")
+    assert out.count() == 4
+    assert len(snapshot_log(root, "nodes")) == 2
