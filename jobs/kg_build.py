@@ -52,7 +52,10 @@ def main() -> None:
         doc_term_arrays,
     )
     from onto_text_tag_spark.operators.tagger import tag_documents
-    from onto_text_tag_spark.plans.kg_pipeline import extract_texts
+    from onto_text_tag_spark.plans.kg_pipeline import (
+        extract_texts,
+        load_ontology_rows,
+    )
     from onto_text_tag_spark.session import apply_engine_conf, local_df
     from onto_text_tag_spark.sinks import (
         fingerprint_parquet_inputs,
@@ -62,8 +65,6 @@ def main() -> None:
         write_stage,
         write_stage_branches,
     )
-    from onto_text_tag_spark.sources.ontology import parse_obo, parse_owl_xml
-
     spark = apply_engine_conf(SparkSession.builder).getOrCreate()
 
     if not args.no_warmup:
@@ -86,22 +87,7 @@ def main() -> None:
     t0 = time.time()
 
     # --- driver-side small data: ontology → dictionary + is-a closure ----
-    if args.ontology:
-        onto_rows: list[dict] = []
-        for i, path in enumerate(args.ontology):
-            text = open(path).read()
-            rows = parse_obo(text) if path.endswith(".obo") else parse_owl_xml(text)
-            for r in rows:
-                r["ont_order"] = i
-            onto_rows.extend(rows)
-    elif args.fixture == "driver":
-        from onto_text_tag_spark.driver_queries import driver_ontology_rows
-
-        onto_rows = driver_ontology_rows()
-    else:
-        from onto_text_tag_spark.corpus import mini_ontology
-
-        onto_rows = mini_ontology()
+    onto_rows = load_ontology_rows(args.ontology, args.fixture)
 
     dict_rows = build_dictionary_rows(onto_rows)
     isa_pairs = [

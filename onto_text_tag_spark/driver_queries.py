@@ -320,6 +320,39 @@ GROUP BY a.curie, b.curie
 """
 
 
+def q_kg_cooccur_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance algebra, oracle-checked: split the corpus
+    into two disjoint batches, tag + build co-occurrence edges per batch
+    (exactly what a crawl-delta update does, jobs/kg_update.py), then
+    merge by pair-keyed weight sum.  The oracle is the PLAIN full-corpus
+    co-occurrence SQL — equality proves merge(batch edges) ≡ rebuild."""
+    from onto_text_tag_spark.operators.cooccur import (
+        cooccurrence_edges,
+        merge_cooccurrence_edges,
+    )
+
+    docs = _docs(spark, sf_dir)
+    batches = [
+        tag_documents(
+            docs.where(F.col("doc_id") % 2 == k),
+            driver_dictionary_rows(),
+            id_col="doc_id",
+        )
+        for k in (0, 1)
+    ]
+    edges = [
+        cooccurrence_edges(m, doc_col="url", term_col="curie")
+        for m in batches
+    ]
+    return merge_cooccurrence_edges(*edges).select(
+        "src", "dst", F.col("weight").cast("long").alias("weight")
+    )
+
+
+def sql_kg_cooccur_incremental() -> str:
+    return sql_kg_cooccur()
+
+
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree profile of the co-occurrence graph — the skew diagnostic
     for the materialized KG (hub CURIEs dominate downstream joins)."""
@@ -1314,6 +1347,7 @@ QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_mention_triples": q_kg_mention_triples,
     "kg_cooccur": q_kg_cooccur,
+    "kg_cooccur_incremental": q_kg_cooccur_incremental,
     "kg_degree": q_kg_degree,
     "kg_pagerank": q_kg_pagerank,
     "kg_links": q_kg_links,
@@ -1351,6 +1385,7 @@ ORACLES = {
     "kg_mentions": sql_kg_mentions(),
     "kg_mention_triples": sql_kg_mention_triples(),
     "kg_cooccur": sql_kg_cooccur(),
+    "kg_cooccur_incremental": sql_kg_cooccur_incremental(),
     "kg_degree": sql_kg_degree(),
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),

@@ -134,6 +134,36 @@ def cooccurrence_edges(
     )
 
 
+def merge_cooccurrence_edges(
+    *edge_sets: DataFrame, min_weight: int = 1
+) -> DataFrame:
+    """Merge co-occurrence edge sets built over DISJOINT document sets.
+
+    ``weight = |docs(a) ∩ docs(b)|`` is additive across a partition of
+    the corpus: with each doc in exactly one batch, the intersection
+    count over the union corpus is the sum of per-batch counts.  This
+    algebra is what makes the KG incrementally maintainable at crawl
+    scale — absorbing a new crawl batch costs tagging ∝ |batch| plus one
+    pair-keyed sum over edge sets (≪ corpus-sized); no full rebuild.
+    ``jobs/kg_update.py`` is the deployment form.
+
+    Inputs must be full-fidelity (built with ``min_weight=1``): a
+    threshold applied before the merge discards mass that later batches
+    could have promoted over the cutoff.  Apply ``min_weight`` HERE,
+    after the sum (or downstream).
+    """
+    import functools
+
+    merged = (
+        functools.reduce(lambda a, b: a.unionByName(b), edge_sets)
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )
+    if min_weight > 1:
+        merged = merged.where(F.col("weight") >= min_weight)
+    return merged
+
+
 def cooccurrence_triples(edges: DataFrame) -> DataFrame:
     """Edges → (subj, co_occurs_with, obj, weight) triple rows."""
     return edges.select(

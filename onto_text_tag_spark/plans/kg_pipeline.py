@@ -186,3 +186,37 @@ def closure_triples(isa_edges: DataFrame) -> DataFrame:
         F.col("ancestor").alias("obj"),
         F.lit(None).cast("long").alias("weight"),
     )
+
+
+def load_ontology_rows(
+    ontology_paths: list[str] | None, fixture: str = "mini"
+) -> list[dict]:
+    """Driver-side ontology load shared by jobs/kg_build.py and
+    jobs/kg_update.py (ordered: later files win dictionary collisions,
+    A5 semantics).  The ontology is small data by construction
+    (SURVEY.md §1.1) — it is parsed on the driver and ships to executors
+    only inside the broadcast tagging automaton."""
+    if ontology_paths:
+        from onto_text_tag_spark.sources.ontology import (
+            parse_obo,
+            parse_owl_xml,
+        )
+
+        rows: list[dict] = []
+        for i, path in enumerate(ontology_paths):
+            text = open(path).read()
+            parsed = (
+                parse_obo(text) if path.endswith(".obo")
+                else parse_owl_xml(text)
+            )
+            for r in parsed:
+                r["ont_order"] = i
+            rows.extend(parsed)
+        return rows
+    if fixture == "driver":
+        from onto_text_tag_spark.driver_queries import driver_ontology_rows
+
+        return driver_ontology_rows()
+    from onto_text_tag_spark.corpus import mini_ontology
+
+    return mini_ontology()

@@ -264,6 +264,37 @@ def snapshot_log(root: str, stage: str) -> list[dict]:
         return [json.loads(ln) for ln in fh if ln.strip()]
 
 
+def commit_stage(
+    root: str,
+    stage: str,
+    partition_by: list[str] | None = None,
+    input_fingerprint: str = "",
+    metrics: dict | None = None,
+    schema_json=None,
+) -> dict:
+    """Re-finalize a stage whose ``data/`` dir was modified IN PLACE
+    (file-level append or subtree swap — the incremental-commit path of
+    ``jobs/kg_update.py``): rebuild the per-partition lineage manifest
+    from the parquet footers, rewrite the marker under the new input
+    fingerprint, and append a new snapshot to the log.  The Iceberg
+    analog is the metadata commit that seals an append/merge operation."""
+    data_path, manifest_path, marker_path = _stage_paths(root, stage)
+    if schema_json is None:
+        try:
+            schema_json = read_manifest(root, stage).get("schema")
+        except (OSError, json.JSONDecodeError):
+            schema_json = None
+    if partition_by is None:
+        try:
+            partition_by = read_manifest(root, stage).get("partition_by", [])
+        except (OSError, json.JSONDecodeError):
+            partition_by = []
+    return _finalize_stage(
+        data_path, manifest_path, marker_path, stage,
+        partition_by, input_fingerprint, metrics, schema_json,
+    )
+
+
 def run_stage(
     spark: SparkSession,
     root: str,

@@ -136,3 +136,32 @@ def test_shared_triples_reuse_one_exchange(spark, kg, tmp_path):
     plan = t._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 1
+
+
+def test_merge_cooccurrence_edges_equals_full_rebuild(kg):
+    """Incremental-maintenance algebra: co-occurrence edges built per
+    disjoint doc batch then merged by pair-keyed weight sum equal the
+    edges built over the full corpus (weights are additive across a
+    partition of the doc set).  min_weight must apply AFTER the merge."""
+    from onto_text_tag_spark.operators.cooccur import (
+        merge_cooccurrence_edges,
+    )
+
+    m = kg.mentions
+    batches = [m.where(F.crc32("url") % 3 == k) for k in range(3)]
+    merged = merge_cooccurrence_edges(
+        *[cooccurrence_edges(b) for b in batches]
+    )
+    full = cooccurrence_edges(m)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+
+    # thresholding after the merge == thresholding the full build
+    merged_w2 = merge_cooccurrence_edges(
+        *[cooccurrence_edges(b) for b in batches], min_weight=2
+    )
+    full_w2 = cooccurrence_edges(m, min_weight=2)
+    assert {tuple(r) for r in merged_w2.collect()} == {
+        tuple(r) for r in full_w2.collect()
+    }

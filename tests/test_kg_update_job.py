@@ -1,0 +1,119 @@
+"""End-to-end test of incremental KG maintenance (jobs/kg_update.py):
+build on batch 1, absorb batch 2 as a delta, and require the updated
+root to EQUAL a full rebuild over the union corpus — triples identical
+per predicate, co-occurrence weights identical (additive merge algebra).
+Re-submitting the same batch must be a committed no-op, and the triples
+snapshot log must record one snapshot per commit.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit(tmp: str, script: str, *script_args: str) -> dict:
+    pkg = os.path.join(tmp, "pkg.zip")
+    if not os.path.exists(pkg):
+        with zipfile.ZipFile(pkg, "w", zipfile.ZIP_DEFLATED) as zf:
+            pkgdir = os.path.join(REPO, "onto_text_tag_spark")
+            for root, _dirs, files in os.walk(pkgdir):
+                for f in files:
+                    if f.endswith(".py"):
+                        p = os.path.join(root, f)
+                        zf.write(p, os.path.relpath(p, REPO))
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    out = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", pkg,
+            os.path.join(REPO, "jobs", script),
+            *script_args,
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    return json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+
+
+@pytest.fixture(scope="module")
+def job_tmp(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("kgupd"))
+
+
+@pytest.fixture(scope="module")
+def corpora(job_tmp, spark):
+    """Full corpus + a disjoint 2-way split of it (batch = crawl delta)."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.corpus import distributed_documents_df
+
+    full = distributed_documents_df(spark, 400, seed=11, partitions=4)
+    paths = {}
+    for name, df in [
+        ("full", full),
+        ("batch1", full.where(F.crc32("url") % 2 == 0)),
+        ("batch2", full.where(F.crc32("url") % 2 == 1)),
+    ]:
+        p = os.path.join(job_tmp, f"{name}.parquet")
+        df.write.parquet(p)
+        paths[name] = p
+    return paths
+
+
+def _triples(spark, root):
+    return (
+        spark.read.parquet(os.path.join(root, "triples", "data"))
+        .select("pred", "subj", "obj", "weight")
+    )
+
+
+def test_incremental_update_equals_full_rebuild(job_tmp, corpora, spark):
+    inc_root = os.path.join(job_tmp, "kg_inc")
+    full_root = os.path.join(job_tmp, "kg_full")
+
+    built = _spark_submit(job_tmp, "kg_build.py", "--no-warmup",
+                          "--input", corpora["batch1"],
+                          "--output", inc_root)
+    assert built["n_mentions"] > 0
+
+    upd = _spark_submit(job_tmp, "kg_update.py",
+                        "--kg", inc_root, "--input", corpora["batch2"])
+    assert upd["status"] == "committed"
+    assert upd["n_new_docs"] > 0
+    assert upd["snapshots"] == 2  # initial build + this batch
+
+    rebuilt = _spark_submit(job_tmp, "kg_build.py", "--no-warmup",
+                            "--input", corpora["full"],
+                            "--output", full_root)
+
+    # totals agree between the incremental root and the full rebuild
+    assert upd["n_triples_total"] == rebuilt["n_triples"]
+    assert upd["n_mentions_total"] == rebuilt["n_mentions"]
+
+    # exact per-predicate triple equality (weights included)
+    inc = {tuple(r) for r in _triples(spark, inc_root).collect()}
+    ful = {tuple(r) for r in _triples(spark, full_root).collect()}
+    assert inc == ful
+
+    # manifests re-sealed: totals from footers match the union
+    with open(os.path.join(inc_root, "triples", "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["total_rows"] == rebuilt["n_triples"]
+    assert manifest["metrics"]["batch_docs"] == upd["n_new_docs"]
+
+    # re-submitting the SAME batch is a committed no-op
+    again = _spark_submit(job_tmp, "kg_update.py",
+                          "--kg", inc_root, "--input", corpora["batch2"])
+    assert again["status"] == "noop_already_committed"
+    assert again["n_triples_total"] == rebuilt["n_triples"]
+    from onto_text_tag_spark.sinks import snapshot_log
+    assert len(snapshot_log(inc_root, "triples")) == 2  # no extra commit
