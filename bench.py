@@ -385,6 +385,112 @@ def run_scaling_pipeline(low: int = 1, high: int = 4) -> dict:
     }
 
 
+UPDATE_DELTA_DOCS = int(os.environ.get("SPARK_GRAFT_UPDATE_DELTA_DOCS",
+                                       "50000"))
+
+
+def run_scaling_update(low: int = 1, high: int = 4) -> dict:
+    """Incremental crawl-batch absorb (jobs/kg_update.py) at two
+    parallelism levels: the scaling number for the delta job itself,
+    plus the absorb-cost ratio vs a full kg_build rebuild over the
+    union corpus at the same cores — the claim that a 10% crawl delta
+    costs ~10% of a rebuild, not 100%.  Corpus rows are pure functions
+    of (seed, id), so base ∪ delta (disjoint id ranges) equals the
+    union corpus byte-for-byte; the run asserts the incremental root's
+    triple total equals the rebuild's."""
+    import shutil
+
+    def _gen(path: str, n: int, id_start: int = 0) -> None:
+        if os.path.exists(path):
+            return
+        _spark_submit(
+            f"local[{high}]", "jobs/gen_corpus.py",
+            "--n-docs", str(n), "--id-start", str(id_start),
+            "--output", path, "--dup-frac", DEDUP_DUP_FRAC,
+            "--partitions", str(high * 4),
+        )
+
+    sfx = f"dup{DEDUP_DUP_FRAC}"
+    base = os.path.join(SCALING_DIR,
+                        f"corpus_{DEDUP_SCALING_DOCS}_{sfx}.parquet")
+    delta = os.path.join(
+        SCALING_DIR, f"corpus_delta_{UPDATE_DELTA_DOCS}_{sfx}.parquet")
+    union = os.path.join(
+        SCALING_DIR,
+        f"corpus_union_{DEDUP_SCALING_DOCS + UPDATE_DELTA_DOCS}_{sfx}"
+        ".parquet")
+    _gen(base, DEDUP_SCALING_DOCS)
+    _gen(delta, UPDATE_DELTA_DOCS, id_start=DEDUP_SCALING_DOCS)
+    _gen(union, DEDUP_SCALING_DOCS + UPDATE_DELTA_DOCS)
+
+    def _last_json(out: str) -> dict:
+        return json.loads(
+            [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        )
+
+    best: dict[int, dict] = {}
+    fixed: dict[int, dict] = {}
+    for _rep in range(SCALING_REPEATS):
+        for cores in (low, high):  # interleaved: see run_scaling
+            if cores not in fixed:
+                base_root = os.path.join(SCALING_DIR, f"upd_base_c{cores}")
+                shutil.rmtree(base_root, ignore_errors=True)
+                b = _last_json(_spark_submit(
+                    f"local[{cores}]", "jobs/kg_build.py",
+                    "--input", base, "--output", base_root))
+                full_root = os.path.join(SCALING_DIR, f"upd_full_c{cores}")
+                shutil.rmtree(full_root, ignore_errors=True)
+                fr = _last_json(_spark_submit(
+                    f"local[{cores}]", "jobs/kg_build.py",
+                    "--input", union, "--output", full_root))
+                shutil.rmtree(full_root, ignore_errors=True)
+                fixed[cores] = {
+                    "base_root": base_root,
+                    "base_build_sec": b["sec"],
+                    "rebuild_sec": fr["sec"],
+                    "rebuild_triples": fr["n_triples"],
+                }
+            fx = fixed[cores]
+            work = os.path.join(SCALING_DIR, f"upd_work_c{cores}")
+            shutil.rmtree(work, ignore_errors=True)
+            shutil.copytree(fx["base_root"], work)
+            upd = _last_json(_spark_submit(
+                f"local[{cores}]", "jobs/kg_update.py",
+                "--kg", work, "--input", delta))
+            shutil.rmtree(work, ignore_errors=True)
+            assert upd["n_triples_total"] == fx["rebuild_triples"], (
+                f"incremental absorb diverged from full rebuild: "
+                f"{upd['n_triples_total']} != {fx['rebuild_triples']}")
+            job = {
+                "sec": upd["sec"],
+                "stage_sec": upd.get("stage_sec"),
+                "new_docs": upd["n_new_docs"],
+                "docs_per_sec": round(upd["n_new_docs"] / upd["sec"], 1),
+                "triples_total": upd["n_triples_total"],
+                "base_build_sec": fx["base_build_sec"],
+                "rebuild_sec": fx["rebuild_sec"],
+                "absorb_ratio": round(upd["sec"] / fx["rebuild_sec"], 3),
+            }
+            if cores not in best or job["sec"] < best[cores]["sec"]:
+                best[cores] = job
+    speedup = best[low]["sec"] / best[high]["sec"]
+    return {
+        "job": "jobs/kg_update.py (incremental crawl-batch absorb) via "
+               "spark-submit --py-files",
+        "base_docs": DEDUP_SCALING_DOCS,
+        "delta_docs": UPDATE_DELTA_DOCS,
+        "dup_frac": float(DEDUP_DUP_FRAC),
+        "low_cores": low,
+        "high_cores": high,
+        "results": {str(k): v for k, v in best.items()},
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(speedup / (high / low), 3),
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 def main() -> None:
     if "--scaling-pipeline" in sys.argv:
         low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "1"))
@@ -418,6 +524,46 @@ def main() -> None:
                     f"{json.dumps(r['dedup_stage_sec'])}; kg: "
                     f"{json.dumps(r['kg_stage_sec'])}\n"
                 )
+            cap = scaling["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, units/sec "
+                "by process count):\n\n"
+                f"{json.dumps(cap)}\n"
+            )
+        print(json.dumps(scaling))
+        return
+    if "--scaling-update" in sys.argv:
+        low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "1"))
+        high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
+        scaling = run_scaling_update(low=low, high=high)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Scaling run — {scaling['job']}, base "
+                f"{scaling['base_docs']} docs + delta "
+                f"{scaling['delta_docs']} docs, dup_frac="
+                f"{scaling['dup_frac']}\n\n"
+                f"| cores | update sec | new docs | docs/sec | "
+                f"rebuild sec | absorb ratio | stage_sec |\n"
+                f"|---|---|---|---|---|---|---|\n"
+            )
+            for cores, r in scaling["results"].items():
+                st = ", ".join(
+                    f"{k} {v}" for k, v in (r.get("stage_sec") or {}).items()
+                )
+                fh.write(
+                    f"| local[{cores}] | {r['sec']} | {r['new_docs']} | "
+                    f"{r['docs_per_sec']} | {r['rebuild_sec']} | "
+                    f"{r['absorb_ratio']} | {st} |\n"
+                )
+            fh.write(
+                f"\nspeedup {scaling['low_cores']}->{scaling['high_cores']} "
+                f"cores: {scaling['speedup']}x; scaling efficiency: "
+                f"{scaling['scaling_efficiency']}\n"
+                f"\nabsorb ratio = incremental update sec / full-rebuild "
+                f"sec over the union corpus at the same cores (outputs "
+                f"asserted identical: triple totals match the rebuild).\n"
+            )
             cap = scaling["host_capacity_units_per_sec"]
             fh.write(
                 "\nHost capacity check (pure-Python busy-loop, units/sec "

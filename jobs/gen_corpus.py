@@ -19,6 +19,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, required=True)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--id-start", type=int, default=0,
+                    help="first doc id: rows are pure functions of "
+                    "(seed, id), so disjoint id ranges slice one "
+                    "deterministic corpus (delta batches for the "
+                    "incremental-update bench)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--min-sents", type=int, default=40)
@@ -42,6 +47,7 @@ def main() -> None:
         spark, args.n_docs, seed=args.seed, partitions=args.partitions,
         min_sents=args.min_sents, max_sents=args.max_sents,
         filler_prob=args.filler, dup_frac=args.dup_frac,
+        id_start=args.id_start,
     )
     df.write.mode("overwrite").parquet(args.output)
     print(f"wrote {args.n_docs} docs to {args.output}")

@@ -103,6 +103,10 @@ def main() -> None:
     ap.add_argument("--ontology", nargs="*", default=[])
     ap.add_argument("--fixture", choices=["mini", "driver"], default="mini")
     ap.add_argument("--lang", default="en")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the steady-state warmup pass (measured "
+                    "time then includes one-time JVM JIT + Python worker "
+                    "forks)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -129,6 +133,23 @@ def main() -> None:
     )
 
     spark = apply_engine_conf(SparkSession.builder).getOrCreate()
+
+    if not args.no_warmup:
+        # Same steady-state warmup as jobs/kg_build.py: fork the Python
+        # workers, JIT the codegen paths, touch the input footers once —
+        # amortized on a long-lived cluster, a fixed distortion on a
+        # fresh local JVM.
+        import pandas as _pd  # noqa: F401
+
+        def _noop(it):
+            for b in it:
+                yield b
+
+        spark.range(0, 10_000, numPartitions=4).toDF("id").mapInPandas(
+            _noop, schema="id long"
+        ).count()
+        spark.read.parquet(args.input).limit(1000).count()
+
     t0 = time.time()
     stage_sec: dict[str, float] = {}
 

@@ -317,9 +317,15 @@ def distributed_documents_df(spark, n_docs: int, seed: int = 42,
                              partitions: int | None = None,
                              min_sents: int = 2, max_sents: int = 6,
                              filler_prob: float = 0.7,
-                             dup_frac: float = 0.0):
+                             dup_frac: float = 0.0,
+                             id_start: int = 0):
     """Corpus generator that scales: ``spark.range`` id space →
-    ``mapInPandas`` row synthesis per partition (no driver materialize)."""
+    ``mapInPandas`` row synthesis per partition (no driver materialize).
+
+    Rows are pure functions of (seed, id), so ``id_start`` slices one
+    deterministic corpus: gen(n=550k) ≡ gen(n=500k) ∪ gen(n=50k,
+    id_start=500k) byte-for-byte — the property the incremental-update
+    scaling bench relies on (delta batch ∪ base == full corpus)."""
     import pandas as pd
 
     from onto_text_tag_spark.schemas import DOCUMENTS
@@ -334,9 +340,9 @@ def distributed_documents_df(spark, n_docs: int, seed: int = 42,
                     for i in b["id"]]
             yield pd.DataFrame(rows, columns=cols)
 
-    return spark.range(0, n_docs, numPartitions=parts).mapInPandas(
-        gen, schema=DOCUMENTS
-    )
+    return spark.range(
+        id_start, id_start + n_docs, numPartitions=parts
+    ).mapInPandas(gen, schema=DOCUMENTS)
 
 
 def ontology_df(spark):

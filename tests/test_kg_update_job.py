@@ -85,7 +85,7 @@ def test_incremental_update_equals_full_rebuild(job_tmp, corpora, spark):
                           "--output", inc_root)
     assert built["n_mentions"] > 0
 
-    upd = _spark_submit(job_tmp, "kg_update.py",
+    upd = _spark_submit(job_tmp, "kg_update.py", "--no-warmup",
                         "--kg", inc_root, "--input", corpora["batch2"])
     assert upd["status"] == "committed"
     assert upd["n_new_docs"] > 0
@@ -111,7 +111,7 @@ def test_incremental_update_equals_full_rebuild(job_tmp, corpora, spark):
     assert manifest["metrics"]["batch_docs"] == upd["n_new_docs"]
 
     # re-submitting the SAME batch is a committed no-op
-    again = _spark_submit(job_tmp, "kg_update.py",
+    again = _spark_submit(job_tmp, "kg_update.py", "--no-warmup",
                           "--kg", inc_root, "--input", corpora["batch2"])
     assert again["status"] == "noop_already_committed"
     assert again["n_triples_total"] == rebuilt["n_triples"]
