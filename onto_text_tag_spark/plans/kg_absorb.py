@@ -1,0 +1,283 @@
+"""Incremental KG absorb core: commit one batch of documents into an
+existing KG snapshot root without rebuilding it.
+
+The staged, crash-safe, idempotent commit protocol is documented in
+``jobs/kg_update.py``; the merge algebra (co-occurrence weights over
+disjoint doc sets are additive) in
+``operators/cooccur.py:merge_cooccurrence_edges``.  Shared by two
+deployment forms:
+
+* ``jobs/kg_update.py`` — spark-submit batch job per crawl delta;
+* ``streaming/incremental.py:start_kg_update_sink`` — Structured
+  Streaming ``foreachBatch``: each micro-batch commits under an
+  epoch-keyed fingerprint, so at-least-once foreachBatch replays hit
+  the already-committed no-op and the sink is exactly-once at the
+  KG-commit level.
+
+``init_kg_root`` bootstraps an EMPTY root with the ``jobs/kg_build.py``
+stage layout, so a stream can construct the entire KG through absorb
+commits alone; init + absorb(all docs) == kg_build(all docs) is pinned
+by tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from onto_text_tag_spark.operators.cooccur import (
+    cooccurrence_edges_from_arrays,
+    doc_term_arrays,
+    merge_cooccurrence_edges,
+)
+from onto_text_tag_spark.operators.tagger import tag_documents
+from onto_text_tag_spark.plans.kg_pipeline import extract_texts
+from onto_text_tag_spark.sinks import (
+    commit_stage,
+    read_manifest,
+    read_stage,
+    run_stage,
+    snapshot_log,
+    write_stage,
+    write_stage_branches,
+)
+
+
+def _append_batch_files(src_data: str, dst_data: str, tag: str) -> int:
+    """Idempotent file-level append: copy staged part-files into the
+    live stage dir under deterministic batch-prefixed names (a re-run
+    skips files that already landed)."""
+    os.makedirs(dst_data, exist_ok=True)
+    copied = 0
+    files = sorted(
+        f for f in os.listdir(src_data) if f.endswith(".parquet")
+    )
+    for i, f in enumerate(files):
+        dst = os.path.join(dst_data, f"batch-{tag}-{i:05d}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy2(os.path.join(src_data, f), dst)
+            copied += 1
+    return copied
+
+
+def _swap_subtree(staged_data: str, live_dir: str) -> None:
+    """Replace ``live_dir`` with the staged parquet dir: rename-old →
+    copy-new → drop-old.  On an object store this is Iceberg's atomic
+    manifest swap; on a filesystem the torn states are recovered by
+    ``_recover_swap``."""
+    bak = live_dir + ".swap-old"
+    if os.path.exists(live_dir):
+        os.rename(live_dir, bak)
+    shutil.copytree(staged_data, live_dir)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
+def _recover_swap(live_dir: str) -> None:
+    bak = live_dir + ".swap-old"
+    if not os.path.exists(bak):
+        return
+    if os.path.exists(live_dir):
+        shutil.rmtree(bak)  # copy completed; drop the backup
+    else:
+        os.rename(bak, live_dir)  # roll the torn swap back
+
+
+def batch_already_committed(kg_root: str, batch_fp: str) -> bool:
+    return any(
+        s.get("metrics", {}).get("batch_fingerprint") == batch_fp
+        for s in snapshot_log(kg_root, "triples")
+    )
+
+
+def init_kg_root(
+    spark: SparkSession,
+    kg_root: str,
+    onto_rows: list[dict],
+    input_fingerprint: str = "init",
+) -> None:
+    """Bootstrap an empty KG root with the kg_build stage layout: empty
+    ``mentions``/``doc_terms`` snapshots, ``triples`` with empty
+    mention/co-occurrence branches plus the ontology-derived ``is_a``
+    branch, and the transitive ``isa_closure`` — snapshot 1 in every
+    stage's log.  All corpus content then arrives as absorb commits."""
+    from onto_text_tag_spark.operators.closure import (
+        transitive_closure_rows,
+    )
+    from onto_text_tag_spark.schemas import MENTIONS
+    from onto_text_tag_spark.session import local_df
+
+    empty_mentions = spark.createDataFrame([], MENTIONS).repartition(1)
+    write_stage(empty_mentions, kg_root, "mentions",
+                input_fingerprint=input_fingerprint)
+    empty_terms = spark.createDataFrame(
+        [], "url string, _terms array<string>"
+    ).repartition(1)
+    write_stage(empty_terms, kg_root, "doc_terms",
+                input_fingerprint=input_fingerprint)
+
+    branch_schema = "subj string, obj string, weight long"
+    empty_branch = spark.createDataFrame([], branch_schema).repartition(1)
+    isa_pairs = [
+        (r["curie"], r["parent_curie"])
+        for r in onto_rows
+        if r.get("parent_curie")
+    ]
+    write_stage_branches(
+        {
+            "mentions": empty_branch,
+            "co_occurs_with": empty_branch,
+            "is_a": local_df(
+                spark, [(c, p, None) for c, p in isa_pairs], branch_schema
+            ),
+        },
+        kg_root, "triples", partition_col="pred",
+        input_fingerprint=input_fingerprint,
+    )
+    closure_df = local_df(
+        spark,
+        [(d, "is_a_transitive", a, None)
+         for d, a in transitive_closure_rows(isa_pairs)],
+        "subj string, pred string, obj string, weight long",
+    ).coalesce(1)
+    write_stage(closure_df, kg_root, "isa_closure",
+                input_fingerprint=input_fingerprint)
+
+
+def absorb_batch(
+    spark: SparkSession,
+    kg_root: str,
+    docs: DataFrame,
+    dict_rows: list[dict],
+    batch_fp: str,
+    lang: str | None = "en",
+) -> dict:
+    """Commit one document batch into ``kg_root`` (stage → append/swap →
+    seal; see jobs/kg_update.py).  Returns the stats dict the job
+    prints.  A batch whose fingerprint is already in the triples
+    snapshot log is a committed no-op."""
+    t0 = time.time()
+    stage_sec: dict[str, float] = {}
+
+    def timed(name, fn):
+        s = time.time()
+        out = fn()
+        stage_sec[name] = round(time.time() - s, 2)
+        return out
+
+    tag = hashlib.md5(batch_fp.encode()).hexdigest()[:12]
+    live_triples = os.path.join(kg_root, "triples", "data")
+    live_cooccur = os.path.join(live_triples, "pred=co_occurs_with")
+    live_mention_triples = os.path.join(live_triples, "pred=mentions")
+
+    if batch_already_committed(kg_root, batch_fp):
+        return {
+            "status": "noop_already_committed",
+            "batch_fingerprint": batch_fp,
+            "n_mentions_total": read_manifest(
+                kg_root, "mentions")["total_rows"],
+            "n_triples_total": read_manifest(
+                kg_root, "triples")["total_rows"],
+            "sec": round(time.time() - t0, 2),
+        }
+
+    _recover_swap(live_cooccur)
+
+    docs = extract_texts(docs)
+    if lang and "lang" in docs.columns:
+        docs = docs.where(F.col("lang") == lang)
+    id_col = "url" if "url" in docs.columns else "doc_id"
+
+    # only never-seen urls join the KG (url-level idempotence; in-place
+    # page updates need retraction, which an aggregate-merge cannot
+    # express — rebuild the affected partition instead)
+    old_doc_terms = read_stage(spark, kg_root, "doc_terms")
+    new_docs = docs.join(
+        old_doc_terms.select(F.col("url").alias(id_col)),
+        on=id_col, how="left_anti",
+    )
+
+    # --- stage the delta as ordinary resumable snapshots ------------------
+    staging = os.path.join(kg_root, "_staging", tag)
+    delta_mentions = timed("tag_delta", lambda: run_stage(
+        spark, staging, "mentions",
+        lambda: tag_documents(new_docs, dict_rows, id_col=id_col),
+        input_fingerprint=batch_fp,
+    ))
+    delta_doc_terms = timed("doc_terms_delta", lambda: run_stage(
+        spark, staging, "doc_terms",
+        lambda: doc_term_arrays(delta_mentions),
+        input_fingerprint=batch_fp,
+    ))
+    timed("mention_triples_delta", lambda: run_stage(
+        spark, staging, "mention_triples",
+        lambda: delta_doc_terms.select(
+            F.col("url").alias("subj"),
+            F.explode("_terms").alias("obj"),
+            F.lit(None).cast("long").alias("weight"),
+        ),
+        input_fingerprint=batch_fp,
+    ))
+    delta_edges = timed("delta_edges", lambda: run_stage(
+        spark, staging, "delta_edges",
+        lambda: cooccurrence_edges_from_arrays(delta_doc_terms),
+        input_fingerprint=batch_fp,
+    ))
+    old_edges = spark.read.parquet(live_cooccur).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"), "weight"
+    )
+    timed("merge_edges", lambda: run_stage(
+        spark, staging, "merged_cooccur",
+        lambda: merge_cooccurrence_edges(old_edges, delta_edges).select(
+            F.col("src").alias("subj"),
+            F.col("dst").alias("obj"),
+            F.col("weight").cast("long").alias("weight"),
+        ),
+        input_fingerprint=batch_fp,
+    ))
+    n_new_docs = read_manifest(staging, "doc_terms")["total_rows"]
+    n_new_mentions = read_manifest(staging, "mentions")["total_rows"]
+
+    # --- commit: append + swap, then seal manifests + snapshot log --------
+    def _commit():
+        _append_batch_files(
+            os.path.join(staging, "mentions", "data"),
+            os.path.join(kg_root, "mentions", "data"), tag)
+        _append_batch_files(
+            os.path.join(staging, "doc_terms", "data"),
+            os.path.join(kg_root, "doc_terms", "data"), tag)
+        _append_batch_files(
+            os.path.join(staging, "mention_triples", "data"),
+            live_mention_triples, tag)
+        _swap_subtree(
+            os.path.join(staging, "merged_cooccur", "data"), live_cooccur)
+
+        metrics = {
+            "batch_fingerprint": batch_fp,
+            "batch_docs": n_new_docs,
+            "batch_mentions": n_new_mentions,
+        }
+        for stage in ("mentions", "doc_terms", "triples"):
+            prev = read_manifest(kg_root, stage)["input_fingerprint"]
+            combined = hashlib.md5(
+                f"{prev}+{batch_fp}".encode()).hexdigest()
+            commit_stage(kg_root, stage,
+                         input_fingerprint=combined, metrics=metrics)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    timed("commit", _commit)
+
+    return {
+        "status": "committed",
+        "batch_fingerprint": batch_fp,
+        "n_new_docs": n_new_docs,
+        "n_new_mentions": n_new_mentions,
+        "n_mentions_total": read_manifest(kg_root, "mentions")["total_rows"],
+        "n_triples_total": read_manifest(kg_root, "triples")["total_rows"],
+        "snapshots": len(snapshot_log(kg_root, "triples")),
+        "sec": round(time.time() - t0, 2),
+        "stage_sec": stage_sec,
+    }

@@ -163,3 +163,39 @@ def start_mentions_sink(
         .outputMode("append")
         .start()
     )
+
+
+def start_kg_update_sink(
+    documents: DataFrame,
+    kg_root: str,
+    dictionary_rows: list[dict],
+    checkpoint_path: str,
+    lang: str | None = "en",
+):
+    """Continuous crawl ingestion: absorb every micro-batch of pages
+    into a KG snapshot root via the staged idempotent commit protocol
+    (``plans/kg_absorb.py`` — the same core as ``jobs/kg_update.py``).
+
+    Exactly-once KG commits under at-least-once delivery: the batch
+    fingerprint is keyed by the epoch id, which Structured Streaming
+    keeps stable across failure replays, so a replayed epoch hits the
+    already-committed no-op.  State is bounded — the co-occurrence
+    aggregate lives in the stage snapshot on storage (merged per epoch,
+    LSM-style), NOT in streaming state, which is what makes continuous
+    co-occurrence maintenance feasible where a stream-stream self-join
+    is not (module docstring).  Bootstrap an empty root with
+    ``plans/kg_absorb.py:init_kg_root`` to build the whole KG from the
+    stream alone."""
+    from onto_text_tag_spark.plans.kg_absorb import absorb_batch
+
+    def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        absorb_batch(
+            batch_df.sparkSession, kg_root, batch_df, dictionary_rows,
+            batch_fp=f"stream-epoch-{epoch_id}", lang=lang,
+        )
+
+    return (
+        documents.writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

@@ -194,3 +194,94 @@ def test_stateful_streaming_sessionize(spark, tmp_path):
         assert reopened, "new open session for u1 after the gap"
     finally:
         q.stop()
+
+
+def test_streaming_kg_update_sink_builds_full_kg(spark, tmp_path):
+    """Continuous crawl ingestion: bootstrap an EMPTY KG root, stream
+    the corpus in two file batches through the foreachBatch absorb sink,
+    and require the materialized triples to equal the library-computed
+    batch build over all documents.  Epoch-keyed fingerprints make a
+    replayed epoch a committed no-op (exactly-once KG commits under
+    at-least-once foreachBatch delivery)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.corpus import (
+        distributed_documents_df,
+        mini_ontology,
+    )
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.operators.cooccur import (
+        cooccurrence_edges,
+        doc_term_arrays,
+    )
+    from onto_text_tag_spark.operators.tagger import tag_documents
+    from onto_text_tag_spark.plans.kg_absorb import (
+        absorb_batch,
+        init_kg_root,
+    )
+    from onto_text_tag_spark.sinks import snapshot_log
+    from onto_text_tag_spark.streaming.incremental import (
+        read_document_stream,
+        start_kg_update_sink,
+    )
+
+    onto = mini_ontology()
+    dict_rows = build_dictionary_rows(onto)
+    kg_root = str(tmp_path / "kgroot")
+    init_kg_root(spark, kg_root, onto)
+    assert len(snapshot_log(kg_root, "triples")) == 1  # bootstrap commit
+
+    docs = distributed_documents_df(spark, 120, seed=3, partitions=2)
+    docs.cache().count()
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    b0 = docs.where(F.crc32("url") % 2 == 0)
+    b1 = docs.where(F.crc32("url") % 2 == 1)
+    b0.write.parquet(src)
+
+    q = start_kg_update_sink(
+        read_document_stream(spark, src), kg_root, dict_rows, ckpt
+    )
+    try:
+        q.processAllAvailable()
+        b1.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # expected: the plain batch build over ALL docs (absorb filters en)
+    mentions = tag_documents(docs.where(F.col("lang") == "en"), dict_rows)
+    arrays = doc_term_arrays(mentions)
+    want_mention_triples = {
+        (r.url, t) for r in arrays.collect() for t in r._terms
+    }
+    want_edges = {
+        tuple(r) for r in cooccurrence_edges(mentions).collect()
+    }
+
+    triples = spark.read.parquet(os.path.join(kg_root, "triples", "data"))
+    got_mention_triples = {
+        (r.subj, r.obj)
+        for r in triples.where("pred = 'mentions'").collect()
+    }
+    got_edges = {
+        (r.subj, r.obj, r.weight)
+        for r in triples.where("pred = 'co_occurs_with'").collect()
+    }
+    assert got_mention_triples == want_mention_triples
+    assert got_edges == want_edges
+    assert len(got_edges) > 0
+
+    # one snapshot per commit: init + >=1 streamed epoch with rows
+    n_snaps = len(snapshot_log(kg_root, "triples"))
+    assert n_snaps >= 3  # init + 2 non-empty epochs
+
+    # replaying an epoch (same fingerprint) is a committed no-op
+    last_fp = snapshot_log(kg_root, "triples")[-1]["metrics"][
+        "batch_fingerprint"
+    ]
+    replay = absorb_batch(spark, kg_root, b1, dict_rows, batch_fp=last_fp)
+    assert replay["status"] == "noop_already_committed"
+    assert len(snapshot_log(kg_root, "triples")) == n_snaps
