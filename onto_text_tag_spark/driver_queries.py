@@ -378,9 +378,10 @@ SELECT node, count(DISTINCT nbr)::BIGINT AS degree FROM u GROUP BY node
 
 
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the co-occurrence graph (iterative power method —
-    non-SQL-expressible, rows-only driver check; pinned numerically by
-    tests/test_graph_metrics.py against a local numpy twin)."""
+    """PageRank over the co-occurrence graph (fixed-iteration power
+    method; numerically pinned by tests/test_graph_metrics.py against a
+    local numpy twin AND oracle-checked: DuckDB replays the identical
+    10-round iteration in a recursive CTE with aggregation)."""
     from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
     from onto_text_tag_spark.operators.graph_metrics import pagerank
 
@@ -389,6 +390,37 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=10).select(
         "node", F.round("rank", 6).alias("rank")
     )
+
+
+def sql_kg_pagerank() -> str:
+    """Recursive-CTE twin of operators/graph_metrics.py:pagerank with
+    undirected=True: mirror the canonical edge set, init 1/n, and per
+    round new = 0.15/n + 0.85 * Σ_in rank/deg.  Mirroring gives every
+    node an in-edge, so no dangling/left-join handling is needed — the
+    same property the Spark operator exploits."""
+    return f"""
+WITH RECURSIVE {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ e0 AS (SELECT a.curie AS src, b.curie AS dst
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie
+        GROUP BY a.curie, b.curie),
+ e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+ deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+ nodes AS (SELECT DISTINCT src AS node FROM e),
+ nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+ ranks(iter, node, rank) AS (
+   SELECT 0, node, 1.0/(SELECT n FROM nn) FROM nodes
+   UNION ALL
+   SELECT r.iter+1, e.dst,
+          0.15/(SELECT n FROM nn) + 0.85*sum(r.rank/d.deg)
+   FROM ranks r
+   JOIN e ON e.src = r.node
+   JOIN deg d ON d.src = r.node
+   WHERE r.iter < 10
+   GROUP BY r.iter+1, e.dst
+ )
+SELECT node, round(rank, 6) AS rank FROM ranks WHERE iter = 10
+"""
 
 
 def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1387,6 +1419,7 @@ ORACLES = {
     "kg_cooccur": sql_kg_cooccur(),
     "kg_cooccur_incremental": sql_kg_cooccur_incremental(),
     "kg_degree": sql_kg_degree(),
+    "kg_pagerank": sql_kg_pagerank(),
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),
     "kg_term_index": sql_kg_term_index(),
