@@ -281,3 +281,56 @@ def absorb_batch(
         "sec": round(time.time() - t0, 2),
         "stage_sec": stage_sec,
     }
+
+
+def compact_stage(
+    spark: SparkSession,
+    kg_root: str,
+    stage: str,
+    target_bytes_per_file: int = 128 << 20,
+) -> dict:
+    """Rewrite an append-grown stage into right-sized files — the
+    small-files maintenance that file-level append commits eventually
+    need (Iceberg's ``rewrite_data_files``).  Row content is unchanged;
+    only the file layout is.  The rewrite lands via the same staged
+    swap as the co-occurrence merge, and the seal KEEPS the stage's
+    input fingerprint (compaction is not a logical change, so resume
+    semantics survive it) while appending a snapshot whose metrics
+    record the file-count change.
+
+    Partitioned stages keep their hive layout: a round-robin
+    repartition bounds the files-per-task, and the dynamic-partition
+    write regroups by partition value."""
+    import math
+
+    man = read_manifest(kg_root, stage)
+    partition_by = man.get("partition_by") or []
+    n_target = max(1, math.ceil(man["size_bytes"] / target_bytes_per_file))
+
+    staged = os.path.join(kg_root, "_staging", f"compact_{stage}", "data")
+    shutil.rmtree(os.path.dirname(staged), ignore_errors=True)
+    df = read_stage(spark, kg_root, stage).repartition(n_target)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staged)
+
+    n_after = sum(
+        1 for _dir, _s, files in os.walk(staged)
+        for f in files if f.endswith(".parquet")
+    )
+    live = os.path.join(kg_root, stage, "data")
+    _recover_swap(live)
+    _swap_subtree(staged, live)
+    shutil.rmtree(os.path.dirname(staged), ignore_errors=True)
+    return commit_stage(
+        kg_root, stage,
+        input_fingerprint=man["input_fingerprint"],
+        metrics={
+            **(man.get("metrics") or {}),
+            "compaction": {
+                "files_before": man["n_files"],
+                "files_after": n_after,
+            },
+        },
+    )

@@ -117,3 +117,64 @@ def test_incremental_update_equals_full_rebuild(job_tmp, corpora, spark):
     assert again["n_triples_total"] == rebuilt["n_triples"]
     from onto_text_tag_spark.sinks import snapshot_log
     assert len(snapshot_log(inc_root, "triples")) == 2  # no extra commit
+
+
+def test_compaction_preserves_content_and_resume(tmp_path, spark):
+    """Stage compaction (plans/kg_absorb.py:compact_stage): after two
+    absorb commits grow the stages by appended files, compaction must
+    shrink the file count WITHOUT changing row content, keep the input
+    fingerprint (resume still sees the stage as current), and append an
+    auditable snapshot recording the file-count change."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.corpus import (
+        distributed_documents_df,
+        mini_ontology,
+    )
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.plans.kg_absorb import (
+        absorb_batch,
+        compact_stage,
+        init_kg_root,
+    )
+    from onto_text_tag_spark.sinks import (
+        read_manifest,
+        snapshot_log,
+        stage_is_current,
+    )
+
+    onto = mini_ontology()
+    dict_rows = build_dictionary_rows(onto)
+    root = str(tmp_path / "kg")
+    init_kg_root(spark, root, onto)
+    docs = distributed_documents_df(spark, 200, seed=13, partitions=4)
+    docs.cache().count()
+    for k in (0, 1):
+        absorb_batch(
+            spark, root, docs.where(F.crc32("url") % 2 == k),
+            dict_rows, batch_fp=f"b{k}",
+        )
+
+    triples_path = os.path.join(root, "triples", "data")
+    before = sorted(
+        map(tuple, spark.read.parquet(triples_path).collect())
+    )
+    for stage in ("mentions", "doc_terms", "triples"):
+        man = read_manifest(root, stage)
+        n_snaps = len(snapshot_log(root, stage))
+        sealed = compact_stage(spark, root, stage,
+                               target_bytes_per_file=64 << 20)
+        comp = sealed["metrics"]["compaction"]
+        assert comp["files_after"] <= comp["files_before"]
+        assert sealed["total_rows"] == man["total_rows"]
+        # not a logical change: fingerprint kept, resume still current
+        assert sealed["input_fingerprint"] == man["input_fingerprint"]
+        assert stage_is_current(root, stage, man["input_fingerprint"])
+        assert len(snapshot_log(root, stage)) == n_snaps + 1
+
+    after = sorted(
+        map(tuple, spark.read.parquet(triples_path).collect())
+    )
+    assert after == before  # row multiset unchanged, hive layout intact
