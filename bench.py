@@ -491,7 +491,177 @@ def run_scaling_update(low: int = 1, high: int = 4) -> dict:
     }
 
 
+COMPACT_DOCS = int(os.environ.get("SPARK_GRAFT_COMPACT_DOCS", "120000"))
+COMPACT_BATCHES = int(os.environ.get("SPARK_GRAFT_COMPACT_BATCHES", "48"))
+
+
+def run_compaction_bench(cores: int = 4) -> dict:
+    """Quantify the small-files problem that file-level append commits
+    accumulate, and what ``compact_stage`` buys back.  One corpus is
+    absorbed as COMPACT_BATCHES crawl deltas (the streaming-ingest
+    shape), then every stage is full-scanned (hash-reduced so nothing
+    prunes) before and after compaction.  Content identity is asserted
+    via the scan hash, not just row counts.  Also records the absorb
+    drag: later batches pay more for the same work because each commit
+    re-reads an ever-more-fragmented doc_terms/co-occur snapshot."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    corpus = os.path.join(SCALING_DIR, f"corpus_compact_{COMPACT_DOCS}.parquet")
+    if not os.path.exists(corpus):
+        _spark_submit(
+            f"local[{cores}]", "jobs/gen_corpus.py",
+            "--n-docs", str(COMPACT_DOCS),
+            "--output", corpus, "--partitions", str(cores * 4),
+        )
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from onto_text_tag_spark.corpus import mini_ontology
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.plans.kg_absorb import (
+        absorb_batch,
+        compact_stage,
+        init_kg_root,
+    )
+    from onto_text_tag_spark.sinks import read_manifest, read_stage
+
+    onto = mini_ontology()
+    dict_rows = build_dictionary_rows(onto)
+    root = os.path.join(SCALING_DIR, f"compact_root_c{cores}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    spark = _session(cores)
+    # warm up JVM stages + Python workers so batch 0 isn't charged for
+    # session startup (same rationale as run_bench)
+    spark.range(1_000_000).select(F.bit_xor(F.xxhash64("id"))).collect()
+
+    def _noop(it):
+        yield from it
+
+    spark.range(10_000).toDF("id").mapInPandas(
+        _noop, schema="id long").count()
+
+    init_kg_root(spark, root, onto)
+    docs = spark.read.parquet(corpus).cache()
+    docs.count()
+
+    batch_sec: list[float] = []
+    for k in range(COMPACT_BATCHES):
+        r = absorb_batch(
+            spark, root,
+            docs.where(F.crc32("url") % COMPACT_BATCHES == k),
+            dict_rows, batch_fp=f"compactbench-{k}",
+        )
+        batch_sec.append(r["sec"])
+    docs.unpersist()
+
+    stages = ("mentions", "doc_terms", "triples")
+
+    def _scan_all() -> tuple[float, dict]:
+        """min-of-3 full scan of every stage; returns (sec, {stage: (n, h)})."""
+        best = None
+        sig = {}
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for st in stages:
+                df = read_stage(spark, root, st)
+                cols = [F.col(c).cast("string") for c in df.columns]
+                row = df.select(
+                    F.count("*").alias("n"),
+                    F.bit_xor(F.xxhash64(*cols)).alias("h"),
+                ).collect()[0]
+                sig[st] = (row["n"], row["h"])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3), sig
+
+    scan_before, sig_before = _scan_all()
+    manifests = {st: read_manifest(root, st) for st in stages}
+    files_before = {st: manifests[st]["n_files"] for st in stages}
+    bytes_before = {st: manifests[st]["size_bytes"] for st in stages}
+
+    t0 = time.perf_counter()
+    files_after = {}
+    for st in stages:
+        # right-sized for THIS deployment: keep one file per core so the
+        # rewrite doesn't trade file-count for scan parallelism (on a
+        # cluster the 128 MB jobs/kg_compact.py default plays this role)
+        sealed = compact_stage(
+            spark, root, st,
+            target_bytes_per_file=max(
+                1, manifests[st]["size_bytes"] // cores),
+        )
+        files_after[st] = sealed["metrics"]["compaction"]["files_after"]
+    compact_sec = round(time.perf_counter() - t0, 3)
+    bytes_after = {
+        st: read_manifest(root, st)["size_bytes"] for st in stages
+    }
+
+    scan_after, sig_after = _scan_all()
+    assert sig_after == sig_before, (
+        f"compaction changed stage content: {sig_before} != {sig_after}")
+    for st in stages:
+        assert files_after[st] <= files_before[st]
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+
+    k = min(4, len(batch_sec) // 2)
+    return {
+        "job": "absorb x N then plans/kg_absorb.py:compact_stage "
+               "(small-files maintenance)",
+        "docs": COMPACT_DOCS,
+        "batches": COMPACT_BATCHES,
+        "cores": cores,
+        "rows": {st: sig_before[st][0] for st in stages},
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+        "full_scan_sec_before": scan_before,
+        "full_scan_sec_after": scan_after,
+        "scan_speedup": round(scan_before / scan_after, 2),
+        "compact_sec": compact_sec,
+        "absorb_sec_first_batches": batch_sec[:k],
+        "absorb_sec_last_batches": batch_sec[-k:],
+        "absorb_sec_total": round(sum(batch_sec), 2),
+        "content_hash_identical": True,
+    }
+
+
 def main() -> None:
+    if "--compaction" in sys.argv:
+        rep = run_compaction_bench(
+            cores=int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "4")))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Compaction run — {rep['job']}, {rep['docs']} docs "
+                f"absorbed as {rep['batches']} crawl batches, "
+                f"local[{rep['cores']}]\n\n"
+                f"| stage | rows | files before | files after | MB before | MB after |\n"
+                f"|---|---|---|---|---|---|\n"
+            )
+            for st in rep["rows"]:
+                fh.write(
+                    f"| {st} | {rep['rows'][st]} | {rep['files_before'][st]} "
+                    f"| {rep['files_after'][st]} | "
+                    f"{rep['bytes_before'][st] / 1e6:.2f} | "
+                    f"{rep['bytes_after'][st] / 1e6:.2f} |\n"
+                )
+            fh.write(
+                f"\nFull-scan (hash-reduced, min of 3): "
+                f"{rep['full_scan_sec_before']} s before -> "
+                f"{rep['full_scan_sec_after']} s after compaction "
+                f"({rep['scan_speedup']}x); compaction itself cost "
+                f"{rep['compact_sec']} s.  Scan content hash identical "
+                f"before/after (asserted).  Absorb drag as snapshots "
+                f"fragment: first batches "
+                f"{rep['absorb_sec_first_batches']} s vs last batches "
+                f"{rep['absorb_sec_last_batches']} s.\n"
+            )
+        print(json.dumps(rep))
+        return
     if "--scaling-pipeline" in sys.argv:
         low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "1"))
         high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))

@@ -67,6 +67,12 @@ def main() -> None:
                     help="skip the steady-state warmup pass (measured "
                     "time then includes one-time JVM JIT + Python worker "
                     "forks)")
+    ap.add_argument("--compact-after", type=int, default=None,
+                    metavar="N_FILES",
+                    help="after a committed absorb, rewrite any append-"
+                    "grown stage holding more than N_FILES part-files "
+                    "into right-sized files (jobs/kg_compact.py inline; "
+                    "content-identical, fingerprint kept)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -103,6 +109,16 @@ def main() -> None:
         batch_fp=fingerprint_parquet_inputs([args.input]),
         lang=args.lang,
     )
+    if args.compact_after is not None and stats["status"] == "committed":
+        from onto_text_tag_spark.plans.kg_absorb import compact_stage
+        from onto_text_tag_spark.sinks import read_manifest
+
+        compacted = {}
+        for stage in ("mentions", "doc_terms", "triples"):
+            if read_manifest(args.kg, stage)["n_files"] > args.compact_after:
+                sealed = compact_stage(spark, args.kg, stage)
+                compacted[stage] = sealed["metrics"]["compaction"]
+        stats["compacted"] = compacted
     print(json.dumps(stats))
     spark.stop()
 

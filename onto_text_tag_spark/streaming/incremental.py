@@ -171,6 +171,7 @@ def start_kg_update_sink(
     dictionary_rows: list[dict],
     checkpoint_path: str,
     lang: str | None = "en",
+    compact_every: int | None = None,
 ):
     """Continuous crawl ingestion: absorb every micro-batch of pages
     into a KG snapshot root via the staged idempotent commit protocol
@@ -185,14 +186,30 @@ def start_kg_update_sink(
     co-occurrence maintenance feasible where a stream-stream self-join
     is not (module docstring).  Bootstrap an empty root with
     ``plans/kg_absorb.py:init_kg_root`` to build the whole KG from the
-    stream alone."""
-    from onto_text_tag_spark.plans.kg_absorb import absorb_batch
+    stream alone.
+
+    ``compact_every=N`` folds small-files maintenance into the sink:
+    after every Nth COMMITTED epoch the append-grown stages are
+    rewritten into right-sized files (``compact_stage`` — content
+    identical, fingerprint kept).  Replayed epochs hit the absorb
+    no-op and skip compaction entirely, so replays stay pure no-ops."""
+    from onto_text_tag_spark.plans.kg_absorb import (
+        absorb_batch,
+        compact_stage,
+    )
 
     def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
-        absorb_batch(
+        result = absorb_batch(
             batch_df.sparkSession, kg_root, batch_df, dictionary_rows,
             batch_fp=f"stream-epoch-{epoch_id}", lang=lang,
         )
+        if (
+            compact_every
+            and result["status"] == "committed"
+            and (epoch_id + 1) % compact_every == 0
+        ):
+            for stage in ("mentions", "doc_terms", "triples"):
+                compact_stage(batch_df.sparkSession, kg_root, stage)
 
     return (
         documents.writeStream.foreachBatch(_absorb)

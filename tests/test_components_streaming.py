@@ -242,7 +242,8 @@ def test_streaming_kg_update_sink_builds_full_kg(spark, tmp_path):
     b0.write.parquet(src)
 
     q = start_kg_update_sink(
-        read_document_stream(spark, src), kg_root, dict_rows, ckpt
+        read_document_stream(spark, src), kg_root, dict_rows, ckpt,
+        compact_every=1,  # fold small-files maintenance into every epoch
     )
     try:
         q.processAllAvailable()
@@ -273,6 +274,15 @@ def test_streaming_kg_update_sink_builds_full_kg(spark, tmp_path):
     assert got_mention_triples == want_mention_triples
     assert got_edges == want_edges
     assert len(got_edges) > 0
+
+    # compact_every folded maintenance into the sink: compaction
+    # snapshots landed and the stage is back to right-sized files
+    # (content equality above proves compaction changed nothing)
+    from onto_text_tag_spark.sinks import read_manifest
+    log = snapshot_log(kg_root, "triples")
+    assert any("compaction" in (s.get("metrics") or {}) for s in log)
+    assert read_manifest(kg_root, "mentions")["n_files"] == 1
+    assert read_manifest(kg_root, "triples")["n_files"] <= 4
 
     # one snapshot per commit: init + >=1 streamed epoch with rows
     n_snaps = len(snapshot_log(kg_root, "triples"))

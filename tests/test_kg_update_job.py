@@ -86,10 +86,17 @@ def test_incremental_update_equals_full_rebuild(job_tmp, corpora, spark):
     assert built["n_mentions"] > 0
 
     upd = _spark_submit(job_tmp, "kg_update.py", "--no-warmup",
+                        "--compact-after", "1",
                         "--kg", inc_root, "--input", corpora["batch2"])
     assert upd["status"] == "committed"
     assert upd["n_new_docs"] > 0
     assert upd["snapshots"] == 2  # initial build + this batch
+    # --compact-after rewired the append-grown stages inline; the
+    # per-predicate equality below then also proves compaction kept
+    # every row through the job path
+    assert set(upd["compacted"]) == {"mentions", "doc_terms", "triples"}
+    for comp in upd["compacted"].values():
+        assert comp["files_after"] <= comp["files_before"]
 
     rebuilt = _spark_submit(job_tmp, "kg_build.py", "--no-warmup",
                             "--input", corpora["full"],
@@ -112,11 +119,14 @@ def test_incremental_update_equals_full_rebuild(job_tmp, corpora, spark):
 
     # re-submitting the SAME batch is a committed no-op
     again = _spark_submit(job_tmp, "kg_update.py", "--no-warmup",
+                          "--compact-after", "1",
                           "--kg", inc_root, "--input", corpora["batch2"])
     assert again["status"] == "noop_already_committed"
     assert again["n_triples_total"] == rebuilt["n_triples"]
+    assert "compacted" not in again  # no-op absorb skips maintenance too
     from onto_text_tag_spark.sinks import snapshot_log
-    assert len(snapshot_log(inc_root, "triples")) == 2  # no extra commit
+    # build + absorb + compaction; the no-op re-submit added nothing
+    assert len(snapshot_log(inc_root, "triples")) == 3
 
 
 def test_compaction_preserves_content_and_resume(tmp_path, spark):
