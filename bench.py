@@ -629,7 +629,311 @@ def run_compaction_bench(cores: int = 4) -> dict:
     }
 
 
+SKEW_DOCS = int(os.environ.get("SPARK_GRAFT_SKEW_DOCS", "200000"))
+SKEW_VOCAB = int(os.environ.get("SPARK_GRAFT_SKEW_VOCAB", "10000"))
+SKEW_TERMS_PER_DOC = int(os.environ.get("SPARK_GRAFT_SKEW_TPD", "12"))
+SKEW_HEAD_TERMS = int(os.environ.get("SPARK_GRAFT_SKEW_HEAD", "10"))
+SKEW_INDEX_DOCS = int(os.environ.get("SPARK_GRAFT_SKEW_INDEX_DOCS",
+                                     "2000000"))
+
+
+def run_skew_bench(cores: int = 8) -> dict:
+    """Measure head-term skew handling (north_rule: 'partitioning /
+    shuffle / skew handled explicitly'; SURVEY.md §4.1).
+
+    The fixture ontology is ~24 surface forms — far too small to
+    exhibit the skew web-scale tagging produces — so this bench
+    synthesizes the POST-tagging ``(url, curie)`` relation directly at
+    web-like shape: SKEW_VOCAB distinct CURIEs drawn uniformly
+    (tail document-frequency ≈ docs·tpd/vocab) plus SKEW_HEAD_TERMS
+    planted boilerplate terms present in EVERY document (df = 100% —
+    the nav-bar / 'smoke'-class head terms SURVEY §4.1 names; real
+    page chrome repeats a dozen such classes on every page, so the
+    per-doc pair fan-out blows up quadratically: (tpd+head choose 2)
+    vs (tpd choose 2)).  Everything is deterministic (xxhash64 of
+    (url, slot)); the operators measured are the exact ones the
+    pipeline runs (operators/cooccur.py).
+
+    Four co-occurrence physical shapes over the same relation:
+      * engine (joinless collect_set→pair-explode) on the skewed rel;
+      * engine on the clean rel (fan-out cost of the boilerplate);
+      * engine + max_doc_freq cap (mitigation 3: drop stopword-like
+        terms before pairing) — asserted equal to the clean result;
+      * textbook self-join on doc id (SURVEY J2's literal shape) —
+        asserted hash-equal to the engine result.
+    Plus the A1 inverted-index skew trap on its own SKEW_INDEX_DOCS-url
+    relation (one df=100% term + one uniform tail term per url):
+    ``term_index`` (collect_set parity shape — the head term funnels
+    every url into ONE reducer that materializes and sorts the whole
+    array) vs the normalized countDistinct profile (two-phase distinct
+    agg spreads the hot key by (term, url) before counting).
+    """
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.cooccur import (
+        cooccurrence_edges,
+        cooccurrence_edges_from_arrays,
+        doc_term_arrays,
+        term_index,
+    )
+
+    spark = _session(cores)
+    spark.range(1_000_000).select(F.bit_xor(F.xxhash64("id"))).collect()
+
+    docs = spark.range(SKEW_DOCS).select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("id"))
+        .alias("url"))
+    rel_clean = (
+        docs.select(
+            "url",
+            F.explode(F.sequence(F.lit(0), F.lit(SKEW_TERMS_PER_DOC - 1)))
+            .alias("_slot"))
+        .select(
+            "url",
+            F.concat(
+                F.lit("T:"),
+                F.lpad(F.pmod(F.xxhash64("url", "_slot"),
+                              F.lit(SKEW_VOCAB)).cast("string"), 5, "0"),
+            ).alias("curie"))
+    ).cache()
+    n_clean = rel_clean.count()
+    boiler = docs.select(
+        "url",
+        F.explode(F.sequence(F.lit(1), F.lit(SKEW_HEAD_TERMS)))
+        .alias("_b")).select(
+        "url",
+        F.concat(F.lit("BOILER:"),
+                 F.lpad(F.col("_b").cast("string"), 4, "0")).alias("curie"))
+    rel_skew = rel_clean.unionByName(boiler).cache()
+    n_skew = rel_skew.count()
+
+    def _sig(df) -> tuple[int, int]:
+        cols = [F.col(c).cast("string") for c in df.columns]
+        row = df.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(*cols)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def _timed(fn) -> tuple[float, tuple[int, int]]:
+        best, out = None, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3), out
+
+    def _naive_selfjoin(rel):
+        # SURVEY.md §2.3 J2's literal Spark mapping: dedup, self equi-join
+        # on the doc key, canonical-order filter, countDistinct.
+        dt = rel.distinct()
+        a = dt.select(F.col("url"), F.col("curie").alias("src"))
+        b = dt.select(F.col("url"), F.col("curie").alias("dst"))
+        return (
+            a.join(b, "url")
+            .where(F.col("src") < F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.countDistinct("url").alias("weight"))
+        )
+
+    timings: dict[str, float] = {}
+    sigs: dict[str, tuple[int, int]] = {}
+
+    timings["cooccur_engine_skewed"], sigs["cooccur_engine_skewed"] = \
+        _timed(lambda: _sig(cooccurrence_edges(rel_skew)))
+    # the shared-exchange triples plan's weight form (countDistinct —
+    # no map-side combine; see cooccurrence_edges_from_arrays docstring)
+    timings["cooccur_countdistinct_skewed"], \
+        sigs["cooccur_countdistinct_skewed"] = _timed(
+        lambda: _sig(cooccurrence_edges_from_arrays(
+            doc_term_arrays(rel_skew), assume_deduped=False)))
+    timings["cooccur_engine_clean"], sigs["cooccur_engine_clean"] = \
+        _timed(lambda: _sig(cooccurrence_edges(rel_clean)))
+    timings["cooccur_engine_dfcap"], sigs["cooccur_engine_dfcap"] = \
+        _timed(lambda: _sig(cooccurrence_edges(
+            rel_skew, max_doc_freq=SKEW_DOCS // 2)))
+    timings["cooccur_naive_selfjoin"], sigs["cooccur_naive_selfjoin"] = \
+        _timed(lambda: _sig(_naive_selfjoin(rel_skew)))
+
+    # the df cap must drop EXACTLY the planted boilerplate term,
+    # recovering the clean result; the textbook join must agree with the
+    # engine shape bit-for-bit
+    assert sigs["cooccur_engine_dfcap"] == sigs["cooccur_engine_clean"], (
+        sigs)
+    assert sigs["cooccur_naive_selfjoin"] == sigs["cooccur_engine_skewed"], (
+        sigs)
+    assert (sigs["cooccur_countdistinct_skewed"]
+            == sigs["cooccur_engine_skewed"]), sigs
+
+    # A1 inverted-index trap: its own relation, sized so the head
+    # term's collected array is reducer-straggler material (one task
+    # materializes + sorts SKEW_INDEX_DOCS urls while tail groups hold
+    # a few hundred)
+    idx_docs = spark.range(SKEW_INDEX_DOCS).select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("id"))
+        .alias("url"))
+    idx_rel = idx_docs.select(
+        "url", F.lit("BOILER:0001").alias("curie")
+    ).unionByName(idx_docs.select(
+        "url",
+        F.concat(
+            F.lit("T:"),
+            F.lpad(F.pmod(F.xxhash64("url"), F.lit(SKEW_VOCAB))
+                   .cast("string"), 5, "0")).alias("curie"))
+    ).withColumn("pref_label", F.lit(None).cast("string")).cache()
+    n_idx = idx_rel.count()
+    timings["index_collect_set"], sigs["index_collect_set"] = _timed(
+        lambda: _sig(term_index(idx_rel).select(
+            "curie", F.size("docs").alias("n_docs"))))
+    timings["index_normalized"], sigs["index_normalized"] = _timed(
+        lambda: _sig(idx_rel.groupBy("curie").agg(
+            F.countDistinct("url").alias("n_docs"))))
+    assert sigs["index_collect_set"] == sigs["index_normalized"], sigs
+
+    rel_clean.unpersist()
+    rel_skew.unpersist()
+    idx_rel.unpersist()
+    spark.stop()
+    return {
+        "job": "operators/cooccur.py under planted df=100% head terms",
+        "docs": SKEW_DOCS,
+        "vocab": SKEW_VOCAB,
+        "terms_per_doc": SKEW_TERMS_PER_DOC,
+        "head_terms": SKEW_HEAD_TERMS,
+        "index_docs": SKEW_INDEX_DOCS,
+        "index_rel_rows": n_idx,
+        "cores": cores,
+        "rel_rows_clean": n_clean,
+        "rel_rows_skewed": n_skew,
+        "edges_skewed": sigs["cooccur_engine_skewed"][0],
+        "edges_clean": sigs["cooccur_engine_clean"][0],
+        "timings_sec": timings,
+        "naive_equals_engine": True,
+        "dfcap_equals_clean": True,
+    }
+
+
+PR_DOCS = int(os.environ.get("SPARK_GRAFT_PR_DOCS", "2000"))
+
+
+def run_pr_eval(n_docs: int = PR_DOCS, cores: int = 8) -> dict:
+    """Measured triple P/R vs the independent reference matcher —
+    BASELINE.json metric: 'triple P/R >= 0.95 vs reference tags'.
+
+    Reuses the matcher defined in tests/test_precision_recall.py (regex
+    candidate scan + greedy longest-earliest overlap resolution — the
+    OGER / PhraseMatcher(attr='LOWER') + filter_spans spec,
+    re-implemented independently of the engine's Aho-Corasick path) so
+    there is exactly ONE reference implementation, shared between the
+    pytest gate and this recorded measurement."""
+    import importlib.util
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "pr_harness", os.path.join(here, "tests",
+                                   "test_precision_recall.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from onto_text_tag_spark.corpus import documents_df, ontology_df
+    from onto_text_tag_spark.dictionary import (
+        build_dictionary,
+        resolve_collisions,
+    )
+    from onto_text_tag_spark.operators.tagger import tag_documents
+
+    spark = _session(cores)
+    docs = documents_df(spark, n_docs=n_docs)
+    dictionary = resolve_collisions(build_dictionary(ontology_df(spark)))
+
+    t0 = time.perf_counter()
+    mentions = tag_documents(docs, dictionary)
+    got = {
+        (r["url"], r["begin"], r["end"], r["curie"])
+        for r in mentions.collect()
+    }
+    engine_sec = round(time.perf_counter() - t0, 3)
+    want = mod._reference_tags(
+        docs.select("url", "text").collect(),
+        dictionary.select("surface", "id").collect(),
+    )
+    spark.stop()
+    hits = len(got & want)
+    return {
+        "job": "operators/tagger.py vs independent reference matcher "
+               "(tests/test_precision_recall.py spec)",
+        "docs": n_docs,
+        "cores": cores,
+        "engine_mentions": len(got),
+        "reference_mentions": len(want),
+        "precision": round(hits / len(got), 6),
+        "recall": round(hits / len(want), 6),
+        "exact_agreement": got == want,
+        "engine_tag_sec": engine_sec,
+    }
+
+
 def main() -> None:
+    if "--pr" in sys.argv:
+        rep = run_pr_eval()
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Triple P/R vs reference tags — {rep['job']}, "
+                f"{rep['docs']} docs, local[{rep['cores']}]\n\n"
+                f"precision {rep['precision']}, recall {rep['recall']} "
+                f"(bar: >= 0.95); engine emitted {rep['engine_mentions']} "
+                f"mentions, reference {rep['reference_mentions']}; exact "
+                f"agreement: {rep['exact_agreement']}.  The same harness "
+                f"gates every test run "
+                f"(tests/test_precision_recall.py).\n"
+            )
+        print(json.dumps(rep))
+        return
+    if "--skew" in sys.argv:
+        rep = run_skew_bench(
+            cores=int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", "8")))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            t = rep["timings_sec"]
+            fh.write(
+                f"\n## Skew run — {rep['job']}, {rep['docs']} docs × "
+                f"{rep['terms_per_doc']} terms from a {rep['vocab']}-term "
+                f"vocabulary + {rep['head_terms']} boilerplate terms "
+                f"planted in every doc, local[{rep['cores']}] "
+                f"(min of 2 per shape)\n\n"
+                f"| shape | sec |\n|---|---|\n"
+                f"| co-occur, engine (joinless pair-explode, count(*) "
+                f"map-side combine), skewed rel "
+                f"| {t['cooccur_engine_skewed']} |\n"
+                f"| co-occur, countDistinct weight plan (shared-exchange "
+                f"triples form — no map-side combine), skewed rel "
+                f"| {t['cooccur_countdistinct_skewed']} |\n"
+                f"| co-occur, engine, clean rel (no boilerplate terms) "
+                f"| {t['cooccur_engine_clean']} |\n"
+                f"| co-occur, engine + max_doc_freq cap, skewed rel "
+                f"| {t['cooccur_engine_dfcap']} |\n"
+                f"| co-occur, textbook self-join on doc id, skewed rel "
+                f"| {t['cooccur_naive_selfjoin']} |\n"
+                f"| A1 index, collect_set parity shape, "
+                f"{rep['index_rel_rows']}-row head relation "
+                f"| {t['index_collect_set']} |\n"
+                f"| A1 index, normalized countDistinct, same relation "
+                f"| {t['index_normalized']} |\n"
+                f"\nRelation {rep['rel_rows_skewed']} rows skewed / "
+                f"{rep['rel_rows_clean']} clean; edges "
+                f"{rep['edges_skewed']} skewed / {rep['edges_clean']} "
+                f"clean.  Asserted: textbook self-join == engine shape "
+                f"bit-for-bit; max_doc_freq cap drops exactly the planted "
+                f"boilerplate terms (result == clean rel result); "
+                f"collect_set and normalized index agree on doc counts "
+                f"(index relation: one df=100% term over "
+                f"{rep['index_docs']} urls + one uniform tail term "
+                f"per url).\n"
+            )
+        print(json.dumps(rep))
+        return
     if "--compaction" in sys.argv:
         rep = run_compaction_bench(
             cores=int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "4")))

@@ -57,20 +57,37 @@ def cooccurrence_edges_from_arrays(
     min_weight: int = 1,
     max_terms_per_doc: int | None = None,
     doc_col: str = "url",
+    assume_deduped: bool = False,
 ) -> DataFrame:
     """(src, dst, weight) edges from ``doc_term_arrays`` output.
 
-    ``weight`` is computed as ``countDistinct(doc_col)`` — identical to
-    ``count(*)`` here (collect_set dedupes per doc, so each
-    (src, dst, doc) occurs once) but, unlike ``count(*)`` or
-    ``count(doc)`` (which the optimizer rewrites to ``count(1)`` for a
-    non-null column), it keeps ``doc_col`` referenced through the
-    explode chain.  That matters: with doc pruned, this branch's
-    collect_set aggregate outputs ``(_terms)`` while the mention-triple
-    branch's outputs ``(doc, _terms)``, the two union subplans stop
-    canonicalizing equal, and ReusedExchange silently fails — tagging +
-    the corpus-sized shuffle run TWICE (observed via executedPlan;
-    pinned by test_kg plan assertions)."""
+    Two weight plans, identical results on collect_set-built arrays
+    (each (src, dst, doc) occurs at most once — pinned by test_kg):
+
+    ``assume_deduped=False`` (default): ``countDistinct(doc_col)``.
+    Unlike ``count(*)`` or ``count(doc)`` (which the optimizer rewrites
+    to ``count(1)`` for a non-null column), it keeps ``doc_col``
+    referenced through the explode chain.  That matters for the shared
+    triples plan: with doc pruned, this branch's collect_set aggregate
+    outputs ``(_terms)`` while the mention-triple branch's outputs
+    ``(doc, _terms)``, the two union subplans stop canonicalizing
+    equal, and ReusedExchange silently fails — tagging + the
+    corpus-sized shuffle run TWICE (observed via executedPlan; pinned
+    by test_kg plan assertions).
+
+    ``assume_deduped=True``: ``count(*)``.  The caller asserts the
+    arrays hold each term once per doc (true for anything built by
+    ``doc_term_arrays``/collect_set).  This is the STANDALONE scale
+    path: countDistinct plans a two-phase distinct aggregate whose
+    first-phase grouping keys are (src, dst, doc) — all-distinct here,
+    so the partial aggregate reduces NOTHING and the entire exploded
+    pair relation (quadratic in terms-per-doc) crosses the shuffle.
+    ``count(*)`` restores map-side partial aggregation: hot head-term
+    pairs (boilerplate CURIEs on every page, SURVEY §4.1) collapse to
+    one row per pair per partition before the exchange — measured 39.4
+    s → 8.8 s on the planted-head-term skew bench (BENCH/BASELINE.md
+    'Skew run').  Use it whenever the edges are not a branch of the
+    shared-exchange triples plan."""
     if max_terms_per_doc is not None:
         arrays = arrays.where(F.size("_terms") <= max_terms_per_doc)
     pairs = (
@@ -78,9 +95,12 @@ def cooccurrence_edges_from_arrays(
         .select(doc_col, "src", F.explode("_terms").alias("dst"))
         .where(F.col("src") < F.col("dst"))  # P11 + canonical order
     )
+    weight = (
+        F.count("*") if assume_deduped else F.countDistinct(doc_col)
+    )
     return (
         pairs.groupBy("src", "dst")
-        .agg(F.countDistinct(doc_col).alias("weight"))
+        .agg(weight.alias("weight"))
         .where(F.col("weight") >= min_weight)
     )
 
@@ -128,9 +148,12 @@ def cooccurrence_edges(
     terms = (
         dt.groupBy(doc_col).agg(F.collect_set(term_col).alias("_terms"))
     )
+    # assume_deduped is unconditionally safe here: the arrays are built
+    # by the collect_set above, and this standalone form is never a
+    # branch of the shared-exchange triples plan.
     return cooccurrence_edges_from_arrays(
         terms, min_weight=min_weight, max_terms_per_doc=max_terms_per_doc,
-        doc_col=doc_col,
+        doc_col=doc_col, assume_deduped=True,
     )
 
 

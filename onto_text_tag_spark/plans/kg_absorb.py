@@ -223,7 +223,10 @@ def absorb_batch(
     ))
     delta_edges = timed("delta_edges", lambda: run_stage(
         spark, staging, "delta_edges",
-        lambda: cooccurrence_edges_from_arrays(delta_doc_terms),
+        # snapshot-read doc_term_arrays output: deduped per doc, and a
+        # standalone stage (no shared-exchange branch) → count(*) plan
+        lambda: cooccurrence_edges_from_arrays(
+            delta_doc_terms, assume_deduped=True),
         input_fingerprint=batch_fp,
     ))
     old_edges = spark.read.parquet(live_cooccur).select(

@@ -57,6 +57,35 @@ def test_cooccur_frequency_cap(spark, kg):
     assert remaining.isdisjoint(hot)
 
 
+def test_cooccur_weight_plans_agree_and_count_mode_combines(spark, kg):
+    """The two weight plans of cooccurrence_edges_from_arrays are
+    bit-identical on collect_set-built arrays — including under
+    within-doc mention multiplicity, which the collect_set absorbs —
+    and only the count(*) plan gets a map-side partial aggregate (the
+    countDistinct plan's first phase groups by (src, dst, doc), which
+    is all-distinct post-dedup and reduces nothing; see the skew bench
+    in BENCH/BASELINE.md for what that costs under head terms)."""
+    from onto_text_tag_spark.operators.cooccur import (
+        cooccurrence_edges_from_arrays,
+        doc_term_arrays,
+    )
+
+    # duplicate every mention row: multiplicity must not inflate weights
+    m = kg.mentions.unionByName(kg.mentions)
+    arrays = doc_term_arrays(m)
+    dedup = cooccurrence_edges_from_arrays(arrays, assume_deduped=True)
+    exact = cooccurrence_edges_from_arrays(arrays, assume_deduped=False)
+    got_d = {(r["src"], r["dst"]): r["weight"] for r in dedup.collect()}
+    got_e = {(r["src"], r["dst"]): r["weight"] for r in exact.collect()}
+    assert got_d == got_e
+    assert got_d  # non-trivial fixture
+
+    plan_d = dedup._jdf.queryExecution().executedPlan().toString()
+    plan_e = exact._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan_d and "distinct" not in plan_d
+    assert "count(distinct" in plan_e
+
+
 def test_term_index_dedupes(kg):
     idx = term_index(kg.mentions)
     row = idx.where(F.col("curie") == "CHEBI:0011").first()
