@@ -147,8 +147,19 @@ def main() -> None:
         F.lit(None).cast("long").alias("weight"),
     )
     if args.max_doc_freq is None:
+        # doc_terms is a materialized snapshot of collect_set output, so
+        # count(*) ≡ countDistinct(url) and restores the map-side combine
+        # that the countDistinct plan forfeits (its phase-1 keys
+        # (src, dst, url) are all-distinct here and reduce nothing).
+        # Reuse across branches is via the snapshot, not ReusedExchange,
+        # so nothing constrains the weight plan.  Measured on 500k-doc
+        # materialized mentions: the pair exchange collapses from the
+        # full exploded relation to (distinct pairs × partitions) rows —
+        # triples-from-arrays 5.7 s → 1.9-3.2 s (BENCH/BASELINE.md
+        # 'Triples-plan shapes').
         edges = cooccurrence_edges_from_arrays(
-            doc_terms, min_weight=args.min_cooccur_weight
+            doc_terms, min_weight=args.min_cooccur_weight,
+            assume_deduped=True,
         )
     else:
         # The doc-frequency cap filters terms BEFORE pair emission, so
