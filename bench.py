@@ -180,12 +180,17 @@ def _burn(n: int) -> int:  # module-level: Pool.map pickles by reference
     return s
 
 
-def run_scaling(low: int = 2, high: int = 8) -> dict:
+def run_scaling(low: int = 2, high: int = 8, from_html: bool = False) -> dict:
     """The full KG build job (extract → tag → triples → co-occur → closure
     → snapshot writes), submitted via ``spark-submit --py-files`` at two
     parallelism levels over the SAME pre-generated parquet corpus;
     efficiency = (T_low / T_high) / (high / low).  Sandbox evidence for
-    the north_rule's N → 4N executor criterion."""
+    the north_rule's N → 4N executor criterion.
+
+    ``from_html=True`` measures the production raw-HTML path: the job
+    ignores the corpus's materialized text column and runs P1 extraction
+    fused into the tagging batch (kg_build --from-html); output triples
+    are identical by the extractor's byte-identity contract."""
     import shutil
 
     corpus = os.path.join(SCALING_DIR, f"corpus_{SCALING_DOCS}.parquet")
@@ -210,6 +215,7 @@ def run_scaling(low: int = 2, high: int = 8) -> dict:
             stdout = _spark_submit(
                 f"local[{cores}]", "jobs/kg_build.py",
                 "--input", corpus, "--output", out_dir,
+                *(["--from-html"] if from_html else []),
             )
             job = json.loads(
                 [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
@@ -230,7 +236,8 @@ def run_scaling(low: int = 2, high: int = 8) -> dict:
     speedup = results[low]["sec"] / results[high]["sec"]
     efficiency = round(speedup / (high / low), 3)
     return {
-        "job": "jobs/kg_build.py via spark-submit --py-files",
+        "job": "jobs/kg_build.py via spark-submit --py-files"
+        + (" --from-html (raw-HTML production path)" if from_html else ""),
         "corpus_docs": SCALING_DOCS,
         "low_cores": low,
         "high_cores": high,
@@ -1080,10 +1087,13 @@ def main() -> None:
             )
         print(json.dumps(scaling))
         return
-    if "--scaling" in sys.argv:
+    if "--scaling" in sys.argv or "--scaling-extract" in sys.argv:
         low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
         high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
-        scaling = run_scaling(low=low, high=high)
+        scaling = run_scaling(
+            low=low, high=high,
+            from_html="--scaling-extract" in sys.argv,
+        )
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "a") as fh:
             fh.write(

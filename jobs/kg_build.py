@@ -40,6 +40,11 @@ def main() -> None:
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the steady-state warmup pass (measured time "
                     "then includes one-time JVM JIT + Python worker forks)")
+    ap.add_argument("--from-html", action="store_true",
+                    help="ignore any materialized text column and re-extract "
+                    "from html:binary — measures the production raw-HTML "
+                    "path (P1 byte-identical extraction fused into the "
+                    "tagging scan)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -98,7 +103,13 @@ def main() -> None:
     closure_pairs = transitive_closure_rows(isa_pairs)
 
     # --- distributed corpus-sized work -----------------------------------
-    docs = extract_texts(spark.read.parquet(args.input))
+    corpus = spark.read.parquet(args.input)
+    if args.from_html:
+        # P1 fuses into the tagging batch (tag_documents html_col=...):
+        # one Arrow crossing, text never materialized JVM-side
+        docs = corpus.drop("text")
+    else:
+        docs = extract_texts(corpus)
     if args.lang and "lang" in docs.columns:
         docs = docs.where(F.col("lang") == args.lang)
     id_col = "url" if "url" in docs.columns else "doc_id"
@@ -116,7 +127,10 @@ def main() -> None:
     # without this, every triple/count action re-runs the tagging UDF.
     mentions = timed("mentions", lambda: run_stage(
         spark, args.output, "mentions",
-        lambda: tag_documents(docs, dict_rows, id_col=id_col),
+        lambda: tag_documents(
+            docs, dict_rows, id_col=id_col,
+            html_col="html" if args.from_html else None,
+        ),
         input_fingerprint=fp,
     ))
     # row counts come from the stage manifests (parquet footers) — no

@@ -72,12 +72,19 @@ def tag_documents(
     dictionary: DataFrame,
     text_col: str = "text",
     id_col: str = "url",
+    html_col: str | None = None,
 ) -> DataFrame:
     """documents(url, text) × dictionary → mentions DataFrame.
 
     The dictionary DF is collected to the driver (it is small by
     construction — SURVEY.md §1.1 pins it at broadcast scale), compiled,
     and broadcast; matching runs in ``mapInPandas`` batches.
+
+    ``html_col``: tag straight from raw HTML — P1 extraction
+    (byte-identical ``extract_text``) runs INSIDE the tagging batch, so
+    the raw-HTML production path crosses the JVM↔Python Arrow boundary
+    once instead of twice (extract UDF then tag) and the intermediate
+    text column is never shipped back to the JVM.
     """
     spark = documents.sparkSession
     if isinstance(dictionary, DataFrame):
@@ -86,6 +93,26 @@ def tag_documents(
         rows = dictionary
     automaton = compile_dictionary(rows)
     bc = spark.sparkContext.broadcast(automaton)
+
+    if html_col is not None:
+        from onto_text_tag_spark.functions.html_extract import extract_text
+
+        def tag_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ac = bc.value
+            for batch in batches:
+                out: list[tuple] = []
+                for url, html in zip(batch[id_col], batch[html_col]):
+                    if html is None:
+                        continue
+                    if isinstance(html, (bytes, bytearray, memoryview)):
+                        html = bytes(html).decode("utf-8", errors="replace")
+                    out.extend(tag_text(ac, url, extract_text(html)))
+                yield pd.DataFrame(out, columns=MENTION_COLUMNS)
+
+        source = documents.select(
+            F.col(id_col).cast("string").alias(id_col), F.col(html_col)
+        )
+        return source.mapInPandas(tag_batches, schema=MENTIONS)
 
     def tag_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ac = bc.value

@@ -94,3 +94,23 @@ def test_kg_build_clean_then_resume(job_tmp, corpus):
     assert repaired["n_triples"] == clean["n_triples"]
     assert repaired["stage_sec"]["triples"] > 0.0
     assert repaired["stage_sec"]["mentions"] < 1.0  # still skipped
+
+
+def test_kg_build_from_html_identical(job_tmp, corpus, spark):
+    """--from-html re-extracts text inside the tagging batch (P1 fused,
+    one Arrow crossing).  The corpus materializes text byte-identically
+    from html by construction, so the mentions and triples must match
+    the text-column run EXACTLY, row for row."""
+    text_out = os.path.join(job_tmp, "kg_out")  # written by the clean test
+    html_out = os.path.join(job_tmp, "kg_out_fromhtml")
+    shutil.rmtree(html_out, ignore_errors=True)
+    from_html = _spark_submit(
+        job_tmp, "--input", corpus, "--output", html_out, "--from-html"
+    )
+    assert os.path.isdir(os.path.join(text_out, "mentions")), (
+        "run after test_kg_build_clean_then_resume (module-ordered)"
+    )
+    a = spark.read.parquet(os.path.join(text_out, "mentions", "data"))
+    b = spark.read.parquet(os.path.join(html_out, "mentions", "data"))
+    assert a.count() == from_html["n_mentions"] == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
