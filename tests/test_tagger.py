@@ -205,3 +205,30 @@ def test_filter_spans_properties_hypothesis():
             ), (s, kept)
 
     check()
+
+
+def test_fused_html_tagging_plan_prunes_text(spark, tmp_path):
+    """The from-html path must be ONE MapInPandas over a scan that reads
+    only (url, html) — no extract-UDF stage, no shuffle, and the
+    materialized text/lang/warc_ts columns pruned at the parquet scan
+    (at 100 TB the text column is ~half the table)."""
+    from onto_text_tag_spark.corpus import documents_df
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.operators.tagger import tag_documents
+    from onto_text_tag_spark.plans.kg_pipeline import load_ontology_rows
+
+    p = str(tmp_path / "docs.parquet")
+    documents_df(spark, n_docs=30).write.parquet(p)
+    docs = spark.read.parquet(p)
+    rows = build_dictionary_rows(load_ontology_rows(None, None))
+
+    fused = tag_documents(docs.drop("text"), rows, html_col="html")
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<url:string,html:binary>" in plan
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan and "Exchange" not in plan
+
+    text_path = tag_documents(docs, rows)
+    tplan = text_path._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<url:string,text:string>" in tplan
+    assert "html" not in tplan.split("ReadSchema")[1][:60]
