@@ -1,0 +1,76 @@
+"""Plan lint over the ENTIRE driver-contract surface.
+
+Every `queries()` entry is planned against sf0.001 and its optimized
+physical plan is checked for scale antipatterns:
+
+* ``BatchEvalPython`` — a row-at-a-time Python UDF.  The input_hint
+  mandates vectorized pandas/Arrow UDFs throughout ("no per-row
+  Python"); any Python eval must appear as ArrowEvalPython /
+  MapInPandas / FlatMapGroupsInPandas.
+* ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` without an
+  explicit opt-in — an unkeyed join that explodes at scale.  The
+  brute-force similarity queries (sim_topk, emb_neardup, …) DO
+  intentionally cross a small probe set against the corpus via a
+  broadcast nested loop; those are allow-listed and must stay
+  broadcast-side (never a shuffled cartesian).
+
+This is the regression net behind PLANS.md: the audit documents the
+plans, this test fails the build if a future change re-routes one
+through an antipattern.
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries whose SEMANTICS are an all-pairs cross of a small (driver/
+# broadcast-sized) side against the table — BroadcastNestedLoopJoin is
+# the intended physical form for them.
+BNLJ_ALLOWED = {
+    "sim_topk",        # brute-force cosine baseline: 5 probes x corpus
+    "sim_lsh_topk",    # LSH bucket join falls back to BNLJ on tiny probes
+    "sim_ivf_topk",    # IVF probe x assigned cells
+    "sim_ivf_trained", # same, trained centroids
+    "emb_neardup",     # all-pairs near-dup on the small embeddings table
+    "dedup_jaccard",   # pair verify over LSH candidates (tiny at sf0.001)
+    "dedup_word_jaccard",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    import __spark_entry__ as e
+
+    out = {}
+    for name, fn in e.queries().items():
+        df = fn(spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_row_python_udfs(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, (
+        f"row-at-a-time Python UDF planned in: {offenders}; the "
+        "input_hint requires Arrow-vectorized Python only"
+    )
+
+
+def test_no_unkeyed_cross_joins(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "CartesianProduct" in p
+        or ("BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED)
+    ]
+    assert not offenders, (
+        f"unkeyed cross join planned in: {offenders}; either key the "
+        "join or allow-list it with a scale justification"
+    )
+
+
+def test_allowed_bnlj_stay_broadcast(plans):
+    """The intentional all-pairs queries must cross via BROADCAST nested
+    loop (small side shipped), never a shuffled CartesianProduct."""
+    for name in BNLJ_ALLOWED:
+        assert "CartesianProduct" not in plans[name], name
