@@ -232,3 +232,39 @@ def test_fused_html_tagging_plan_prunes_text(spark, tmp_path):
     tplan = text_path._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<url:string,text:string>" in tplan
     assert "html" not in tplan.split("ReadSchema")[1][:60]
+
+
+def test_matcher_equivalence_on_real_reference_dictionary():
+    """TokenIndexMatcher == AhoCorasick on the reference's REAL 3,818-row
+    termlist (static/test_terms.tsv): 3,645 distinct surfaces, 1,336
+    first tokens — exercises trie scale, multiword surfaces with
+    punctuation ('sharaci, black shammah'), and dense candidate overlap
+    far beyond the mini fixture ontology."""
+    import csv
+    import os
+
+    tsv = "/root/reference/static/test_terms.tsv"
+    if not os.path.exists(tsv):
+        import pytest
+
+        pytest.skip("reference absent")
+    from onto_text_tag_spark.corpus import synth_row
+    from onto_text_tag_spark.functions.aho_corasick import build_automaton
+    from onto_text_tag_spark.operators.tagger import compile_dictionary
+
+    rows = [r for r in csv.reader(open(tsv), delimiter="\t") if len(r) == 6]
+    seen = {}
+    for r in rows:
+        s = r[3].strip().lower()
+        if s:
+            seen[s] = {"surface": s, "id": r[2], "name": r[4], "ont": r[1]}
+    dict_rows = list(seen.values())
+    assert len(dict_rows) > 3000
+    tm = compile_dictionary(dict_rows)
+    ac = build_automaton(
+        (d["surface"], (d["id"], d["name"], d["ont"])) for d in dict_rows
+    )
+    for i in range(120):
+        text = synth_row(i, seed=11, min_sents=5, max_sents=25,
+                         filler_prob=0.7)["text"]
+        assert sorted(tm.find(text)) == sorted(ac.find(text))
