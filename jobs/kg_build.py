@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the steady-state warmup pass (measured time "
                     "then includes one-time JVM JIT + Python worker forks)")
+    ap.add_argument("--termlist", default=None,
+                    help="tag from a published 6-col termlist TSV "
+                    "(the reference's dictionary interchange, app.py:57-60) "
+                    "instead of deriving the dictionary from --ontology/"
+                    "--fixture; is-a closure is empty in this mode (the "
+                    "termlist carries no hierarchy)")
     ap.add_argument("--from-html", action="store_true",
                     help="ignore any materialized text column and re-extract "
                     "from html:binary — measures the production raw-HTML "
@@ -92,15 +98,21 @@ def main() -> None:
     t0 = time.time()
 
     # --- driver-side small data: ontology → dictionary + is-a closure ----
-    onto_rows = load_ontology_rows(args.ontology, args.fixture)
+    if args.termlist:
+        from onto_text_tag_spark.sources.termlist_tsv import read_termlist_rows
 
-    dict_rows = build_dictionary_rows(onto_rows)
-    isa_pairs = [
-        (r["curie"], r["parent_curie"])
-        for r in onto_rows
-        if r.get("parent_curie")
-    ]
-    closure_pairs = transitive_closure_rows(isa_pairs)
+        dict_rows = read_termlist_rows(args.termlist)
+        isa_pairs = []  # a termlist carries surfaces, not hierarchy
+        closure_pairs = []
+    else:
+        onto_rows = load_ontology_rows(args.ontology, args.fixture)
+        dict_rows = build_dictionary_rows(onto_rows)
+        isa_pairs = [
+            (r["curie"], r["parent_curie"])
+            for r in onto_rows
+            if r.get("parent_curie")
+        ]
+        closure_pairs = transitive_closure_rows(isa_pairs)
 
     # --- distributed corpus-sized work -----------------------------------
     corpus = spark.read.parquet(args.input)
@@ -114,6 +126,15 @@ def main() -> None:
         docs = docs.where(F.col("lang") == args.lang)
     id_col = "url" if "url" in docs.columns else "doc_id"
     fp = fingerprint_parquet_inputs([args.input])
+    if args.termlist:
+        # the dictionary is an input too: a changed termlist must
+        # invalidate the mentions snapshot on resume
+        import hashlib
+
+        dict_digest = hashlib.md5(
+            repr([(r["surface"], r["id"]) for r in dict_rows]).encode()
+        ).hexdigest()[:16]
+        fp = f"{fp}:termlist={dict_digest}"
 
     stage_sec: dict[str, float] = {"setup": round(time.time() - t0, 2)}
 
