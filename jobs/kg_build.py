@@ -132,7 +132,12 @@ def main() -> None:
         import hashlib
 
         dict_digest = hashlib.md5(
-            repr([(r["surface"], r["id"]) for r in dict_rows]).encode()
+            repr(
+                [
+                    (r["surface"], r["id"], r["name"], r["ont"])
+                    for r in dict_rows
+                ]
+            ).encode()
         ).hexdigest()[:16]
         fp = f"{fp}:termlist={dict_digest}"
 

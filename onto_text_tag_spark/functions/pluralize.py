@@ -66,8 +66,22 @@ _PREPS = frozenset(D.PREP_LIST)
 
 
 def _postprocess(orig: str, inflected: str) -> str:
-    """inflect.postprocess: restore per-word capitalization patterns."""
-    result = inflected.split(" ")
+    """inflect.postprocess: resolve modern|classical alternatives and
+    restore per-word capitalization patterns."""
+    if "|" in inflected:
+        # irregular-table values carry "modern|classical" alternatives;
+        # classical('all') is OFF by default → pick the modern form
+        # (index 0), exactly like inflect.postprocess
+        word_options = inflected.split("|")
+        if len(word_options[0].split(" ")) == len(word_options[1].split(" ")):
+            result = word_options[0].split(" ")
+        else:
+            result = inflected.split(" ")
+            for index, word in enumerate(result):
+                if "|" in word:
+                    result[index] = word.split("|")[0]
+    else:
+        result = inflected.split(" ")
     for index, word in enumerate(orig.split(" ")):
         if word == "I" or index >= len(result):
             continue

@@ -67,9 +67,10 @@ def read_termlist_rows(path: str) -> list[dict]:
 
 def read_termlist(spark: SparkSession, path: str) -> DataFrame:
     """Spark scan of a termlist TSV with the explicit positional schema
-    (never inferSchema).  Quoting is disabled: the reference writes with
-    csv.DictWriter default QUOTE_MINIMAL but OGER and
-    load_ontotermentions read positionally on raw tab splits."""
+    (never inferSchema).  Quote processing stays ON (the '"' default,
+    matching csv.reader above): the reference WRITES the file with
+    csv.DictWriter QUOTE_MINIMAL (app.py:676-678), so de-quoting on read
+    is what round-trips the original field values."""
     return (
         spark.read.option("sep", "\t")
         .option("header", "false")

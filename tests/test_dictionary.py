@@ -147,6 +147,8 @@ def test_pluralizer_fuzz_vs_real_inflect():
              "woman", "analysis", "fish", "index", "leaf", "quid",
              "delivery", "Society", "snus", "FEV1", "drug", "drugs",
              "benzenes", "photo", "hero", "branch", "box", "quiz",
+             "thief", "corpus", "octopus", "cow", "hoof", "genie",
+             "atlas", "brother", "money", "formula",
              "life", "foot", "mouse", "person", "criterion", "datum"]
     glue = ["of", "per", "a", "with", "on", "to", "and", "general",
             "evaluation", "human", "-", "degree"]
@@ -163,9 +165,12 @@ def test_pluralizer_fuzz_vs_real_inflect():
     phrases = sorted(phrases)
     script = (
         "import sys, json; sys.path.insert(0, %r); import inflect; "
-        "e = inflect.engine(); "
-        "print(json.dumps([e.plural(p) for p in json.load(sys.stdin)]))"
-        % _VENDORED_INFLECT
+        "e = inflect.engine()\n"
+        "out = []\n"
+        "for p in json.load(sys.stdin):\n"
+        "    try: out.append(e.plural(p))\n"
+        "    except Exception: out.append(None)\n"
+        "print(json.dumps(out))" % _VENDORED_INFLECT
     )
     out = subprocess.run(
         [sys.executable, "-c", script], input=json.dumps(phrases),
@@ -173,8 +178,31 @@ def test_pluralizer_fuzz_vs_real_inflect():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     expected = json.loads(out.stdout)
+    # None = real inflect RAISED on that phrase; the reference wraps
+    # plural() in try/except and just drops the plural row (app.py:
+    # 630-637), so any non-crashing output from the port is acceptable
     mismatches = [
         (p, e, plural(p)) for p, e in zip(phrases, expected)
-        if plural(p) != e
+        if e is not None and plural(p) != e
     ]
     assert mismatches == [], mismatches[:20]
+
+
+def test_pluralizer_resolves_classical_alternatives():
+    """Irregular-table entries carry 'modern|classical' alternatives;
+    with classical('all') off (inflect's default) the modern form wins —
+    the raw alternatives string must never leak into a surface form.
+    Expected values verified against real inflect 7.3.1."""
+    from onto_text_tag_spark.functions.pluralize import plural
+
+    cases = {
+        "thief": "thiefs", "corpus": "corpuses", "octopus": "octopuses",
+        "cow": "cows", "hoof": "hoofs", "genie": "genies",
+        "atlas": "atlases", "prima donna": "prima donnas",
+        "brother": "brothers", "child of a thief": "children of thiefs",
+        "data corpus": "data corpuses", "Thief": "Thiefs",
+        "money": "monies", "quid": "quid", "formula": "formulas",
+    }
+    got = {k: plural(k) for k in cases}
+    assert got == cases
+    assert not any("|" in v for v in got.values())

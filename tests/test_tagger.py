@@ -240,7 +240,6 @@ def test_matcher_equivalence_on_real_reference_dictionary():
     first tokens — exercises trie scale, multiword surfaces with
     punctuation ('sharaci, black shammah'), and dense candidate overlap
     far beyond the mini fixture ontology."""
-    import csv
     import os
 
     tsv = "/root/reference/static/test_terms.tsv"
@@ -251,14 +250,9 @@ def test_matcher_equivalence_on_real_reference_dictionary():
     from onto_text_tag_spark.corpus import synth_row
     from onto_text_tag_spark.functions.aho_corasick import build_automaton
     from onto_text_tag_spark.operators.tagger import compile_dictionary
+    from onto_text_tag_spark.sources.termlist_tsv import read_termlist_rows
 
-    rows = [r for r in csv.reader(open(tsv), delimiter="\t") if len(r) == 6]
-    seen = {}
-    for r in rows:
-        s = r[3].strip().lower()
-        if s:
-            seen[s] = {"surface": s, "id": r[2], "name": r[4], "ont": r[1]}
-    dict_rows = list(seen.values())
+    dict_rows = read_termlist_rows(tsv)
     assert len(dict_rows) > 3000
     tm = compile_dictionary(dict_rows)
     ac = build_automaton(
