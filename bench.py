@@ -732,8 +732,11 @@ def run_skew_bench(cores: int = 8) -> dict:
     relation (one df=100% term + one uniform tail term per url):
     ``term_index`` (collect_set parity shape — the head term funnels
     every url into ONE reducer that materializes and sorts the whole
-    array) vs the normalized countDistinct profile (two-phase distinct
-    agg spreads the hot key by (term, url) before counting).
+    array) vs ``term_index_salted`` (salted repartitioning: stage 1
+    groups on (term, xxhash64(url) % 4·cores) spreading the hot key,
+    stage 2 concatenates the pre-deduped partial arrays — same output,
+    asserted) vs the normalized countDistinct profile (two-phase
+    distinct agg spreads the hot key by (term, url) before counting).
     """
     from pyspark.sql import functions as F
 
@@ -742,6 +745,7 @@ def run_skew_bench(cores: int = 8) -> dict:
         cooccurrence_edges_from_arrays,
         doc_term_arrays,
         term_index,
+        term_index_salted,
     )
 
     spark = _session(cores)
@@ -853,10 +857,17 @@ def run_skew_bench(cores: int = 8) -> dict:
     timings["index_collect_set"], sigs["index_collect_set"] = _timed(
         lambda: _sig(term_index(idx_rel).select(
             "curie", F.size("docs").alias("n_docs"))))
+    # salted repartitioning (north_star's named mitigation): stage 1
+    # groups on (term, xxhash64(url) % B) so the df=100% term spreads
+    # over B reducers; stage 2 concatenates B pre-deduped partial arrays
+    timings["index_salted"], sigs["index_salted"] = _timed(
+        lambda: _sig(term_index_salted(idx_rel, salt_buckets=cores * 4)
+                     .select("curie", F.size("docs").alias("n_docs"))))
     timings["index_normalized"], sigs["index_normalized"] = _timed(
         lambda: _sig(idx_rel.groupBy("curie").agg(
             F.countDistinct("url").alias("n_docs"))))
     assert sigs["index_collect_set"] == sigs["index_normalized"], sigs
+    assert sigs["index_salted"] == sigs["index_collect_set"], sigs
 
     rel_clean.unpersist()
     rel_skew.unpersist()
@@ -986,6 +997,9 @@ def main() -> None:
                 f"| A1 index, collect_set parity shape, "
                 f"{rep['index_rel_rows']}-row head relation "
                 f"| {t['index_collect_set']} |\n"
+                f"| A1 index, salted two-stage collect "
+                f"(xxhash64(url) % {rep['cores'] * 4}), same relation "
+                f"| {t['index_salted']} |\n"
                 f"| A1 index, normalized countDistinct, same relation "
                 f"| {t['index_normalized']} |\n"
                 f"\nRelation {rep['rel_rows_skewed']} rows skewed / "
@@ -994,7 +1008,8 @@ def main() -> None:
                 f"clean.  Asserted: textbook self-join == engine shape "
                 f"bit-for-bit; max_doc_freq cap drops exactly the planted "
                 f"boilerplate terms (result == clean rel result); "
-                f"collect_set and normalized index agree on doc counts "
+                f"collect_set, salted, and normalized index agree on doc "
+                f"counts "
                 f"(index relation: one df=100% term over "
                 f"{rep['index_docs']} urls + one uniform tail term "
                 f"per url).\n"

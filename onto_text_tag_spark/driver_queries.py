@@ -507,6 +507,35 @@ FROM mention_rows GROUP BY curie
 """
 
 
+def q_kg_term_index_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 inverted index via ``term_index_salted`` — the salted-
+    repartitioning shape (stage 1 groups on (term, xxhash64(doc) % B)).
+    The materialized sorted doc array is flattened to a '|'-joined
+    string so the oracle checks the EXACT doc-list content, not just
+    counts: any dropped/duplicated/misordered doc under salting would
+    hash-mismatch."""
+    from onto_text_tag_spark.operators.cooccur import term_index_salted
+
+    m = _mentions(spark, sf_dir)
+    idx = term_index_salted(m, doc_col="url", term_col="curie",
+                            salt_buckets=8)
+    return idx.select(
+        "curie",
+        F.col("doc_count"),
+        F.concat_ws("|", F.col("docs")).alias("doc_list"),
+    )
+
+
+def sql_kg_term_index_salted() -> str:
+    return f"""
+WITH {_MENTIONS_CTE}
+SELECT curie,
+       count(DISTINCT doc_id) AS doc_count,
+       string_agg(DISTINCT doc_id, '|' ORDER BY doc_id) AS doc_list
+FROM mention_rows GROUP BY curie
+"""
+
+
 def q_kg_isa_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto = driver_ontology_df(spark)
     edges = onto.where(F.col("parent_curie").isNotNull()).select(
@@ -1385,6 +1414,7 @@ QUERIES = {
     "kg_links": q_kg_links,
     "kg_nodes": q_kg_nodes,
     "kg_term_index": q_kg_term_index,
+    "kg_term_index_salted": q_kg_term_index_salted,
     "kg_isa_closure": q_kg_isa_closure,
     "kg_descendants": q_kg_descendants,
     "canon_components": q_canon_components,
@@ -1423,6 +1453,7 @@ ORACLES = {
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),
     "kg_term_index": sql_kg_term_index(),
+    "kg_term_index_salted": sql_kg_term_index_salted(),
     "kg_isa_closure": sql_kg_isa_closure(),
     "kg_descendants": sql_kg_descendants(),
     "canon_components": sql_canon_components(),

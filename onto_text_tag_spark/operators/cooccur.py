@@ -214,3 +214,53 @@ def term_index(mentions: DataFrame, doc_col: str = "url",
             F.countDistinct(doc_col).alias("doc_count"),
         )
     )
+
+
+def term_index_salted(mentions: DataFrame, doc_col: str = "url",
+                      term_col: str = "curie",
+                      salt_buckets: int = 32) -> DataFrame:
+    """A1 inverted index via salted repartitioning — the scale form of
+    ``term_index`` when the materialized doc array is actually wanted
+    (same output schema and values; equality pinned in tests).
+
+    ``term_index``'s single ``collect_set`` funnels every row of a head
+    term (df → 100% boilerplate CURIEs, SURVEY.md §4.1) into ONE reducer
+    that builds the set row by row — the classic hot-key straggler.
+    Salting splits the hot group by ``xxhash64(doc) % salt_buckets``
+    BEFORE the exchange:
+
+    * stage 1 groups on ``(term, salt)`` — the head term's rows spread
+      over ``salt_buckets`` reducers, each collecting a partial set;
+    * stage 2 regroups the ≤ ``salt_buckets`` partial arrays per term
+      and concatenates — per-row aggregate work is gone, the final
+      reducer appends a handful of pre-deduped blobs and sorts once.
+
+    Because the salt is a pure function of the doc key, a doc lands in
+    exactly one bucket per term: the flattened concatenation is already
+    distinct, so ``doc_count = size(docs)`` without a second distinct
+    pass.  Choose ``salt_buckets`` ≈ the cluster's reducer slots; tail
+    terms pay one extra tiny exchange, which is the usual salting rent.
+    """
+    partial = (
+        mentions.select(
+            term_col, doc_col,
+            F.col("pref_label") if "pref_label" in mentions.columns
+            else F.lit(None).cast("string").alias("pref_label"))
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(doc_col)), F.lit(salt_buckets)))
+        .groupBy(term_col, "_salt")
+        .agg(
+            F.collect_set(doc_col).alias("_docs_part"),
+            F.first("pref_label", ignorenulls=True).alias("_label_part"),
+        )
+    )
+    return (
+        partial.groupBy(term_col)
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("_docs_part")))
+            .alias("docs"),
+            F.first("_label_part", ignorenulls=True).alias("pref_label"),
+        )
+        .withColumn("doc_count", F.size("docs").cast("long"))
+    )

@@ -94,6 +94,28 @@ def test_term_index_dedupes(kg):
     assert row["docs"] == sorted(row["docs"])
 
 
+def test_term_index_salted_equals_plain(kg):
+    """Salted two-stage collect must be value-identical to the plain
+    collect_set shape — same schema, same sorted doc arrays, same
+    counts — at every bucket width (incl. 1 = degenerate no-salt)."""
+    from onto_text_tag_spark.operators.cooccur import term_index_salted
+
+    plain = term_index(kg.mentions)
+    base = {r["curie"]: (r["docs"], r["pref_label"], r["doc_count"])
+            for r in plain.collect()}
+    assert base
+    for buckets in (1, 4, 32):
+        salted = term_index_salted(kg.mentions, salt_buckets=buckets)
+        assert salted.columns == plain.columns
+        got = {r["curie"]: (r["docs"], r["pref_label"], r["doc_count"])
+               for r in salted.collect()}
+        assert got == base, f"salt_buckets={buckets}"
+    # two exchanges, neither keyed on the bare hot term alone
+    plan = term_index_salted(kg.mentions)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "_salt" in plan
+
+
 def test_transitive_closure(spark):
     edges = isa_edges_from_ontology(ontology_df(spark))
     closure = transitive_closure(edges)
