@@ -558,6 +558,140 @@ def run_scaling_update(low: int = 1, high: int = 4) -> dict:
     }
 
 
+def _dedup_live_sig(root: str) -> tuple[int, int]:
+    """(count, xor-hash) of a dedup root's LIVE id set — the ``deduped``
+    stage minus the merge-on-read ``demoted`` delete set — computed with
+    DuckDB straight off the stage parquet: the bench's equality assert
+    is independent of the engine under test."""
+    import duckdb
+
+    con = duckdb.connect()
+    ded = os.path.join(root, "deduped", "data", "**", "*.parquet")
+    q = f"SELECT url FROM read_parquet('{ded}')"
+    dem_dir = os.path.join(root, "demoted", "data")
+    has_dem = os.path.isdir(dem_dir) and any(
+        f.endswith(".parquet")
+        for _d, _s, fs in os.walk(dem_dir) for f in fs
+    )
+    if has_dem:
+        dem = os.path.join(dem_dir, "**", "*.parquet")
+        q += f" WHERE url NOT IN (SELECT url FROM read_parquet('{dem}'))"
+    row = con.execute(
+        f"SELECT count(*), coalesce(bit_xor(hash(url)), 0) FROM ({q})"
+    ).fetchone()
+    return int(row[0]), int(row[1])
+
+
+def run_scaling_dedup_update(low: int = 1, high: int = 4) -> dict:
+    """Incremental corpus-dedup absorb (jobs/dedup_update.py) at two
+    parallelism levels: the delta job's own scaling number plus the
+    absorb-cost ratio vs a full dedup_corpus rebuild over the union at
+    the same cores.  The incremental root's LIVE id set (deduped ∖
+    demoted) is asserted hash-identical to the rebuild's output —
+    DuckDB reads the stage parquet directly, so the check is
+    engine-independent."""
+    import shutil
+
+    def _gen(path: str, n: int, id_start: int = 0) -> None:
+        if os.path.exists(path):
+            return
+        _spark_submit(
+            f"local[{high}]", "jobs/gen_corpus.py",
+            "--n-docs", str(n), "--id-start", str(id_start),
+            "--output", path, "--dup-frac", DEDUP_DUP_FRAC,
+            "--partitions", str(high * 4),
+        )
+
+    sfx = f"dup{DEDUP_DUP_FRAC}"
+    base = os.path.join(SCALING_DIR,
+                        f"corpus_{DEDUP_SCALING_DOCS}_{sfx}.parquet")
+    delta = os.path.join(
+        SCALING_DIR, f"corpus_delta_{UPDATE_DELTA_DOCS}_{sfx}.parquet")
+    union = os.path.join(
+        SCALING_DIR,
+        f"corpus_union_{DEDUP_SCALING_DOCS + UPDATE_DELTA_DOCS}_{sfx}"
+        ".parquet")
+    _gen(base, DEDUP_SCALING_DOCS)
+    _gen(delta, UPDATE_DELTA_DOCS, id_start=DEDUP_SCALING_DOCS)
+    _gen(union, DEDUP_SCALING_DOCS + UPDATE_DELTA_DOCS)
+
+    def _last_json(out: str) -> dict:
+        return json.loads(
+            [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        )
+
+    best: dict[int, dict] = {}
+    fixed: dict[int, dict] = {}
+    for _rep in range(max(2, SCALING_REPEATS - 1)):
+        for cores in (low, high):  # interleaved: see run_scaling
+            if cores not in fixed:
+                base_root = os.path.join(SCALING_DIR, f"dupd_base_c{cores}")
+                shutil.rmtree(base_root, ignore_errors=True)
+                b = _last_json(_spark_submit(
+                    f"local[{cores}]", "jobs/dedup_corpus.py",
+                    "--input", base, "--output", base_root))
+                full_root = os.path.join(SCALING_DIR, f"dupd_full_c{cores}")
+                shutil.rmtree(full_root, ignore_errors=True)
+                fr = _last_json(_spark_submit(
+                    f"local[{cores}]", "jobs/dedup_corpus.py",
+                    "--input", union, "--output", full_root))
+                full_sig = _dedup_live_sig(full_root)
+                shutil.rmtree(full_root, ignore_errors=True)
+                fixed[cores] = {
+                    "base_root": base_root,
+                    "base_dedup_sec": b["sec"],
+                    "rebuild_sec": fr["sec"],
+                    "rebuild_docs_out": fr["n_docs_out"],
+                    "rebuild_sig": full_sig,
+                }
+            fx = fixed[cores]
+            work = os.path.join(SCALING_DIR, f"dupd_work_c{cores}")
+            shutil.rmtree(work, ignore_errors=True)
+            shutil.copytree(fx["base_root"], work)
+            upd = _last_json(_spark_submit(
+                f"local[{cores}]", "jobs/dedup_update.py",
+                "--dedup", work, "--base-input", base, "--input", delta))
+            live_sig = _dedup_live_sig(work)
+            shutil.rmtree(work, ignore_errors=True)
+            assert live_sig == fx["rebuild_sig"], (
+                f"incremental dedup diverged from full rebuild: "
+                f"{live_sig} != {fx['rebuild_sig']}")
+            job = {
+                "sec": upd["sec"],
+                "stage_sec": upd.get("stage_sec"),
+                "new_docs": upd["n_batch_docs"],
+                "docs_per_sec": round(upd["n_batch_docs"] / upd["sec"], 1),
+                "survivors": upd["n_batch_survivors"],
+                "demoted_base": upd["n_demoted_base"],
+                "docs_live": upd["n_docs_live"],
+                "base_dedup_sec": fx["base_dedup_sec"],
+                "rebuild_sec": fx["rebuild_sec"],
+                "absorb_ratio": round(upd["sec"] / fx["rebuild_sec"], 3),
+            }
+            if cores not in best or job["sec"] < best[cores]["sec"]:
+                best[cores] = job
+    for cores in best:
+        shutil.rmtree(
+            os.path.join(SCALING_DIR, f"dupd_base_c{cores}"),
+            ignore_errors=True)
+    speedup = best[low]["sec"] / best[high]["sec"]
+    return {
+        "job": "jobs/dedup_update.py (incremental corpus-dedup absorb) "
+               "via spark-submit --py-files",
+        "base_docs": DEDUP_SCALING_DOCS,
+        "delta_docs": UPDATE_DELTA_DOCS,
+        "dup_frac": float(DEDUP_DUP_FRAC),
+        "low_cores": low,
+        "high_cores": high,
+        "results": {str(k): v for k, v in best.items()},
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(speedup / (high / low), 3),
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 COMPACT_DOCS = int(os.environ.get("SPARK_GRAFT_COMPACT_DOCS", "120000"))
 COMPACT_BATCHES = int(os.environ.get("SPARK_GRAFT_COMPACT_BATCHES", "48"))
 
@@ -1119,6 +1253,50 @@ def main() -> None:
                 f"\nabsorb ratio = incremental update sec / full-rebuild "
                 f"sec over the union corpus at the same cores (outputs "
                 f"asserted identical: triple totals match the rebuild).\n"
+            )
+            cap = scaling["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, units/sec "
+                "by process count):\n\n"
+                f"{json.dumps(cap)}\n"
+            )
+        print(json.dumps(scaling))
+        return
+    if "--scaling-dedup-update" in sys.argv:
+        low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "1"))
+        high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
+        scaling = run_scaling_dedup_update(low=low, high=high)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Scaling run — {scaling['job']}, base "
+                f"{scaling['base_docs']} docs + delta "
+                f"{scaling['delta_docs']} docs, dup_frac="
+                f"{scaling['dup_frac']}\n\n"
+                f"| cores | update sec | new docs | docs/sec | survivors "
+                f"| demoted base | rebuild sec | absorb ratio | "
+                f"stage_sec |\n"
+                f"|---|---|---|---|---|---|---|---|---|\n"
+            )
+            for cores, r in scaling["results"].items():
+                st = ", ".join(
+                    f"{k} {v}" for k, v in (r.get("stage_sec") or {}).items()
+                )
+                fh.write(
+                    f"| local[{cores}] | {r['sec']} | {r['new_docs']} | "
+                    f"{r['docs_per_sec']} | {r['survivors']} | "
+                    f"{r['demoted_base']} | {r['rebuild_sec']} | "
+                    f"{r['absorb_ratio']} | {st} |\n"
+                )
+            fh.write(
+                f"\nspeedup {scaling['low_cores']}->{scaling['high_cores']} "
+                f"cores: {scaling['speedup']}x; scaling efficiency: "
+                f"{scaling['scaling_efficiency']}\n"
+                f"\nabsorb ratio = incremental dedup-update sec / full "
+                f"dedup_corpus rebuild sec over the union corpus at the "
+                f"same cores.  The incremental root's live id set "
+                f"(deduped ∖ demoted) is asserted HASH-identical to the "
+                f"rebuild's output, via DuckDB over the stage parquet.\n"
             )
             cap = scaling["host_capacity_units_per_sec"]
             fh.write(

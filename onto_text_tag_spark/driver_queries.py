@@ -1338,6 +1338,94 @@ SELECT node, min(m) AS comp FROM reach GROUP BY node
 """
 
 
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Incremental cluster-merge algebra (jobs/dedup_update.py):
+    CC over a deterministic BASE edge set, then
+    ``merge_components`` with a DELTA edge batch — must equal CC over
+    the union edge set, which is exactly what the oracle computes.
+
+    Edge construction (pure md5 functions, replayed in SQL): base =
+    star edges within substr(md5(id), 1, 2) groups (256 fixed buckets —
+    group and component sizes stay O(docs/256) at every scale factor,
+    so the oracle's recursive closure stays bounded); delta = star
+    edges within substr(md5(id||'#d'), 1, 2) groups over the ~10% of
+    docs with md5(id) % 10 == 0 — an overlapping partition, so delta
+    stars BRIDGE base components (the demotion-heavy merge case)."""
+    from onto_text_tag_spark.functions.hashing import md5_long
+    from onto_text_tag_spark.operators.components import (
+        connected_components,
+        merge_components,
+    )
+
+    ids = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("id")
+    )
+
+    def star(df: DataFrame, grp) -> DataFrame:
+        return (
+            df.select("id", grp.alias("g"))
+            .groupBy("g")
+            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+            .where(F.size("ids") > 1)
+            .select(
+                F.element_at("ids", 1).alias("src"),
+                F.explode(
+                    F.expr("slice(ids, 2, size(ids) - 1)")
+                ).alias("dst"),
+            )
+        )
+
+    def hexgrp(col):
+        return F.substring(F.md5(col.cast("binary")), 1, 2)
+
+    base_edges = star(ids, hexgrp(F.col("id")))
+    delta_ids = ids.where(md5_long(F.col("id")) % 10 == 0)
+    delta_edges = star(
+        delta_ids, hexgrp(F.concat(F.col("id"), F.lit("#d")))
+    )
+    base_cc = connected_components(base_edges)
+    return merge_components(base_cc, delta_edges)
+
+
+def sql_dedup_clusters_incremental() -> str:
+    from onto_text_tag_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("id")
+    return f"""
+WITH RECURSIVE
+ ids AS (SELECT DISTINCT doc_id::VARCHAR AS id FROM documents),
+ b AS (SELECT id, substr(md5(id), 1, 2) AS g FROM ids),
+ base_reps AS (SELECT g, min(id) AS rep FROM b GROUP BY g),
+ base_edges AS (
+   SELECT r.rep AS src, b.id AS dst
+   FROM b JOIN base_reps r USING (g) WHERE b.id <> r.rep
+ ),
+ d AS (
+   SELECT id, substr(md5(id || '#d'), 1, 2) AS g FROM ids
+   WHERE {h} % 10 = 0
+ ),
+ delta_reps AS (SELECT g, min(id) AS rep FROM d GROUP BY g),
+ delta_edges AS (
+   SELECT r.rep AS src, d.id AS dst
+   FROM d JOIN delta_reps r USING (g) WHERE d.id <> r.rep
+ ),
+ alledges AS (
+   SELECT src, dst FROM base_edges
+   UNION SELECT src, dst FROM delta_edges
+ ),
+ und(a, bb) AS (
+   SELECT src, dst FROM alledges UNION SELECT dst, src FROM alledges
+ ),
+ reach(node, m) AS (
+   SELECT a, a FROM und
+   UNION
+   SELECT r.node, u.bb FROM reach r JOIN und u ON r.m = u.a
+ )
+SELECT node, min(m) AS comp FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal: binary payload columns, decode plumbing, frame sampling
 # ---------------------------------------------------------------------------
@@ -1419,6 +1507,7 @@ QUERIES = {
     "kg_descendants": q_kg_descendants,
     "canon_components": q_canon_components,
     "graph_components": q_graph_components,
+    "dedup_clusters_incremental": q_dedup_clusters_incremental,
     "text_profile": q_text_profile,
     "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
@@ -1458,6 +1547,7 @@ ORACLES = {
     "kg_descendants": sql_kg_descendants(),
     "canon_components": sql_canon_components(),
     "graph_components": sql_graph_components(),
+    "dedup_clusters_incremental": sql_dedup_clusters_incremental(),
     "text_profile": sql_text_profile(),
     "corpus_rollup": sql_corpus_rollup(),
     "dedup_exact": sql_dedup_exact(),

@@ -154,6 +154,62 @@ def connected_components(
     return labels.select("node", "comp")
 
 
+def merge_components(
+    base_clusters: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Merge a batch of NEW edges into an existing ``(node, comp)``
+    component map, exactly as if connected components had been rerun
+    over the union edge set — without touching the base edges.
+
+    The incremental-dedup cluster algebra: because ``comp`` is the min
+    node id of its component, contracting every base endpoint of a new
+    edge to its component representative preserves connectivity AND
+    minima — CC over the contracted (delta-sized) mini graph therefore
+    yields the same labels a full CC over base ∪ delta edges would.
+    The mini graph's nodes are delta ids, base representatives, and
+    previously-singleton base ids; base members of merged components
+    are relabeled through their old representative.
+
+    Cost: two narrow joins of the (delta-sized) edge batch against the
+    (duplicate-sized, ≪ corpus) cluster map, CC over the mini graph,
+    one remap join of the map — the base corpus and base edge history
+    are never read.
+
+    Equality with CC over the union edge set is pinned by tests and
+    oracle-checked by the ``dedup_clusters_incremental`` driver query.
+    """
+    m_src = base_clusters.select(
+        F.col("node").alias(src), F.col("comp").alias("_c_src")
+    )
+    m_dst = base_clusters.select(
+        F.col("node").alias(dst), F.col("comp").alias("_c_dst")
+    )
+    contracted = (
+        new_edges.select(src, dst)
+        .join(m_src, src, "left")
+        .join(m_dst, dst, "left")
+        .select(
+            F.coalesce("_c_src", F.col(src)).alias("src"),
+            F.coalesce("_c_dst", F.col(dst)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    mini = connected_components(contracted)
+    remap = mini.select(
+        F.col("node").alias("comp"), F.col("comp").alias("_newcomp")
+    )
+    updated = base_clusters.join(remap, "comp", "left").select(
+        "node", F.coalesce("_newcomp", F.col("comp")).alias("comp")
+    )
+    extra = mini.join(
+        base_clusters.select("node"), "node", "left_anti"
+    ).select("node", "comp")
+    return updated.unionByName(extra)
+
+
 def canonicalize_surfaces(
     surfaces: DataFrame,
     surface_col: str = "surface",

@@ -297,6 +297,36 @@ def shingle_hashes_np(documents: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) band-key rows from an (id, sig) frame — the
+    banding step of MinHash-LSH, shared by the batch candidate pass and
+    the incremental delta-vs-base pass (identical keys by construction,
+    which is what makes incremental banding rebuild-equivalent)."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        md5_long(
+                            F.expr(
+                                f"array_join(transform(slice(sig, "
+                                f"{b * rows_per_band + 1}, {rows_per_band}), "
+                                f"x -> cast(x as string)), ',')"
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def lsh_candidate_pairs(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -321,7 +351,6 @@ def lsh_candidate_pairs(
     prior stage snapshot; by default signatures are derived here with
     the oracle-reproducible md5 family.
     """
-    rows_per_band = num_hashes // bands
     if signatures is not None:
         sigs = signatures.select(F.col(id_col).alias("id"), "sig")
     else:
@@ -331,26 +360,7 @@ def lsh_candidate_pairs(
             F.col(id_col).alias("id"),
             minhash_signature("_shingles", num_hashes).alias("sig"),
         )
-    band_rows = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        md5_long(
-                            F.expr(
-                                f"array_join(transform(slice(sig, "
-                                f"{b * rows_per_band + 1}, {rows_per_band}), "
-                                f"x -> cast(x as string)), ',')"
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    band_rows = _band_rows(sigs, num_hashes, bands)
 
     # Joinless bucket expansion (same shape as cooccur.py): a self-join
     # on (band, bucket) would evaluate the expensive signature subplan
@@ -374,6 +384,116 @@ def lsh_candidate_pairs(
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def incremental_lsh_pairs(
+    base_signatures: DataFrame,
+    delta_signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 200,
+    broadcast_delta_buckets: bool = True,
+) -> DataFrame:
+    """LSH candidate pairs INVOLVING at least one delta doc, against an
+    already-fingerprinted base corpus — the recall stage of incremental
+    dedup (a crawl delta must never re-band, let alone re-shingle, the
+    base corpus).
+
+    Rebuild-equivalence: band keys are pure functions of the signature
+    (``_band_rows``), so the union of base and delta band rows is
+    exactly what a full rebuild over base ∪ delta would bucket.  This
+    pass groups that union per bucket — with the SAME size cap a
+    rebuild would apply to the union bucket — and emits only the pairs
+    a rebuild would add: those with ≥ 1 delta endpoint (base-base pairs
+    are committed history in the base root).
+
+    Scale shape: the base side never ships its corpus — only (id, band,
+    bucket) rows, and only for buckets that contain a delta member: the
+    delta's distinct bucket-key set (delta-sized × bands) is broadcast
+    and semi-joins the base band rows before the one grouping shuffle.
+    Set ``broadcast_delta_buckets=False`` for deltas too large to
+    broadcast (the semi-join then shuffles both sides on the bucket
+    key — still narrow rows).
+    """
+    d_bands = _band_rows(
+        delta_signatures.select(F.col(id_col).alias("id"), "sig"),
+        num_hashes, bands,
+    )
+    b_bands = _band_rows(
+        base_signatures.select(F.col(id_col).alias("id"), "sig"),
+        num_hashes, bands,
+    )
+    delta_buckets = d_bands.select("band", "bucket").distinct()
+    if broadcast_delta_buckets:
+        delta_buckets = F.broadcast(delta_buckets)
+    b_touched = b_bands.join(delta_buckets, ["band", "bucket"], "left_semi")
+    union = b_touched.withColumn("_new", F.lit(False)).unionByName(
+        d_bands.withColumn("_new", F.lit(True))
+    )
+    buckets = union.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list(F.struct("id", "_new"))).alias("ids")
+    )
+    buckets = buckets.where(F.size("ids") > 1)
+    if max_bucket_size is not None:
+        # the cap a rebuild would apply to the UNION bucket; kept buckets
+        # carry every base member (the semi-join keeps whole buckets), so
+        # the size is the true union size
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "filter(transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x.id AS id_a, y.id AS id_b, "
+                "(x._new OR y._new) AS keep)), p -> p.keep)))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def incremental_exact_edges(
+    base_fingerprints: DataFrame,
+    delta_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Exact-duplicate edges introduced by a delta: (src, dst) where a
+    delta doc's content digest matches the base corpus (src = the
+    digest group's min base id — one edge suffices: the rest of the
+    group is already connected in the base cluster state) plus the
+    within-delta digest groups (min delta id → others, the batch
+    stage's exact shape).
+
+    The base side is pruned to digests the delta actually carries
+    before its per-digest min — the only base rows that shuffle are
+    matches, so the pass is delta-sized, not corpus-sized."""
+    d = delta_fingerprints.select(
+        F.col(id_col).alias("_did"), F.col(digest_col).alias("digest")
+    )
+    delta_digests = d.select("digest").distinct()
+    base_match = (
+        base_fingerprints.select(
+            F.col(id_col).alias("_bid"), F.col(digest_col).alias("digest")
+        )
+        .join(delta_digests, "digest", "left_semi")
+        .groupBy("digest")
+        .agg(F.min("_bid").alias("_bid"))
+    )
+    cross = d.join(base_match, "digest").select(
+        F.col("_bid").alias("src"), F.col("_did").alias("dst")
+    )
+    intra = (
+        d.groupBy("digest")
+        .agg(F.array_sort(F.collect_list("_did")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(
+            F.element_at("ids", 1).alias("src"),
+            F.explode(F.expr("slice(ids, 2, size(ids) - 1)")).alias("dst"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def signature_jaccard_filter(

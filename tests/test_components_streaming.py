@@ -295,3 +295,43 @@ def test_streaming_kg_update_sink_builds_full_kg(spark, tmp_path):
     replay = absorb_batch(spark, kg_root, b1, dict_rows, batch_fp=last_fp)
     assert replay["status"] == "noop_already_committed"
     assert len(snapshot_log(kg_root, "triples")) == n_snaps
+
+
+def test_merge_components_equals_full_cc(spark):
+    """Contract-then-CC over the delta edges must equal CC over the
+    union edge set — including delta edges that BRIDGE two existing
+    base components (the case that demotes a previously-kept
+    representative)."""
+    import random
+
+    from onto_text_tag_spark.operators.components import (
+        connected_components,
+        merge_components,
+    )
+    from onto_text_tag_spark.session import local_df
+
+    rng = random.Random(1234)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = {
+        tuple(sorted(rng.sample(nodes, 2)))
+        for _ in range(150)
+    }
+    edges = sorted(edges)
+    rng.shuffle(edges)
+    for cut in (0, 40, 100, len(edges)):
+        base_e, delta_e = edges[:cut], edges[cut:]
+        schema = "src string, dst string"
+        base_df = local_df(spark, base_e or [("x", "x")], schema)
+        if not base_e:
+            base_df = base_df.where(F.col("src") != F.col("dst"))
+        delta_df = local_df(spark, delta_e or [("x", "x")], schema)
+        if not delta_e:
+            delta_df = delta_df.where(F.col("src") != F.col("dst"))
+        base_cc = connected_components(base_df)
+        merged = merge_components(base_cc, delta_df)
+        full = connected_components(
+            base_df.unionByName(delta_df)
+        )
+        got = {(r["node"], r["comp"]) for r in merged.collect()}
+        want = {(r["node"], r["comp"]) for r in full.collect()}
+        assert got == want, f"cut={cut}"

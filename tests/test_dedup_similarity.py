@@ -562,3 +562,74 @@ def test_sinks_snapshot_log_history(spark, tmp_path):
     out = run_stage(spark, root, "nodes", lambda: df, input_fingerprint="fp2")
     assert out.count() == 4
     assert len(snapshot_log(root, "nodes")) == 2
+
+
+def test_incremental_lsh_pairs_rebuild_equivalent(spark):
+    """Splitting a corpus into base + delta and banding incrementally
+    must produce exactly the rebuild's candidate pairs that involve a
+    delta doc — and nothing else."""
+    from onto_text_tag_spark.corpus import distributed_documents_df
+    from onto_text_tag_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures_np,
+    )
+
+    docs = distributed_documents_df(spark, 120, seed=7, partitions=4)
+    # plant near-dups that cross the base/delta split and sit inside it
+    dup = docs.limit(30).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?zz"))
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" y")))
+    full = docs.unionByName(dup)
+    sigs = minhash_signatures_np(
+        full, id_col="url", text_col="text",
+        num_hashes=16, shingle_k=5, shingle_mode="word",
+    ).cache()
+    # split AFTER signing: base = urls without the marker, delta = rest
+    base_sigs = sigs.where(~F.col("url").contains("?zz"))
+    delta_sigs = sigs.where(F.col("url").contains("?zz"))
+
+    rebuild = lsh_candidate_pairs(
+        full, id_col="url", text_col="text",
+        num_hashes=16, bands=4, signatures=sigs, max_bucket_size=50,
+    )
+    delta_ids = {r["url"] for r in delta_sigs.select("url").collect()}
+    want = {
+        (r["id_a"], r["id_b"]) for r in rebuild.collect()
+        if r["id_a"] in delta_ids or r["id_b"] in delta_ids
+    }
+    for bcast in (True, False):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in incremental_lsh_pairs(
+                base_sigs, delta_sigs, id_col="url",
+                num_hashes=16, bands=4, max_bucket_size=50,
+                broadcast_delta_buckets=bcast,
+            ).collect()
+        }
+        assert got == want
+    assert want  # planted dups must actually produce candidates
+    sigs.unpersist()
+
+
+def test_incremental_exact_edges_cross_and_intra(spark):
+    from onto_text_tag_spark.operators.dedup import incremental_exact_edges
+    from onto_text_tag_spark.session import local_df
+
+    base = local_df(
+        spark,
+        [("b1", "X"), ("b2", "X"), ("b3", "Y"), ("b4", "Z")],
+        "doc_id string, digest string",
+    )
+    delta = local_df(
+        spark,
+        [("d1", "X"), ("d2", "Y"), ("d3", "Q"), ("d4", "Q"), ("d5", "W")],
+        "doc_id string, digest string",
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in incremental_exact_edges(base, delta).collect()
+    }
+    # cross: min base id per matched digest -> delta member;
+    # intra: min delta id -> other delta members of a new digest group
+    assert got == {("b1", "d1"), ("b3", "d2"), ("d3", "d4")}
