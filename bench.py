@@ -692,6 +692,114 @@ def run_scaling_dedup_update(low: int = 1, high: int = 4) -> dict:
     }
 
 
+def run_store_shingles_bench(cores: int = 4) -> dict:
+    """--store-shingles cost/benefit at production shape: build the
+    SAME base corpus root twice — text-verify layout vs stored-shingle
+    layout — then absorb the same delta into each, the stored-shingle
+    root with NO --base-input at all.  Reports base-build cost, the
+    fingerprint-store size delta (the ~4 KB/doc the sh column buys),
+    and per-stage absorb cost; the two roots' live id sets are asserted
+    hash-identical (DuckDB over the stage parquet).
+
+    The claim under test: storing the hashed-shingle arrays moves
+    near-dup VERIFICATION off the corpus entirely, so the absorb's
+    verify stage stops scaling with base-corpus text size — at 100 TB
+    the base-input semi-join scan is the dominant absorb cost, and the
+    store (a few % of corpus bytes) replaces it with a dup-sized read."""
+    import shutil
+
+    def _gen(path: str, n: int, id_start: int = 0) -> None:
+        if os.path.exists(path):
+            return
+        _spark_submit(
+            f"local[{cores}]", "jobs/gen_corpus.py",
+            "--n-docs", str(n), "--id-start", str(id_start),
+            "--output", path, "--dup-frac", DEDUP_DUP_FRAC,
+            "--partitions", str(cores * 4),
+        )
+
+    def _last_json(out: str) -> dict:
+        return json.loads(
+            [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        )
+
+    def _du(path: str) -> int:
+        total = 0
+        for d, _s, fs in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(d, f)) for f in fs)
+        return total
+
+    sfx = f"dup{DEDUP_DUP_FRAC}"
+    base = os.path.join(SCALING_DIR,
+                        f"corpus_{DEDUP_SCALING_DOCS}_{sfx}.parquet")
+    delta = os.path.join(
+        SCALING_DIR, f"corpus_delta_{UPDATE_DELTA_DOCS}_{sfx}.parquet")
+    _gen(base, DEDUP_SCALING_DOCS)
+    _gen(delta, UPDATE_DELTA_DOCS, id_start=DEDUP_SCALING_DOCS)
+
+    results: dict[str, dict] = {}
+    live_sigs: dict[str, tuple] = {}
+    for variant, flags, upd_args in (
+        ("text_verify", [], ["--base-input", base]),
+        ("stored_shingles", ["--store-shingles"], []),
+    ):
+        root = os.path.join(SCALING_DIR, f"shbench_{variant}")
+        shutil.rmtree(root, ignore_errors=True)
+        b = _last_json(_spark_submit(
+            f"local[{cores}]", "jobs/dedup_corpus.py",
+            "--input", base, "--output", root, *flags))
+        sig_bytes = _du(os.path.join(root, "signatures", "data"))
+        best_upd: dict | None = None
+        for _rep in range(max(2, SCALING_REPEATS - 1)):
+            work = os.path.join(SCALING_DIR, f"shbench_{variant}_work")
+            shutil.rmtree(work, ignore_errors=True)
+            shutil.copytree(root, work)
+            u = _last_json(_spark_submit(
+                f"local[{cores}]", "jobs/dedup_update.py",
+                "--dedup", work, "--input", delta, *upd_args))
+            if best_upd is None or u["sec"] < best_upd["sec"]:
+                best_upd = u
+                live_sigs[variant] = _dedup_live_sig(work)
+            shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+        results[variant] = {
+            "base_sec": b["sec"],
+            "base_stage_sec": b["stage_sec"],
+            "sig_store_bytes": sig_bytes,
+            "sig_store_mb_per_100k_docs": round(
+                sig_bytes / (1 << 20) / (DEDUP_SCALING_DOCS / 100_000), 1),
+            "absorb_sec": best_upd["sec"],
+            "absorb_stage_sec": best_upd["stage_sec"],
+            "survivors": best_upd["n_batch_survivors"],
+            "docs_live": best_upd["n_docs_live"],
+        }
+    assert live_sigs["text_verify"] == live_sigs["stored_shingles"], (
+        f"store-shingles absorb diverged from text-verify absorb: "
+        f"{live_sigs}")
+    corpus_bytes = _du(base)
+    return {
+        "job": "jobs/dedup_corpus.py --store-shingles vs text-verify "
+               "absorb (jobs/dedup_update.py) via spark-submit --py-files",
+        "base_docs": DEDUP_SCALING_DOCS,
+        "delta_docs": UPDATE_DELTA_DOCS,
+        "dup_frac": float(DEDUP_DUP_FRAC),
+        "cores": cores,
+        "base_corpus_bytes": corpus_bytes,
+        "results": results,
+        "absorb_speedup": round(
+            results["text_verify"]["absorb_sec"]
+            / results["stored_shingles"]["absorb_sec"], 3),
+        "sig_store_overhead_x": round(
+            results["stored_shingles"]["sig_store_bytes"]
+            / max(1, results["text_verify"]["sig_store_bytes"]), 2),
+        "sig_store_frac_of_corpus": round(
+            results["stored_shingles"]["sig_store_bytes"] / corpus_bytes, 3),
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 COMPACT_DOCS = int(os.environ.get("SPARK_GRAFT_COMPACT_DOCS", "120000"))
 COMPACT_BATCHES = int(os.environ.get("SPARK_GRAFT_COMPACT_BATCHES", "48"))
 
@@ -1261,6 +1369,45 @@ def main() -> None:
                 f"{json.dumps(cap)}\n"
             )
         print(json.dumps(scaling))
+        return
+    if "--bench-store-shingles" in sys.argv:
+        cores = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", "4"))
+        res = run_store_shingles_bench(cores=cores)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Store-shingles bench — {res['job']}, base "
+                f"{res['base_docs']} docs + delta {res['delta_docs']} "
+                f"docs, dup_frac={res['dup_frac']}, local[{res['cores']}]"
+                f"\n\n"
+                f"| verify path | base sec | sig store MB | absorb sec "
+                f"| absorb stage_sec |\n|---|---|---|---|---|\n"
+            )
+            for variant, r in res["results"].items():
+                st = ", ".join(
+                    f"{k} {v}" for k, v in r["absorb_stage_sec"].items())
+                fh.write(
+                    f"| {variant} | {r['base_sec']} | "
+                    f"{round(r['sig_store_bytes'] / (1 << 20), 1)} | "
+                    f"{r['absorb_sec']} | {st} |\n"
+                )
+            fh.write(
+                f"\nabsorb speedup (stored/text): {res['absorb_speedup']}x"
+                f"; fingerprint-store size overhead: "
+                f"{res['sig_store_overhead_x']}x "
+                f"({res['sig_store_frac_of_corpus']} of corpus bytes).  "
+                f"Stored-shingle absorbs pass NO --base-input: the base "
+                f"corpus parquet is never re-read.  Live id sets of the "
+                f"two absorb paths asserted hash-identical (DuckDB over "
+                f"the stage parquet).\n"
+            )
+            cap = res["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, units/sec "
+                "by process count):\n\n"
+                f"{json.dumps(cap)}\n"
+            )
+        print(json.dumps(res))
         return
     if "--scaling-dedup-update" in sys.argv:
         low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "1"))

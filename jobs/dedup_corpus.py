@@ -76,8 +76,16 @@ def main() -> None:
     ap.add_argument("--portable-minhash", action="store_true",
                     help="use the md5/DuckDB-reproducible MinHash instead "
                     "of the vectorized numpy byte-shingle path")
+    ap.add_argument("--store-shingles", action="store_true",
+                    help="persist the hashed-shingle arrays alongside the "
+                    "signatures (~4 KB/doc): the verify stage — and every "
+                    "later jobs/dedup_update.py absorb — then runs off the "
+                    "fingerprint store alone, never re-reading the corpus")
     ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args()
+    if args.store_shingles and args.portable_minhash:
+        ap.error("--store-shingles is the numpy-kernel path; it cannot "
+                 "combine with --portable-minhash")
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -135,9 +143,12 @@ def main() -> None:
     fp_sig = fp + f"|h={args.num_hashes}|k={args.shingle_k}" + (
         "|portable" if args.portable_minhash else
         f"|np|mm={args.minhash_method}"
-    ) + f"|sm={args.shingle_mode}|digest"
+    ) + f"|sm={args.shingle_mode}|digest" + (
+        "|sh" if args.store_shingles else ""
+    )
     sig_kwargs = {} if args.portable_minhash else {
-        "method": args.minhash_method
+        "method": args.minhash_method,
+        "with_shingles": args.store_shingles,
     }
     signatures = timed("signatures", lambda: run_stage(
         spark, args.output, "signatures",
@@ -200,6 +211,18 @@ def main() -> None:
             cand = signature_jaccard_filter(
                 candidates, signatures, id_col=id_c,
                 min_estimate=max(0.0, args.threshold - args.prefilter_margin),
+            )
+        if args.store_shingles:
+            # store-only verify: the stored sh arrays come from the same
+            # kernel the "np" impl would run over the text — identical
+            # jaccard values, one corpus scan fewer
+            from onto_text_tag_spark.operators.dedup import (
+                jaccard_from_shingle_arrays,
+            )
+
+            return jaccard_from_shingle_arrays(
+                cand, signatures.select(id_c, "sh"),
+                threshold=args.threshold, id_col=id_c,
             )
         return ngram_jaccard_pairs(
             docs, cand, id_col=id_c, text_col=text_c,

@@ -9,9 +9,10 @@ rebuild over the union corpus is pinned by
 tests/test_dedup_update_job.py.
 
 Knobs must match the base run (asserted against the stored signature
-width).  The base corpus parquet (``--base-input``) is read only to
-fetch candidate texts for exact-Jaccard verification — a semi-joined
-two-column scan.
+width).  Against a ``--store-shingles`` root the absorb runs off the
+fingerprint store alone; otherwise the base corpus parquet
+(``--base-input``) is read once to fetch candidate texts for
+exact-Jaccard verification — a semi-joined two-column scan.
 
 Usage:
     spark-submit --master local[N] --py-files pkg.zip jobs/dedup_update.py \
@@ -29,8 +30,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dedup", required=True,
                     help="existing jobs/dedup_corpus.py snapshot root")
-    ap.add_argument("--base-input", required=True,
-                    help="the base corpus parquet the root was built from")
+    ap.add_argument("--base-input", default=None,
+                    help="the base corpus parquet the root was built from "
+                    "(only needed when the root does NOT store shingle "
+                    "arrays — dedup_corpus --store-shingles roots verify "
+                    "off the fingerprint store alone)")
     ap.add_argument("--input", required=True,
                     help="delta documents parquet (new crawl batch)")
     ap.add_argument("--id-col", default="url")

@@ -108,7 +108,8 @@ def minhash_signatures_np(documents: DataFrame, id_col: str = "doc_id",
                           shingle_k: int = 5,
                           shingle_mode: str = "word",
                           method: str = "oph",
-                          extras: dict | None = None) -> DataFrame:
+                          extras: dict | None = None,
+                          with_shingles: bool = False) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures — the vectorized scale
     path used by jobs/dedup_corpus.py.
 
@@ -140,6 +141,14 @@ def minhash_signatures_np(documents: DataFrame, id_col: str = "doc_id",
     signature width.  ``method="dense"`` keeps the classic
     universal-hash permutation family (one min per permutation).
     Signatures from the two methods are NOT comparable with each other.
+
+    ``with_shingles=True`` also emits the deduped hashed-shingle array
+    itself as an ``sh`` column — the SAME values ``shingle_hashes_np``
+    produces, from the same single kernel pass over the text.  Storing
+    ~4 KB of shingle hashes per doc alongside the signature makes exact
+    near-dup VERIFICATION a fingerprint-store-only operation
+    (``jaccard_from_shingle_arrays``): incremental absorbs and
+    streaming ingest then never re-read document text.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -160,6 +169,44 @@ def minhash_signatures_np(documents: DataFrame, id_col: str = "doc_id",
     empty_sig = [MOD_PRIME] * num_hashes  # aggregate identity (no shingles)
     make_vals = _hashed_shingle_kernel(shingle_k, shingle_mode)
 
+    def _sig(u) -> "list | np.ndarray":
+        if u is None:
+            return empty_sig
+        if method == "oph":
+            return oph_signature_np(u, num_hashes).astype(np.int64)
+        # a,u,b < 2^31 -> a*u+b < 2^62: exact in uint64
+        return ((a * u + b) % p).min(axis=1).astype(np.int64)
+
+    if with_shingles:
+
+        @pandas_udf("sig array<long>, sh array<long>")
+        def sig_sh_udf(texts: pd.Series) -> pd.DataFrame:
+            vals = make_vals()
+            sigs, shs = [], []
+            for t in texts:
+                if t is None:
+                    sigs.append(None)
+                    shs.append(None)
+                    continue
+                u = vals(t)
+                sigs.append(_sig(u))
+                shs.append(
+                    np.array([], dtype=np.int64) if u is None
+                    else u.astype(np.int64)
+                )
+            return pd.DataFrame({"sig": sigs, "sh": shs})
+
+        packed = documents.select(
+            F.col(id_col), sig_sh_udf(F.col(text_col)).alias("_ss"),
+            *[c.alias(n) for n, c in (extras or {}).items()],
+        )
+        return packed.select(
+            id_col,
+            F.col("_ss.sig").alias("sig"),
+            F.col("_ss.sh").alias("sh"),
+            *(extras or {}),
+        )
+
     @pandas_udf("array<long>")
     def sig_udf(texts: pd.Series) -> pd.Series:
         vals = make_vals()
@@ -168,14 +215,7 @@ def minhash_signatures_np(documents: DataFrame, id_col: str = "doc_id",
             if t is None:
                 out.append(None)
                 continue
-            u = vals(t)
-            if u is None:
-                out.append(empty_sig)
-            elif method == "oph":
-                out.append(oph_signature_np(u, num_hashes).astype(np.int64))
-            else:
-                # a,u,b < 2^31 -> a*u+b < 2^62: exact in uint64
-                out.append(((a * u + b) % p).min(axis=1).astype(np.int64))
+            out.append(_sig(vals(t)))
         return pd.Series(out)
 
     return documents.select(
@@ -599,6 +639,38 @@ def ngram_jaccard_pairs(
         )
     else:
         raise ValueError(f"shingle_impl must be sql|np, got {shingle_impl}")
+    return jaccard_from_shingle_arrays(
+        candidates, sh, threshold=threshold, id_col="id"
+    )
+
+
+def jaccard_from_shingle_arrays(
+    candidates: DataFrame,
+    shingles: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    shingle_col: str = "sh",
+) -> DataFrame:
+    """Exact shingle-Jaccard over candidate pairs from PRECOMPUTED
+    shingle arrays — the verify tail of ``ngram_jaccard_pairs``,
+    decoupled from any corpus scan.
+
+    With ``minhash_signatures_np(with_shingles=True)`` the fingerprint
+    store carries the shingle arrays alongside the signatures, and
+    near-dup verification becomes a store-only operation: incremental
+    absorbs (``plans/dedup_absorb.py``) and streaming ingest never
+    re-read document text.  The store is pruned to the candidate id set
+    before the pair joins, so only duplicate-sized shingle rows move.
+    """
+    sh = shingles.select(
+        F.col(id_col).alias("id"), F.col(shingle_col).alias("sh")
+    )
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = sh.join(cand_ids, "id", "left_semi")
     n_inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     n_union = F.size("_sh_a") + F.size("_sh_b") - n_inter
     return (

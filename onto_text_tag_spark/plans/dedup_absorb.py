@@ -64,6 +64,7 @@ from onto_text_tag_spark.operators.dedup import (
     content_digest,
     incremental_exact_edges,
     incremental_lsh_pairs,
+    jaccard_from_shingle_arrays,
     minhash_signatures,
     minhash_signatures_np,
     ngram_jaccard_pairs,
@@ -106,10 +107,47 @@ def dedup_batch_already_committed(root: str, batch_fp: str) -> bool:
     )
 
 
+def init_dedup_root(
+    spark: SparkSession,
+    root: str,
+    doc_schema,
+    id_col: str = "url",
+    num_hashes: int = 64,
+    store_shingles: bool = True,
+    input_fingerprint: str = "init",
+) -> None:
+    """Bootstrap an EMPTY dedup root with the ``jobs/dedup_corpus.py``
+    stage layout (empty ``signatures``/``clusters``/``deduped``/
+    ``demoted`` snapshots), so the entire corpus can arrive as absorb
+    commits — the streaming-ingest entry point
+    (``streaming/incremental.py:start_dedup_update_sink``).
+
+    ``doc_schema`` is the document schema (StructType or DDL string)
+    the ``deduped`` stage will hold — appended batch files must agree
+    with it.  ``store_shingles=True`` (the streaming default) lays the
+    store out with the ``sh`` column, which is what lets absorbs verify
+    near-dups without any base corpus file to re-read."""
+    from onto_text_tag_spark.sinks import write_stage
+
+    sig_ddl = f"{id_col} string, sig array<long>" + (
+        ", sh array<long>" if store_shingles else ""
+    ) + ", digest long"
+    for stage, schema in (
+        ("signatures", sig_ddl),
+        ("clusters", "node string, comp string"),
+        ("deduped", doc_schema),
+        ("demoted", f"{id_col} string"),
+    ):
+        write_stage(
+            spark.createDataFrame([], schema).repartition(1),
+            root, stage, input_fingerprint=input_fingerprint,
+        )
+
+
 def absorb_dedup_batch(
     spark: SparkSession,
     root: str,
-    base_input: str,
+    base_input: str | None,
     delta_docs: DataFrame,
     batch_fp: str,
     id_col: str = "url",
@@ -125,12 +163,17 @@ def absorb_dedup_batch(
     portable_minhash: bool = False,
 ) -> dict:
     """Commit one delta batch into dedup root ``root`` (stage →
-    append/swap → seal).  ``base_input`` is the ORIGINAL base corpus
-    parquet (pre-dedup) — read only to fetch candidate texts for exact
-    Jaccard verification (a semi-joined 2-column scan; persisting the
-    hashed-shingle sets alongside the signatures would remove even
-    that).  Knobs must match the base ``jobs/dedup_corpus.py`` run —
-    the signature width is asserted against the live store."""
+    append/swap → seal).
+
+    Verification path depends on the store layout: when the base
+    ``signatures`` stage carries the ``sh`` shingle-hash column
+    (``dedup_corpus.py --store-shingles`` or ``init_dedup_root``),
+    exact Jaccard runs off the STORE alone and ``base_input`` may be
+    None — no corpus file is ever re-read, which is what makes the
+    streaming sink self-contained.  Otherwise ``base_input`` must name
+    the ORIGINAL base corpus parquet (pre-dedup), read only to fetch
+    candidate texts (a semi-joined 2-column scan).  Knobs must match
+    the base run — the signature width is asserted against the store."""
     t0 = time.time()
     stage_sec: dict[str, float] = {}
 
@@ -162,11 +205,22 @@ def absorb_dedup_batch(
     _recover_swap(live_clusters)
 
     base_sigs = read_stage(spark, root, "signatures")
-    sig_len = base_sigs.select(F.size("sig").alias("n")).first()["n"]
-    if sig_len != num_hashes:
+    has_sh = "sh" in base_sigs.columns
+    if has_sh and portable_minhash:
+        raise ValueError(
+            "the stored-shingle layout is the numpy-kernel path; "
+            "--portable-minhash cannot absorb into it"
+        )
+    if not has_sh and base_input is None:
+        raise ValueError(
+            "base_input is required unless the root stores shingle "
+            "arrays (dedup_corpus --store-shingles / init_dedup_root)"
+        )
+    width_row = base_sigs.select(F.size("sig").alias("n")).first()
+    if width_row is not None and width_row["n"] != num_hashes:
         raise ValueError(
             f"num_hashes={num_hashes} does not match the base root's "
-            f"signature width {sig_len} — pass the base run's knobs"
+            f"signature width {width_row['n']} — pass the base run's knobs"
         )
 
     # only never-seen ids join the corpus (id-level idempotence; an
@@ -177,7 +231,9 @@ def absorb_dedup_batch(
 
     staging = os.path.join(root, "_staging", tag)
     sig_fn = minhash_signatures if portable_minhash else minhash_signatures_np
-    sig_kwargs = {} if portable_minhash else {"method": minhash_method}
+    sig_kwargs = {} if portable_minhash else {
+        "method": minhash_method, "with_shingles": has_sh,
+    }
     delta_sigs = timed("signatures", lambda: run_stage(
         spark, staging, "signatures",
         lambda: sig_fn(
@@ -221,6 +277,17 @@ def absorb_dedup_batch(
             cand = signature_jaccard_filter(
                 cand, sig_pool, id_col=id_col,
                 min_estimate=max(0.0, threshold - prefilter_margin),
+            )
+        if has_sh:
+            # store-only verify: the shingle universe is identical to
+            # what ngram_jaccard_pairs(shingle_impl="np") would derive
+            # from the text (same kernel), so the jaccard values — and
+            # the rebuild equivalence — are unchanged
+            sh_pool = base_sigs.select(id_col, "sh").unionByName(
+                delta_sigs.select(id_col, "sh")
+            )
+            return jaccard_from_shingle_arrays(
+                cand, sh_pool, threshold=threshold, id_col=id_col
             )
         docs_pool = (
             spark.read.parquet(base_input).select(id_col, text_col)

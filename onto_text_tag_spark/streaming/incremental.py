@@ -216,3 +216,79 @@ def start_kg_update_sink(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def start_dedup_update_sink(
+    documents: DataFrame,
+    dedup_root: str,
+    checkpoint_path: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    shingle_mode: str = "word",
+    max_bucket_size: int = 200,
+    prefilter_margin: float = 0.1,
+    minhash_method: str = "oph",
+    compact_every: int | None = None,
+):
+    """Continuous crawl DEDUP ingestion: absorb every micro-batch of
+    pages into a ``jobs/dedup_corpus.py``-layout snapshot root via the
+    staged idempotent commit protocol (``plans/dedup_absorb.py`` — the
+    same core as ``jobs/dedup_update.py``).
+
+    Bootstrap an empty root with ``plans/dedup_absorb.py:
+    init_dedup_root`` (``store_shingles=True``, the default) and the
+    whole corpus can arrive as stream epochs: each batch is
+    fingerprinted, exact-dup'd against the accumulated digest store,
+    LSH-banded against the accumulated signature store, and verified by
+    exact shingle Jaccard over the STORED shingle arrays — the sink
+    never reads any corpus file besides the incoming batch, which is
+    what makes it deployable as a pure stream consumer.  Survivors
+    file-append into ``deduped``; base docs a bridging page demotes
+    land in the merge-on-read ``demoted`` delete set (the live corpus
+    view is ``read_deduped``).
+
+    Exactly-once commits under at-least-once ``foreachBatch`` delivery:
+    the batch fingerprint is keyed by the epoch id, which Structured
+    Streaming keeps stable across failure replays, so a replayed epoch
+    hits the already-committed no-op.  Streaming state is EMPTY — the
+    dedup state (signatures, shingles, cluster map) lives in the stage
+    snapshots on storage, merged per epoch LSM-style, so state size is
+    bounded by storage, not executor memory, at any corpus scale.
+
+    ``compact_every=N`` folds small-files maintenance into the sink:
+    after every Nth COMMITTED epoch, append-grown stages with more than
+    one file are rewritten into right-sized files (content identical,
+    fingerprints kept).  Knobs must stay constant for the life of the
+    root — they define the signature/banding layout."""
+    from onto_text_tag_spark.plans.dedup_absorb import absorb_dedup_batch
+    from onto_text_tag_spark.plans.kg_absorb import compact_stage
+    from onto_text_tag_spark.sinks import read_manifest
+
+    def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        result = absorb_dedup_batch(
+            batch_df.sparkSession, dedup_root, None, batch_df,
+            batch_fp=f"stream-epoch-{epoch_id}",
+            id_col=id_col, text_col=text_col, threshold=threshold,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            shingle_mode=shingle_mode, max_bucket_size=max_bucket_size,
+            prefilter_margin=prefilter_margin,
+            minhash_method=minhash_method,
+        )
+        if (
+            compact_every
+            and result["status"] == "committed"
+            and (epoch_id + 1) % compact_every == 0
+        ):
+            for stage in ("signatures", "deduped", "demoted"):
+                if read_manifest(dedup_root, stage).get("n_files", 0) > 1:
+                    compact_stage(batch_df.sparkSession, dedup_root, stage)
+
+    return (
+        documents.writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

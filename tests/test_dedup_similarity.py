@@ -529,6 +529,78 @@ def test_ngram_jaccard_shingle_impls_agree(spark):
     assert got_sql == got_np
 
 
+def test_stored_shingle_verify_matches_text_verify(spark):
+    """minhash_signatures_np(with_shingles=True): the sig column is
+    bit-identical to the plain path, the sh column equals
+    shingle_hashes_np over the same text, and verification from the
+    STORED arrays (jaccard_from_shingle_arrays — the --store-shingles /
+    streaming-ingest path) reproduces ngram_jaccard_pairs exactly."""
+    import random
+
+    from onto_text_tag_spark.operators.dedup import (
+        jaccard_from_shingle_arrays,
+        minhash_signatures_np,
+        ngram_jaccard_pairs,
+        shingle_hashes_np,
+    )
+
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lam mu nu xi").split()
+    rng = random.Random(29)
+    docs = []
+    for i in range(10):
+        words = [rng.choice(vocab) for _ in range(100)]
+        docs.append((f"d{i}", " ".join(words)))
+        if i % 3 == 0:
+            near = words[:]
+            for _ in range(4):
+                near.pop(rng.randrange(len(near)))
+            docs.append((f"d{i}near", " ".join(near)))
+    docs.append(("dnull", None))
+    docs.append(("dempty", "one two"))  # shorter than shingle_k -> empty
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    kw = dict(num_hashes=16, shingle_k=5, shingle_mode="word")
+    plain = {r["doc_id"]: r["sig"]
+             for r in minhash_signatures_np(df, **kw).collect()}
+    packed = {r["doc_id"]: (r["sig"], r["sh"])
+              for r in minhash_signatures_np(
+                  df, with_shingles=True, **kw).collect()}
+    assert set(plain) == set(packed)
+    for did, sig in plain.items():
+        assert packed[did][0] == sig, did
+    # sh equals the standalone shingle kernel (sorted-set compare: the
+    # verify join is set-algebra, order irrelevant)
+    want_sh = {r["id"]: r["sh"]
+               for r in shingle_hashes_np(
+                   df, shingle_k=5, shingle_mode="word").collect()}
+    for did, (_sig, sh) in packed.items():
+        if did == "dnull":
+            assert sh is None
+            continue
+        assert sorted(sh) == sorted(want_sh[did]), did
+    # shorter than shingle_k -> ONE padded whole-text window (kernel
+    # contract), identical across the stored and standalone paths
+    assert len(packed["dempty"][1]) == 1
+
+    ids = [d[0] for d in docs if d[0] not in ("dnull", "dempty")]
+    cands = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+        ["id_a", "id_b"],
+    )
+    store = minhash_signatures_np(df, with_shingles=True, **kw) \
+        .select("doc_id", "sh")
+    got_store = {(r.id_a, r.id_b): r.jaccard
+                 for r in jaccard_from_shingle_arrays(
+                     cands, store, threshold=0.5).collect()}
+    got_text = {(r.id_a, r.id_b): r.jaccard
+                for r in ngram_jaccard_pairs(
+                    df, cands, shingle_impl="np", threshold=0.5,
+                    shingle_k=5, shingle_mode="word").collect()}
+    assert got_store, "no pairs survived the threshold"
+    assert got_store == got_text
+
+
 def test_sinks_snapshot_log_history(spark, tmp_path):
     """Every stage commit appends to an Iceberg-style snapshot log:
     monotonically increasing ids, the full lineage manifest per

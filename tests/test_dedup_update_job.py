@@ -177,6 +177,55 @@ def test_absorb_equals_full_rebuild(job_tmp, split_corpus, spark):
     assert base_res["n_docs_out"] >= len(base_live)
 
 
+def test_store_shingles_root_absorbs_without_base_input(
+        job_tmp, split_corpus, spark):
+    """A --store-shingles base root absorbs the SAME delta with no
+    --base-input at all (verification off the fingerprint store), and
+    every output — base verified pairs, post-absorb live view, merged
+    cluster map — is identical to the text-verify root's (which
+    test_absorb_equals_full_rebuild pinned against the full rebuild)."""
+    from onto_text_tag_spark.plans.dedup_absorb import read_deduped
+    from onto_text_tag_spark.sinks import read_stage
+
+    base_path, delta_path, _union = split_corpus
+    inc_root = os.path.join(job_tmp, "inc_root")  # built by the e2e test
+    sh_root = os.path.join(job_tmp, "sh_root")
+
+    _spark_submit(
+        job_tmp, "dedup_corpus.py",
+        "--input", base_path, "--output", sh_root,
+        "--store-shingles", *KNOBS)
+    assert "sh" in read_stage(spark, sh_root, "signatures").columns
+    # the base run's store-only verify reproduces the text-verify
+    # pairs exactly (base has no >=0.8 near-dup pairs, so both are
+    # empty here; value parity on non-empty pairs is pinned by
+    # tests/test_dedup_similarity.py::
+    # test_stored_shingle_verify_matches_text_verify)
+    sh_ver = {(r["id_a"], r["id_b"], r["jaccard"])
+              for r in read_stage(spark, sh_root, "verified").collect()}
+    txt_ver = {(r["id_a"], r["id_b"], r["jaccard"])
+               for r in read_stage(spark, inc_root, "verified").collect()}
+    assert sh_ver == txt_ver
+
+    upd = _spark_submit(
+        job_tmp, "dedup_update.py",
+        "--dedup", sh_root, "--input", delta_path, *KNOBS)
+    assert upd["status"] == "committed"
+    assert upd["n_batch_survivors"] == 1
+    assert upd["n_demoted_base"] == 1
+
+    sh_live = {r["url"] for r in read_deduped(spark, sh_root)
+               .select("url").collect()}
+    plain_live = {r["url"] for r in read_deduped(spark, inc_root)
+                  .select("url").collect()}
+    assert sh_live == plain_live
+    sh_map = {(r["node"], r["comp"])
+              for r in read_stage(spark, sh_root, "clusters").collect()}
+    plain_map = {(r["node"], r["comp"])
+                 for r in read_stage(spark, inc_root, "clusters").collect()}
+    assert sh_map == plain_map
+
+
 def test_absorb_resubmit_is_noop(job_tmp, split_corpus, spark):
     base_path, delta_path, _union = split_corpus
     inc_root = os.path.join(job_tmp, "inc_root")
