@@ -51,6 +51,10 @@ def main() -> None:
                     "from html:binary — measures the production raw-HTML "
                     "path (P1 byte-identical extraction fused into the "
                     "tagging scan)")
+    ap.add_argument("--warc", action="store_true",
+                    help="--input is a WARC archive glob (*.warc[.gz], the "
+                    "Common Crawl interchange) instead of a documents "
+                    "parquet; implies the --from-html raw-bytes path")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -93,7 +97,11 @@ def main() -> None:
         spark.range(0, 10_000, numPartitions=4).toDF("id").mapInPandas(
             _noop, schema="id long"
         ).count()
-        spark.read.parquet(args.input).limit(1000).count()
+        if args.warc:
+            spark.read.format("binaryFile").load(args.input) \
+                .select("path").limit(10).count()
+        else:
+            spark.read.parquet(args.input).limit(1000).count()
 
     t0 = time.time()
 
@@ -115,7 +123,15 @@ def main() -> None:
         closure_pairs = transitive_closure_rows(isa_pairs)
 
     # --- distributed corpus-sized work -----------------------------------
-    corpus = spark.read.parquet(args.input)
+    if args.warc:
+        # raw crawl archives: record parse (sources/warc.py) feeds the
+        # fused P1-extraction tagging batch — no parquet hop
+        from onto_text_tag_spark.sources.warc import warc_documents
+
+        corpus = warc_documents(spark, args.input)
+        args.from_html = True
+    else:
+        corpus = spark.read.parquet(args.input)
     if args.from_html:
         # P1 fuses into the tagging batch (tag_documents html_col=...):
         # one Arrow crossing, text never materialized JVM-side
