@@ -804,6 +804,81 @@ COMPACT_DOCS = int(os.environ.get("SPARK_GRAFT_COMPACT_DOCS", "120000"))
 COMPACT_BATCHES = int(os.environ.get("SPARK_GRAFT_COMPACT_BATCHES", "48"))
 
 
+def run_warc_bench(cores: int = 8) -> dict:
+    """kg_build from raw Common-Crawl-style WARC archives vs the same
+    bytes in a parquet container (--from-html): isolates what the
+    archive container costs — member-streamed gzip inflate +
+    Content-Length record framing, on top of the shared P1-extraction
+    + tagging batch.  Both runs must emit identical mention/triple
+    counts (extractor byte-identity extends to the archive path)."""
+    import shutil
+
+    docs = int(os.environ.get("SPARK_GRAFT_WARC_DOCS", "200000"))
+    corpus = os.path.join(SCALING_DIR, f"warc_corpus_{docs}.parquet")
+    warc_dir = os.path.join(SCALING_DIR, f"warc_corpus_{docs}.warc")
+    if not (os.path.exists(corpus) and os.path.isdir(warc_dir)):
+        _spark_submit(
+            f"local[{cores}]", "jobs/gen_corpus.py",
+            "--n-docs", str(docs), "--output", corpus,
+            "--partitions", str(cores * 4), "--warc-output", warc_dir,
+        )
+
+    def _du(path):
+        total = 0
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    # --lang "" on BOTH: the parquet corpus carries a lang column (WARC
+    # records don't), and the default en-filter would shrink only the
+    # parquet run's population — compare the container, not the filter.
+    modes = {
+        "warc": ["--warc", "--input", warc_dir, "--lang", ""],
+        "from_html": ["--from-html", "--input", corpus, "--lang", ""],
+    }
+    best: dict[str, dict] = {}
+    for _rep in range(2):  # interleaved, min per mode (host drift)
+        for mode, mode_args in modes.items():
+            out_dir = os.path.join(SCALING_DIR, f"warc_out_{mode}")
+            shutil.rmtree(out_dir, ignore_errors=True)
+            stdout = _spark_submit(
+                f"local[{cores}]", "jobs/kg_build.py",
+                *mode_args, "--output", out_dir,
+            )
+            job = json.loads(
+                [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
+            )
+            if mode not in best or job["sec"] < best[mode]["sec"]:
+                best[mode] = job
+    assert best["warc"]["n_mentions"] == best["from_html"]["n_mentions"]
+    assert best["warc"]["n_triples"] == best["from_html"]["n_triples"]
+    results = {
+        mode: {
+            "sec": b["sec"],
+            "docs_per_sec": round(docs / b["sec"], 1),
+            "stage_sec": b.get("stage_sec"),
+        }
+        for mode, b in best.items()
+    }
+    return {
+        "job": "jobs/kg_build.py --warc (raw crawl archives) vs "
+               "--from-html (parquet container), same bytes",
+        "docs": docs,
+        "cores": cores,
+        "mentions": best["warc"]["n_mentions"],
+        "triples": best["warc"]["n_triples"],
+        "warc_gz_mb": round(_du(warc_dir) / 2**20, 1),
+        "parquet_mb": round(_du(corpus) / 2**20, 1),
+        "results": results,
+        "container_overhead": round(
+            results["warc"]["sec"] / results["from_html"]["sec"], 3),
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 def run_compaction_bench(cores: int = 4) -> dict:
     """Quantify the small-files problem that file-level append commits
     accumulate, and what ``compact_stage`` buys back.  One corpus is
@@ -1369,6 +1444,37 @@ def main() -> None:
                 f"{json.dumps(cap)}\n"
             )
         print(json.dumps(scaling))
+        return
+    if "--bench-warc" in sys.argv:
+        cores = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", "8"))
+        res = run_warc_bench(cores=cores)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## WARC-source bench — {res['job']}, {res['docs']} "
+                f"docs, local[{res['cores']}] (min of 2, interleaved)\n\n"
+                f"| input | sec | docs/sec | stage_sec |\n|---|---|---|---|\n"
+            )
+            for mode, r in res["results"].items():
+                st = ", ".join(
+                    f"{k} {v}" for k, v in (r["stage_sec"] or {}).items())
+                fh.write(
+                    f"| {mode} | {r['sec']} | {r['docs_per_sec']} | {st} |\n")
+            fh.write(
+                f"\ncontainer overhead (warc sec / from_html sec): "
+                f"{res['container_overhead']}x; archive {res['warc_gz_mb']}"
+                f" MB .warc.gz vs {res['parquet_mb']} MB parquet.  Both "
+                f"runs asserted identical mentions ({res['mentions']}) and "
+                f"triples ({res['triples']}) — the extractor byte-identity "
+                f"contract holds from the raw crawl archive.\n"
+            )
+            cap = res["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, units/sec "
+                "by process count):\n\n"
+                f"{json.dumps(cap)}\n"
+            )
+        print(json.dumps(res))
         return
     if "--bench-store-shingles" in sys.argv:
         cores = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", "4"))

@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--filler", type=float, default=0.95,
                     help="probability a sentence is non-matching filler; "
                     "real web pages mention few ontology terms")
+    ap.add_argument("--warc-output", default=None,
+                    help="also export the corpus as Common-Crawl-style "
+                    ".warc.gz shards (one per partition, executor-side)")
     ap.add_argument("--dup-frac", type=float, default=0.0,
                     help="fraction of rows planted as duplicates of an "
                     "earlier row (~30%% byte-exact mirrors, rest "
@@ -51,6 +54,20 @@ def main() -> None:
     )
     df.write.mode("overwrite").parquet(args.output)
     print(f"wrote {args.n_docs} docs to {args.output}")
+    if args.warc_output:
+        import shutil
+
+        from onto_text_tag_spark.sources.warc import write_warc_shards
+
+        shutil.rmtree(args.warc_output, ignore_errors=True)
+        corpus_back = spark.read.parquet(args.output)
+        if args.partitions:
+            # parquet read-partitioning is byte-binned (few fat tasks);
+            # export the asked-for shard count instead
+            corpus_back = corpus_back.repartition(args.partitions)
+        shards = write_warc_shards(corpus_back, args.warc_output).collect()
+        print(f"exported {sum(s['records'] for s in shards)} records to "
+              f"{len(shards)} WARC shards in {args.warc_output}")
     spark.stop()
 
 

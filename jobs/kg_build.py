@@ -124,23 +124,30 @@ def main() -> None:
 
     # --- distributed corpus-sized work -----------------------------------
     if args.warc:
-        # raw crawl archives: record parse (sources/warc.py) feeds the
-        # fused P1-extraction tagging batch — no parquet hop
-        from onto_text_tag_spark.sources.warc import warc_documents
-
-        corpus = warc_documents(spark, args.input)
-        args.from_html = True
+        # raw crawl archives: record parse + P1 extraction + tagging
+        # fuse into ONE batch (tag_documents warc_mode) — archive bytes
+        # cross the Arrow boundary once, the decompressed corpus never
+        # ships back to the JVM.  Archives are CPU-bound to parse
+        # (gunzip + framing + extraction), not IO-bound like parquet:
+        # stop binaryFile from packing several per task, or the scan
+        # runs at file-bin — not core — count.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 << 20))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(32 << 20))
+        docs = (spark.read.format("binaryFile").load(args.input)
+                .select("path", "content"))
+        id_col = "url"
     else:
         corpus = spark.read.parquet(args.input)
-    if args.from_html:
-        # P1 fuses into the tagging batch (tag_documents html_col=...):
-        # one Arrow crossing, text never materialized JVM-side
-        docs = corpus.drop("text")
-    else:
-        docs = extract_texts(corpus)
-    if args.lang and "lang" in docs.columns:
-        docs = docs.where(F.col("lang") == args.lang)
-    id_col = "url" if "url" in docs.columns else "doc_id"
+        if args.from_html:
+            # P1 fuses into the tagging batch (tag_documents
+            # html_col=...): one Arrow crossing, text never
+            # materialized JVM-side
+            docs = corpus.drop("text")
+        else:
+            docs = extract_texts(corpus)
+        if args.lang and "lang" in docs.columns:
+            docs = docs.where(F.col("lang") == args.lang)
+        id_col = "url" if "url" in docs.columns else "doc_id"
     fp = fingerprint_parquet_inputs([args.input])
     if args.termlist:
         # the dictionary is an input too: a changed termlist must
@@ -171,7 +178,8 @@ def main() -> None:
         spark, args.output, "mentions",
         lambda: tag_documents(
             docs, dict_rows, id_col=id_col,
-            html_col="html" if args.from_html else None,
+            html_col="html" if args.from_html and not args.warc else None,
+            warc_mode=args.warc,
         ),
         input_fingerprint=fp,
     ))

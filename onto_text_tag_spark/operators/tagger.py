@@ -73,6 +73,7 @@ def tag_documents(
     text_col: str = "text",
     id_col: str = "url",
     html_col: str | None = None,
+    warc_mode: bool = False,
 ) -> DataFrame:
     """documents(url, text) × dictionary → mentions DataFrame.
 
@@ -85,6 +86,12 @@ def tag_documents(
     the raw-HTML production path crosses the JVM↔Python Arrow boundary
     once instead of twice (extract UDF then tag) and the intermediate
     text column is never shipped back to the JVM.
+
+    ``warc_mode``: ``documents`` is a ``binaryFile`` scan of WARC crawl
+    archives (path, content); record parse + P1 extraction + tagging all
+    run inside ONE batch, so the only Arrow traffic is raw archive bytes
+    in and small mention rows out — the decompressed corpus (~4× the
+    archive) never crosses back to the JVM.
     """
     spark = documents.sparkSession
     if isinstance(dictionary, DataFrame):
@@ -93,6 +100,33 @@ def tag_documents(
         rows = dictionary
     automaton = compile_dictionary(rows)
     bc = spark.sparkContext.broadcast(automaton)
+
+    if warc_mode:
+        from onto_text_tag_spark.functions.html_extract import extract_text
+        from onto_text_tag_spark.sources.warc import parse_warc_file
+
+        def tag_batches(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            ac = bc.value
+            for batch in batches:
+                out: list[tuple] = []
+                for fpath, content in zip(batch["path"], batch["content"]):
+                    gz = str(fpath).endswith(".gz")
+                    for rec in parse_warc_file(bytes(content), gzipped=gz):
+                        if rec["warc_type"] != "response" or not rec["url"]:
+                            continue
+                        html = rec["html"].decode("utf-8", errors="replace")
+                        out.extend(
+                            tag_text(ac, rec["url"], extract_text(html)))
+                        if len(out) >= 50_000:
+                            yield pd.DataFrame(out, columns=MENTION_COLUMNS)
+                            out = []
+                if out:
+                    yield pd.DataFrame(out, columns=MENTION_COLUMNS)
+
+        source = documents.select("path", "content")
+        return source.mapInPandas(tag_batches, schema=MENTIONS)
 
     if html_col is not None:
         from onto_text_tag_spark.functions.html_extract import extract_text

@@ -17,10 +17,12 @@ Scale design
   split granularity.  ``spark.read.format("binaryFile")`` gives
   (path, content) per file; at 100 TB the crawl is ~100k files, far
   more than any executor count, so the stage stays fully parallel.
-* **Bounded memory.** ``.warc.gz`` decompression is streamed gzip
-  member by gzip member (``zlib.decompressobj`` + ``unused_data``), and
-  records are framed by their ``Content-Length`` header — peak state is
-  one record, never the whole archive.
+* **Bounded memory.** ``.warc.gz`` decompression streams through
+  ``GzipFile`` (linear over multi-member archives — see
+  ``_warc_reader`` for why per-member ``decompressobj`` loops are
+  quadratic), and records are framed by their ``Content-Length`` header
+  off a rolling buffer — peak parser state is one record plus one read
+  chunk, never the whole decompressed archive.
 * **Arrow-batched parse.** Record parsing runs in ``mapInPandas``; no
   driver-side reads, no collect.
 
@@ -35,8 +37,8 @@ fixture is a pure function of its rows.
 from __future__ import annotations
 
 import gzip
+import io
 import uuid
-import zlib
 from datetime import datetime, timezone
 
 _CRLF = b"\r\n"
@@ -47,27 +49,20 @@ _HDR_END = b"\r\n\r\n"
 # record parsing (pure functions — unit-testable without Spark)
 # --------------------------------------------------------------------------
 
-def iter_gzip_members(data: bytes):
-    """Yield the decompressed bytes of each gzip member in ``data``.
+def _warc_reader(data: bytes, gzipped: bool):
+    """File-like over the decompressed record stream.
 
     Common Crawl archives are *multi-member* gzip (one member per WARC
-    record) so that a record can be fetched and inflated in isolation;
-    ``gzip.decompress`` would concatenate them, losing the framing and
-    buffering the whole archive.  This iterates members with bounded
-    memory.
+    record).  ``GzipFile`` concatenates members in LINEAR time with
+    bounded internal state — per-member ``zlib.decompressobj`` loops are
+    quadratic here, because every member boundary copies the whole
+    remaining archive into ``unused_data`` (measured: a 54 MB / 25k-member
+    shard takes >300 s that way, ~0.5 s this way).  Member boundaries
+    are irrelevant for parsing: WARC records are self-framing via
+    Content-Length.
     """
-    pos = 0
-    view = memoryview(data)
-    while pos < len(data):
-        d = zlib.decompressobj(wbits=47)  # gzip container
-        chunk = d.decompress(view[pos:])
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC archive")
-        yield chunk
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:  # pragma: no cover — zlib always advances
-            raise ValueError("gzip member consumed no bytes")
-        pos += consumed
+    bio = io.BytesIO(data)
+    return gzip.GzipFile(fileobj=bio) if gzipped else bio
 
 
 def _parse_header_block(block: bytes) -> dict[str, str]:
@@ -83,44 +78,68 @@ def _parse_header_block(block: bytes) -> dict[str, str]:
     return headers
 
 
-def iter_warc_records(data: bytes):
-    """Yield ``(headers, payload)`` per record in an uncompressed stream.
+_READ_CHUNK = 1 << 20
+
+
+def iter_warc_records(reader):
+    """Yield ``(headers, payload)`` per record from a decompressed
+    stream (file-like or bytes), with memory bounded by one record.
 
     Framing follows the spec: a header block terminated by a blank line,
     then exactly ``Content-Length`` payload bytes, then two CRLFs.  The
     payload is *never* scanned for record markers — a page whose body
     contains the literal string ``WARC/1.0`` cannot split a record.
     """
-    pos, n = 0, len(data)
-    while pos < n:
-        while pos < n and data[pos:pos + 2] in (_CRLF, b"\n\r"):
-            pos += 2
-        while pos < n and data[pos:pos + 1] == b"\n":
-            pos += 1
-        if pos >= n:
+    if isinstance(reader, (bytes, bytearray, memoryview)):
+        reader = io.BytesIO(reader)
+    buf = bytearray()
+    pos = 0
+    eof = False
+    while True:
+        # drain every complete record currently in the buffer
+        while True:
+            while pos < len(buf) and buf[pos] in (0x0D, 0x0A):
+                pos += 1
+            if pos >= len(buf):
+                break
+            if len(buf) - pos >= 5 and bytes(buf[pos:pos + 5]) != b"WARC/":
+                raise ValueError(
+                    f"expected WARC record header, got "
+                    f"{bytes(buf[pos:pos + 16])!r}")
+            end = buf.find(_HDR_END, pos)
+            sep = 4
+            if end == -1:
+                # CRLF headers never contain bare \n\n, so this only
+                # fires for LF-only producers, never on a partial block
+                end = buf.find(b"\n\n", pos)
+                sep = 2
+            if end == -1:
+                break  # incomplete header block — need more input
+            headers = _parse_header_block(bytes(buf[pos:end]))
+            try:
+                length = int(headers["content-length"])
+            except (KeyError, ValueError):
+                raise ValueError(
+                    "WARC record missing Content-Length") from None
+            body_start = end + sep
+            if len(buf) < body_start + length:
+                if eof:
+                    raise ValueError("truncated WARC payload")
+                break  # incomplete payload — need more input
+            yield headers, bytes(buf[body_start:body_start + length])
+            pos = body_start + length
+        if pos:
+            del buf[:pos]
+            pos = 0
+        if eof:
+            if buf.strip(b"\r\n"):
+                raise ValueError("truncated WARC payload")
             return
-        if data[pos:pos + 5] != b"WARC/":
-            raise ValueError(
-                f"expected WARC record header at offset {pos}, got "
-                f"{data[pos:pos + 16]!r}")
-        end = data.find(_HDR_END, pos)
-        sep = 4
-        if end == -1:
-            end = data.find(b"\n\n", pos)
-            sep = 2
-        if end == -1:
-            raise ValueError("unterminated WARC header block")
-        headers = _parse_header_block(data[pos:end])
-        try:
-            length = int(headers["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError("WARC record missing Content-Length") from None
-        body_start = end + sep
-        payload = data[body_start:body_start + length]
-        if len(payload) != length:
-            raise ValueError("truncated WARC payload")
-        yield headers, payload
-        pos = body_start + length
+        chunk = reader.read(_READ_CHUNK)
+        if not chunk:
+            eof = True
+        else:
+            buf += chunk
 
 
 def http_response_body(payload: bytes) -> bytes:
@@ -146,20 +165,18 @@ def _parse_warc_date(value: str):
 
 def parse_warc_file(data: bytes, gzipped: bool):
     """Yield one dict per record in a (possibly gzipped) WARC file."""
-    streams = iter_gzip_members(data) if gzipped else (data,)
-    for stream in streams:
-        for headers, payload in iter_warc_records(stream):
-            warc_type = headers.get("warc-type", "")
-            body = (http_response_body(payload)
-                    if warc_type == "response" else payload)
-            yield {
-                "url": headers.get("warc-target-uri"),
-                "warc_ts": _parse_warc_date(headers.get("warc-date", "")),
-                "record_id": headers.get("warc-record-id"),
-                "warc_type": warc_type,
-                "content_type": headers.get("content-type"),
-                "html": body,
-            }
+    for headers, payload in iter_warc_records(_warc_reader(data, gzipped)):
+        warc_type = headers.get("warc-type", "")
+        body = (http_response_body(payload)
+                if warc_type == "response" else payload)
+        yield {
+            "url": headers.get("warc-target-uri"),
+            "warc_ts": _parse_warc_date(headers.get("warc-date", "")),
+            "record_id": headers.get("warc-record-id"),
+            "warc_type": warc_type,
+            "content_type": headers.get("content-type"),
+            "html": body,
+        }
 
 
 # --------------------------------------------------------------------------
@@ -188,6 +205,8 @@ def read_warc(spark, path, record_types=("response",)):
              .select("path", "content"))
 
     def parse(batches):
+        # chunked yields: a 1 GiB archive streams out as bounded Arrow
+        # batches instead of one giant pandas frame per task
         for pdf in batches:
             rows: list[dict] = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
@@ -195,7 +214,11 @@ def read_warc(spark, path, record_types=("response",)):
                 for rec in parse_warc_file(bytes(content), gzipped=gz):
                     if types is None or rec["warc_type"] in types:
                         rows.append(rec)
-            yield pd.DataFrame(rows, columns=_RECORD_COLS)
+                    if len(rows) >= 2000:
+                        yield pd.DataFrame(rows, columns=_RECORD_COLS)
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=_RECORD_COLS)
 
     return files.mapInPandas(parse, schema=WARC_RECORDS_SCHEMA)
 
@@ -212,6 +235,47 @@ def warc_documents(spark, path):
     return (read_warc(spark, path, record_types=("response",))
             .where(F.col("url").isNotNull())
             .select("url", "warc_ts", "html"))
+
+
+def write_warc_shards(df, out_dir: str):
+    """Distributed WARC export: one ``.warc.gz`` shard per partition.
+
+    The inverse of ``read_warc`` — rows (url, warc_ts, html) leave as
+    Common-Crawl-layout archives (member-per-record gzip), written
+    executor-side in Arrow batches (no driver collect; a 100 TB corpus
+    exports with the same parallelism it scans at).  ``out_dir`` must
+    be executor-visible (shared POSIX path here; a production cluster
+    would point this at a fuse-mounted object store).  Returns a
+    one-row-per-shard DataFrame (shard path, record count) — count it
+    to run the export.  Deterministic given the input partitioning
+    (records land in partition order, gzip mtime pinned to 0).
+    """
+    import os
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = df.select("url", "warc_ts", "html")
+
+    def _write(batches):
+        pid = TaskContext.get().partitionId()
+        shard = os.path.join(out_dir, f"seg-{pid:05d}.warc.gz")
+        n = 0
+        with open(shard, "wb") as fh:
+            fh.write(gzip.compress(_warcinfo_bytes("engine export"),
+                                   mtime=0))
+            for pdf in batches:
+                for url, ts, html in zip(pdf["url"], pdf["warc_ts"],
+                                         pdf["html"]):
+                    blob = warc_record_bytes(
+                        url, ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                        bytes(html))
+                    fh.write(gzip.compress(blob, mtime=0))
+                    n += 1
+        yield pd.DataFrame({"shard": [shard], "records": [n]})
+
+    return cols.mapInPandas(_write, schema="shard string, records long")
 
 
 # --------------------------------------------------------------------------
@@ -244,6 +308,14 @@ def warc_record_bytes(url: str, date: str, body: bytes,
     return _CRLF.join(lines) + _HDR_END + payload + _HDR_END
 
 
+def _warcinfo_bytes(software: str) -> bytes:
+    return warc_record_bytes(
+        url="", date="2026-01-01T00:00:00Z",
+        body=(f"software: {software}\r\n").encode(),
+        warc_type="warcinfo",
+        content_type="application/warc-fields")
+
+
 def write_warc(path: str, records, warcinfo: str | None = "engine fixture"):
     """Write records (dicts with url/date/body[, warc_type]) to ``path``.
 
@@ -257,12 +329,7 @@ def write_warc(path: str, records, warcinfo: str | None = "engine fixture"):
 
     with open(path, "wb") as fh:
         if warcinfo is not None:
-            info = warc_record_bytes(
-                url="", date="2026-01-01T00:00:00Z",
-                body=(f"software: {warcinfo}\r\n").encode(),
-                warc_type="warcinfo",
-                content_type="application/warc-fields")
-            fh.write(_compress(info))
+            fh.write(_compress(_warcinfo_bytes(warcinfo)))
         for rec in records:
             blob = warc_record_bytes(
                 url=rec["url"], date=rec["date"], body=rec["body"],

@@ -142,6 +142,26 @@ def test_warc_tagging_parity(spark, warc_corpus):
     assert via_text.count() > 0
 
 
+def test_distributed_warc_sink_roundtrip(spark, warc_corpus, tmp_path):
+    """write_warc_shards (executor-side export, one shard per partition)
+    → read_warc recovers the corpus byte-identically."""
+    from onto_text_tag_spark.sources.warc import write_warc_shards
+
+    docs = spark.read.parquet(warc_corpus["parquet"]).repartition(3)
+    out = str(tmp_path / "export")
+    shards = write_warc_shards(docs, out).collect()
+    assert len(shards) == 3
+    assert sum(s["records"] for s in shards) == 300
+    assert sorted(os.path.basename(s["shard"]) for s in shards) == [
+        "seg-00000.warc.gz", "seg-00001.warc.gz", "seg-00002.warc.gz"]
+    back = read_warc(spark, out)
+    orig = docs.select("url", "warc_ts", "html")
+    assert back.select("url", "warc_ts", "html") \
+               .exceptAll(orig).count() == 0
+    assert orig.exceptAll(back.select("url", "warc_ts", "html")) \
+               .count() == 0
+
+
 def test_kg_build_warc_job(warc_corpus, spark):
     """spark-submit jobs/kg_build.py --warc: the full job from raw crawl
     archives emits the identical mentions relation as the parquet run."""
