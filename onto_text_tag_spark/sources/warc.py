@@ -237,6 +237,49 @@ def warc_documents(spark, path):
             .select("url", "warc_ts", "html"))
 
 
+def read_warc_document_stream(spark, path, max_files_per_trigger: int = 8):
+    """Streaming twin of ``warc_documents``: archives landing in
+    ``path`` become document micro-batches.
+
+    Composes with ``streaming/incremental.py:start_kg_update_sink`` for
+    continuous KG construction straight off a crawl drop directory —
+    each micro-batch is one exactly-once absorb commit.  The record
+    parse is a stateless ``mapInPandas``, legal on streaming
+    DataFrames; ``maxFilesPerTrigger`` bounds a batch to a few archives
+    so absorb commits stay right-sized.
+    """
+    from pyspark.sql import functions as F
+
+    import pandas as pd
+
+    files = (spark.readStream.format("binaryFile")
+             # binaryFile's schema is fixed, but streaming sources
+             # refuse to infer — spell it out
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .option("maxFilesPerTrigger", str(max_files_per_trigger))
+             .load(path)
+             .select("path", "content"))
+
+    def parse(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                gz = str(fpath).endswith(".gz")
+                for rec in parse_warc_file(bytes(content), gzipped=gz):
+                    if rec["warc_type"] == "response":
+                        rows.append(rec)
+                    if len(rows) >= 2000:
+                        yield pd.DataFrame(rows, columns=_RECORD_COLS)
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=_RECORD_COLS)
+
+    return (files.mapInPandas(parse, schema=WARC_RECORDS_SCHEMA)
+            .where(F.col("url").isNotNull())
+            .select("url", "warc_ts", "html"))
+
+
 def write_warc_shards(df, out_dir: str):
     """Distributed WARC export: one ``.warc.gz`` shard per partition.
 
