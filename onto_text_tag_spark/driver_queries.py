@@ -353,6 +353,46 @@ def sql_kg_cooccur_incremental() -> str:
     return sql_kg_cooccur()
 
 
+def q_kg_cooccur_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction algebra, oracle-checked: build the full-corpus
+    co-occurrence edges, then RETRACT every 10th document by merging
+    its pair contributions with NEGATED weights and dropping pairs that
+    reach zero — exactly what ``plans/kg_absorb.py:retract_batch`` does
+    when dedup demotes an already-admitted page
+    (``streaming/incremental.py:start_crawl_sink``).  The oracle is the
+    plain co-occurrence SQL over the KEPT documents — equality proves
+    ``weight(all) − weight(retracted) ≡ rebuild(kept)``."""
+    from onto_text_tag_spark.operators.cooccur import (
+        cooccurrence_edges_from_arrays,
+        doc_term_arrays,
+        merge_cooccurrence_edges,
+    )
+
+    m = _mentions(spark, sf_dir)
+    arrays = doc_term_arrays(m)
+    all_edges = cooccurrence_edges_from_arrays(arrays, assume_deduped=True)
+    gone = arrays.where(F.col("url").cast("long") % 10 == 0)
+    neg = cooccurrence_edges_from_arrays(
+        gone, assume_deduped=True
+    ).withColumn("weight", -F.col("weight"))
+    return (
+        merge_cooccurrence_edges(all_edges, neg)
+        .where(F.col("weight") > 0)
+        .select("src", "dst", F.col("weight").cast("long").alias("weight"))
+    )
+
+
+def sql_kg_cooccur_retract() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows
+        WHERE doc_id::BIGINT % 10 <> 0)
+SELECT a.curie AS src, b.curie AS dst, count(*)::BIGINT AS weight
+FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie
+GROUP BY a.curie, b.curie
+"""
+
+
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree profile of the co-occurrence graph — the skew diagnostic
     for the materialized KG (hub CURIEs dominate downstream joins)."""
@@ -1497,6 +1537,7 @@ QUERIES = {
     "kg_mention_triples": q_kg_mention_triples,
     "kg_cooccur": q_kg_cooccur,
     "kg_cooccur_incremental": q_kg_cooccur_incremental,
+    "kg_cooccur_retract": q_kg_cooccur_retract,
     "kg_degree": q_kg_degree,
     "kg_pagerank": q_kg_pagerank,
     "kg_links": q_kg_links,
@@ -1537,6 +1578,7 @@ ORACLES = {
     "kg_mention_triples": sql_kg_mention_triples(),
     "kg_cooccur": sql_kg_cooccur(),
     "kg_cooccur_incremental": sql_kg_cooccur_incremental(),
+    "kg_cooccur_retract": sql_kg_cooccur_retract(),
     "kg_degree": sql_kg_degree(),
     "kg_pagerank": sql_kg_pagerank(),
     "kg_links": sql_kg_links(),

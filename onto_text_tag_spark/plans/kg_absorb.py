@@ -286,6 +286,175 @@ def absorb_batch(
     }
 
 
+def _ensure_retracted_stage(spark: SparkSession, kg_root: str) -> None:
+    """Lazily bootstrap the ``retracted`` delete-set stage on roots
+    created before retraction existed (older init_kg_root layouts)."""
+    try:
+        read_manifest(kg_root, "retracted")
+    except OSError:
+        write_stage(
+            spark.createDataFrame([], "url string").repartition(1),
+            kg_root, "retracted", input_fingerprint="init",
+        )
+
+
+def read_retracted(spark: SparkSession, kg_root: str) -> DataFrame | None:
+    """The retraction delete set, or None when empty/absent."""
+    try:
+        man = read_manifest(kg_root, "retracted")
+    except OSError:
+        return None
+    if man.get("total_rows", 0) == 0:
+        return None
+    return read_stage(spark, kg_root, "retracted")
+
+
+def read_live_mentions(spark: SparkSession, kg_root: str) -> DataFrame:
+    """Merge-on-read live view: mentions minus retracted urls."""
+    m = read_stage(spark, kg_root, "mentions")
+    r = read_retracted(spark, kg_root)
+    return m if r is None else m.join(r, "url", "left_anti")
+
+
+def read_live_doc_terms(spark: SparkSession, kg_root: str) -> DataFrame:
+    dt = read_stage(spark, kg_root, "doc_terms")
+    r = read_retracted(spark, kg_root)
+    return dt if r is None else dt.join(r, "url", "left_anti")
+
+
+def read_live_triples(spark: SparkSession, kg_root: str) -> DataFrame:
+    """Live triples view: ``pred='mentions'`` rows whose subject url is
+    retracted are masked out (merge-on-read delete set — Iceberg's
+    equality-delete pattern); co-occurrence weights are already exact
+    because retraction PHYSICALLY merges the weight decrement (the
+    aggregate can't be masked row-wise), and ontology ``is_a`` rows are
+    corpus-independent."""
+    t = read_stage(spark, kg_root, "triples")
+    r = read_retracted(spark, kg_root)
+    if r is None:
+        return t
+    masked = r.select(F.col("url").alias("subj"))
+    return t.where(F.col("pred") != "mentions").unionByName(
+        t.where(F.col("pred") == "mentions")
+        .join(masked, "subj", "left_anti")
+    )
+
+
+def retract_batch(
+    spark: SparkSession,
+    kg_root: str,
+    urls: DataFrame,
+    batch_fp: str,
+) -> dict:
+    """Retract documents from the KG: the exact inverse of
+    ``absorb_batch`` for a set of previously-absorbed urls.
+
+    Needed when corpus membership is revised after ingestion — the
+    driving case is dedup-gated crawl ingestion
+    (``streaming/incremental.py:start_crawl_sink``): a later crawl epoch
+    can DEMOTE an already-admitted page (a bridging near-dup merges its
+    cluster), and the KG must forget that page's contributions.
+
+    The algebra is exact because every corpus-derived artifact is
+    additive over disjoint doc sets:
+
+    * mentions / doc_terms / ``(url, mentions, curie)`` triples are
+      keyed by url → a merge-on-read delete set (the ``retracted``
+      stage; live views above anti-join it), O(1) write;
+    * co-occurrence ``weight = |docs(a) ∩ docs(b)|`` → recompute the
+      retracted docs' pair contributions FROM THE STORED ``doc_terms``
+      stage (no corpus re-read, no re-tagging — tagging is
+      deterministic, so the stored arrays equal what re-tagging would
+      produce) and merge with negated weights; pairs reaching zero
+      drop.  ``weight(live) = weight(admitted) − weight(retracted)``
+      holds exactly (operators/cooccur.py:merge_cooccurrence_edges),
+      so the result is bit-equal to a rebuild over the live corpus —
+      pinned by tests/test_crawl_sink.py.
+
+    Same staged crash-safe commit protocol as ``absorb_batch``; a
+    ``batch_fp`` already in the triples snapshot log is a committed
+    no-op, and already-retracted urls are skipped (url-level
+    idempotence — double retraction cannot double-subtract).  Retracted
+    urls stay tombstoned: ``absorb_batch``'s seen-url anti-join reads
+    the PHYSICAL doc_terms stage, so a re-crawl of a retracted url does
+    not re-enter (document-level history is append-only)."""
+    t0 = time.time()
+    tag = hashlib.md5(batch_fp.encode()).hexdigest()[:12]
+    live_cooccur = os.path.join(
+        kg_root, "triples", "data", "pred=co_occurs_with")
+
+    if batch_already_committed(kg_root, batch_fp):
+        return {
+            "status": "noop_already_committed",
+            "batch_fingerprint": batch_fp,
+            "sec": round(time.time() - t0, 2),
+        }
+
+    _recover_swap(live_cooccur)
+    _ensure_retracted_stage(spark, kg_root)
+
+    (url_col,) = urls.columns
+    urls = urls.select(F.col(url_col).alias("url")).distinct()
+    already = read_retracted(spark, kg_root)
+    if already is not None:
+        urls = urls.join(already, "url", "left_anti")
+
+    staging = os.path.join(kg_root, "_staging", f"retract-{tag}")
+    staged_urls = run_stage(
+        spark, staging, "retracted", lambda: urls.coalesce(1),
+        input_fingerprint=batch_fp,
+    )
+    gone_terms = read_stage(spark, kg_root, "doc_terms").join(
+        staged_urls, "url", "left_semi"
+    )
+    neg_edges = cooccurrence_edges_from_arrays(
+        gone_terms, assume_deduped=True
+    ).withColumn("weight", -F.col("weight"))
+    old_edges = spark.read.parquet(live_cooccur).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"), "weight"
+    )
+    run_stage(
+        spark, staging, "merged_cooccur",
+        lambda: merge_cooccurrence_edges(old_edges, neg_edges)
+        .where(F.col("weight") > 0)
+        .select(
+            F.col("src").alias("subj"),
+            F.col("dst").alias("obj"),
+            F.col("weight").cast("long").alias("weight"),
+        ),
+        input_fingerprint=batch_fp,
+    )
+    n_retracted = read_manifest(staging, "retracted")["total_rows"]
+
+    def _commit():
+        _append_batch_files(
+            os.path.join(staging, "retracted", "data"),
+            os.path.join(kg_root, "retracted", "data"), tag)
+        _swap_subtree(
+            os.path.join(staging, "merged_cooccur", "data"), live_cooccur)
+        metrics = {
+            "batch_fingerprint": batch_fp,
+            "retracted_docs": n_retracted,
+        }
+        for stage in ("retracted", "triples"):
+            prev = read_manifest(kg_root, stage)["input_fingerprint"]
+            combined = hashlib.md5(
+                f"{prev}+{batch_fp}".encode()).hexdigest()
+            # triples is sealed LAST — its snapshot log is the commit point
+            commit_stage(kg_root, stage,
+                         input_fingerprint=combined, metrics=metrics)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    _commit()
+    return {
+        "status": "committed",
+        "batch_fingerprint": batch_fp,
+        "n_retracted_docs": n_retracted,
+        "n_triples_total": read_manifest(kg_root, "triples")["total_rows"],
+        "sec": round(time.time() - t0, 2),
+    }
+
+
 def compact_stage(
     spark: SparkSession,
     kg_root: str,

@@ -218,6 +218,144 @@ def start_kg_update_sink(
     )
 
 
+def init_crawl_root(
+    spark: SparkSession,
+    root: str,
+    onto_rows: list[dict],
+    doc_schema,
+    id_col: str = "url",
+    num_hashes: int = 64,
+) -> None:
+    """Bootstrap a combined crawl root: ``<root>/dedup`` (stored-shingle
+    dedup layout) + ``<root>/kg`` (kg_build stage layout), the two
+    stores ``start_crawl_sink`` maintains."""
+    import os
+
+    from onto_text_tag_spark.plans.dedup_absorb import init_dedup_root
+    from onto_text_tag_spark.plans.kg_absorb import init_kg_root
+
+    init_dedup_root(spark, os.path.join(root, "dedup"), doc_schema,
+                    id_col=id_col, num_hashes=num_hashes)
+    init_kg_root(spark, os.path.join(root, "kg"), onto_rows)
+
+
+def start_crawl_sink(
+    documents: DataFrame,
+    root: str,
+    dictionary_rows: list[dict],
+    checkpoint_path: str,
+    lang: str | None = None,
+    id_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    shingle_mode: str = "word",
+    max_bucket_size: int = 200,
+    prefilter_margin: float = 0.1,
+    minhash_method: str = "oph",
+    compact_every: int | None = None,
+):
+    """The full crawl-to-graph pipeline as ONE continuous sink:
+    dedup-gated KG construction with exact retraction.
+
+    Per micro-batch of pages, in order:
+
+    1. **dedup absorb** into ``<root>/dedup`` — exact + near-dup the
+       batch against the accumulated fingerprint store
+       (``plans/dedup_absorb.py``; store-only verify, no corpus
+       re-read);
+    2. **KG absorb** of ONLY this epoch's dedup SURVIVORS into
+       ``<root>/kg`` (``plans/kg_absorb.py:absorb_batch``) — duplicate
+       pages never pollute mention counts or co-occurrence weights;
+    3. **KG retraction** of base docs this epoch DEMOTED
+       (``retract_batch``): when a bridging page merges two clusters,
+       the page that loses representative status has its mention
+       triples masked and its co-occurrence weight contributions
+       subtracted exactly, so at every epoch boundary the KG equals a
+       batch build over the CURRENT live deduped corpus
+       (``read_deduped``) — pinned by tests/test_crawl_sink.py.
+
+    Each step is individually idempotent under the epoch-keyed
+    fingerprint (``crawl-epoch-N`` / ``crawl-epoch-N:retract``), so the
+    composition is crash-safe at any point: a replayed epoch re-drives
+    the sequence and every already-committed step no-ops, while the
+    epoch's survivor/demotion sets are recovered from the dedup root's
+    deterministic ``batch-<tag>-*`` file names rather than recomputed —
+    at-least-once foreachBatch delivery, exactly-once store commits.
+
+    Scale: streaming state is EMPTY (all state lives in the two stage
+    roots, merged LSM-style per epoch); per-epoch cost is
+    O(batch) fingerprint/tag work plus one pair-keyed weight merge.
+    ``compact_every=N`` folds small-files maintenance over both roots
+    into every Nth committed epoch."""
+    import glob
+    import hashlib
+    import os
+
+    from onto_text_tag_spark.plans.dedup_absorb import absorb_dedup_batch
+    from onto_text_tag_spark.plans.kg_absorb import (
+        absorb_batch,
+        compact_stage,
+        retract_batch,
+    )
+    from onto_text_tag_spark.sinks import read_manifest
+
+    dedup_root = os.path.join(root, "dedup")
+    kg_root = os.path.join(root, "kg")
+
+    def _batch_files(stage: str, tag: str) -> list[str]:
+        return sorted(glob.glob(os.path.join(
+            dedup_root, stage, "data", f"batch-{tag}-*.parquet")))
+
+    def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fp = f"crawl-epoch-{epoch_id}"
+        tag = hashlib.md5(fp.encode()).hexdigest()[:12]
+
+        result = absorb_dedup_batch(
+            spark, dedup_root, None, batch_df, batch_fp=fp,
+            id_col=id_col, text_col=text_col, threshold=threshold,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            shingle_mode=shingle_mode, max_bucket_size=max_bucket_size,
+            prefilter_margin=prefilter_margin,
+            minhash_method=minhash_method,
+        )
+
+        survivor_files = _batch_files("deduped", tag)
+        if survivor_files:
+            absorb_batch(
+                spark, kg_root, spark.read.parquet(*survivor_files),
+                dictionary_rows, batch_fp=fp, lang=lang,
+            )
+        demoted_files = _batch_files("demoted", tag)
+        if demoted_files:
+            retract_batch(
+                spark, kg_root, spark.read.parquet(*demoted_files),
+                batch_fp=f"{fp}:retract",
+            )
+
+        if (
+            compact_every
+            and result["status"] == "committed"
+            and (epoch_id + 1) % compact_every == 0
+        ):
+            for stage_root, stage in (
+                (dedup_root, "signatures"), (dedup_root, "deduped"),
+                (dedup_root, "demoted"), (kg_root, "mentions"),
+                (kg_root, "doc_terms"), (kg_root, "triples"),
+            ):
+                if read_manifest(stage_root, stage).get("n_files", 0) > 1:
+                    compact_stage(spark, stage_root, stage)
+
+    return (
+        documents.writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
 def start_dedup_update_sink(
     documents: DataFrame,
     dedup_root: str,
