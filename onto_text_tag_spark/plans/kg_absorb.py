@@ -455,6 +455,94 @@ def retract_batch(
     }
 
 
+def fold_retractions(spark: SparkSession, kg_root: str) -> dict:
+    """Fold the ``retracted`` delete set into the data files: physically
+    rewrite ``mentions``, ``doc_terms``, and the ``pred=mentions``
+    triples branch minus the retracted urls, then clear the delete set —
+    Iceberg's "rewrite data files applying equality deletes".  The LIVE
+    view content is unchanged (the rewrite applies exactly the anti-join
+    the live views were doing per read), so like ``compact_stage`` the
+    seals KEEP each stage's input fingerprint; what changes is read
+    amplification: after the fold, readers pay no anti-join.
+
+    Naturally idempotent and crash-safe: each subtree lands via the
+    staged swap (torn states recovered), and the delete-set clear is
+    LAST — a crash before it leaves live views correct (anti-joining
+    already-removed rows is a no-op) and a re-run folds the remainder.
+
+    Caveat: ``absorb_batch``'s seen-url check reads the physical
+    ``doc_terms`` stage, so folding drops the re-crawl tombstone for the
+    folded urls — a later crawl of a retracted url would re-enter the
+    KG.  In the crawl-sink deployment (``start_crawl_sink``) that is
+    safe: the dedup root's signature store is the durable seen-set and
+    gates re-entry before the KG ever sees the page.  For a standalone
+    ``jobs/kg_update.py`` root where re-crawl suppression of retracted
+    urls matters, keep the delete set unfolded."""
+    import time as _time
+
+    t0 = _time.time()
+    r = read_retracted(spark, kg_root)
+    if r is None:
+        return {"status": "noop_nothing_retracted",
+                "sec": round(_time.time() - t0, 2)}
+    n_retracted = r.count()
+    masked = r.select(F.col("url").alias("subj"))
+    live_mention_triples = os.path.join(
+        kg_root, "triples", "data", "pred=mentions")
+    for sub in ("mentions", "doc_terms"):
+        _recover_swap(os.path.join(kg_root, sub, "data"))
+    _recover_swap(live_mention_triples)
+
+    staging = os.path.join(kg_root, "_staging", "fold_retractions")
+    shutil.rmtree(staging, ignore_errors=True)
+    rows_before: dict[str, int] = {}
+    for stage in ("mentions", "doc_terms"):
+        live = os.path.join(kg_root, stage, "data")
+        rows_before[stage] = read_manifest(kg_root, stage)["total_rows"]
+        run_stage(
+            spark, staging, stage,
+            lambda stage=stage: read_stage(spark, kg_root, stage)
+            .join(r, "url", "left_anti"),
+            input_fingerprint=f"fold-{n_retracted}",
+        )
+        _swap_subtree(os.path.join(staging, stage, "data"), live)
+    mt = spark.read.parquet(live_mention_triples)
+    run_stage(
+        spark, staging, "mention_triples",
+        lambda: mt.join(masked, "subj", "left_anti"),
+        input_fingerprint=f"fold-{n_retracted}",
+    )
+    _swap_subtree(
+        os.path.join(staging, "mention_triples", "data"),
+        live_mention_triples)
+
+    # clear the delete set LAST (the fold's commit point)
+    empty = spark.createDataFrame([], "url string").repartition(1)
+    run_stage(spark, staging, "retracted", lambda: empty,
+              input_fingerprint=f"fold-{n_retracted}")
+    _swap_subtree(
+        os.path.join(staging, "retracted", "data"),
+        os.path.join(kg_root, "retracted", "data"))
+
+    for stage in ("mentions", "doc_terms", "triples", "retracted"):
+        man = read_manifest(kg_root, stage)
+        commit_stage(
+            kg_root, stage,
+            input_fingerprint=man["input_fingerprint"],
+            metrics={
+                **(man.get("metrics") or {}),
+                "fold_retractions": {"urls_folded": n_retracted},
+            },
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "status": "folded",
+        "n_urls_folded": n_retracted,
+        "rows_before": rows_before,
+        "sec": round(_time.time() - t0, 2),
+    }
+
+
 def compact_stage(
     spark: SparkSession,
     kg_root: str,

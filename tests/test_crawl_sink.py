@@ -29,6 +29,67 @@ def _words(prefix: str, n: int) -> str:
     return " ".join(f"{prefix}{i}" for i in range(n))
 
 
+def test_fold_retractions_preserves_live_views(spark, tmp_path):
+    """Folding the delete set physically rewrites mentions/doc_terms/
+    mention-triples minus the retracted urls and clears ``retracted`` —
+    live views identical before/after, physical stages cleaned,
+    re-running the fold is a no-op."""
+    from onto_text_tag_spark.corpus import (
+        distributed_documents_df,
+        mini_ontology,
+    )
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.plans.kg_absorb import (
+        absorb_batch,
+        fold_retractions,
+        init_kg_root,
+        read_live_doc_terms,
+        read_live_mentions,
+        read_live_triples,
+        retract_batch,
+    )
+    from onto_text_tag_spark.sinks import read_manifest, read_stage
+
+    onto = mini_ontology()
+    dict_rows = build_dictionary_rows(onto)
+    kg_root = str(tmp_path / "kg")
+    init_kg_root(spark, kg_root, onto)
+    docs = distributed_documents_df(spark, 40, seed=7, partitions=2)
+    absorb_batch(spark, kg_root, docs, dict_rows, batch_fp="b0",
+                 lang=None)
+    gone = docs.limit(7).select("url")
+    retract_batch(spark, kg_root, gone, batch_fp="r0")
+    gone_urls = {r["url"] for r in gone.collect()}
+
+    def snap():
+        return (
+            {tuple(r) for r in read_live_mentions(spark, kg_root)
+             .select("url", "curie").collect()},
+            {(r["url"], tuple(r["_terms"]))
+             for r in read_live_doc_terms(spark, kg_root).collect()},
+            {tuple(r) for r in read_live_triples(spark, kg_root)
+             .select("subj", "pred", "obj", "weight").collect()},
+        )
+
+    before = snap()
+    res = fold_retractions(spark, kg_root)
+    assert res["status"] == "folded"
+    assert res["n_urls_folded"] == len(gone_urls)
+    assert snap() == before
+    # physical stages no longer carry the folded urls; delete set empty
+    assert not gone_urls & {
+        r["url"] for r in read_stage(spark, kg_root, "mentions")
+        .select("url").distinct().collect()}
+    assert not gone_urls & {
+        r["subj"] for r in
+        spark.read.parquet(f"{kg_root}/triples/data/pred=mentions")
+        .select("subj").distinct().collect()}
+    assert read_manifest(kg_root, "retracted")["total_rows"] == 0
+    res2 = fold_retractions(spark, kg_root)
+    assert res2["status"] == "noop_nothing_retracted"
+    assert snap() == before
+
+
 def test_crawl_sink_kg_equals_batch_build_over_live_corpus(
     spark, tmp_path
 ):
