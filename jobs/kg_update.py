@@ -58,8 +58,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--kg", required=True,
                     help="existing jobs/kg_build.py snapshot root")
-    ap.add_argument("--input", required=True,
+    ap.add_argument("--input",
                     help="delta documents parquet (new crawl batch)")
+    ap.add_argument("--retract", metavar="URLS_PARQUET",
+                    help="retract previously-absorbed documents instead: "
+                    "a parquet of urls (single column) whose mention "
+                    "triples are masked and whose co-occurrence weight "
+                    "contributions are subtracted exactly "
+                    "(plans/kg_absorb.py:retract_batch — the batch twin "
+                    "of the crawl sink's demotion handling)")
+    ap.add_argument("--fold-retractions", action="store_true",
+                    help="after the update, physically fold the "
+                    "retracted delete set into the data files and clear "
+                    "it (fold_retractions; live-view content unchanged)")
     ap.add_argument("--ontology", nargs="*", default=[])
     ap.add_argument("--fixture", choices=["mini", "driver"], default="mini")
     ap.add_argument("--lang", default="en")
@@ -74,6 +85,8 @@ def main() -> None:
                     "into right-sized files (jobs/kg_compact.py inline; "
                     "content-identical, fingerprint kept)")
     args = ap.parse_args()
+    if not args.input and not args.retract:
+        ap.error("one of --input / --retract is required")
 
     from pyspark.sql import SparkSession
 
@@ -85,7 +98,7 @@ def main() -> None:
 
     spark = apply_engine_conf(SparkSession.builder).getOrCreate()
 
-    if not args.no_warmup:
+    if not args.no_warmup and args.input:
         # Same steady-state warmup as jobs/kg_build.py: fork the Python
         # workers, JIT the codegen paths, touch the input footers once —
         # amortized on a long-lived cluster, a fixed distortion on a
@@ -101,14 +114,29 @@ def main() -> None:
         ).count()
         spark.read.parquet(args.input).limit(1000).count()
 
-    dict_rows = build_dictionary_rows(
-        load_ontology_rows(args.ontology, args.fixture)
-    )
-    stats = absorb_batch(
-        spark, args.kg, spark.read.parquet(args.input), dict_rows,
-        batch_fp=fingerprint_parquet_inputs([args.input]),
-        lang=args.lang,
-    )
+    if args.input:
+        dict_rows = build_dictionary_rows(
+            load_ontology_rows(args.ontology, args.fixture)
+        )
+        stats = absorb_batch(
+            spark, args.kg, spark.read.parquet(args.input), dict_rows,
+            batch_fp=fingerprint_parquet_inputs([args.input]),
+            lang=args.lang,
+        )
+    else:
+        stats = {"status": "committed"}  # retract-only update
+    if args.retract:
+        from onto_text_tag_spark.plans.kg_absorb import retract_batch
+
+        stats["retract"] = retract_batch(
+            spark, args.kg, spark.read.parquet(args.retract),
+            batch_fp=fingerprint_parquet_inputs([args.retract])
+            + ":retract",
+        )
+    if args.fold_retractions:
+        from onto_text_tag_spark.plans.kg_absorb import fold_retractions
+
+        stats["fold"] = fold_retractions(spark, args.kg)
     if args.compact_after is not None and stats["status"] == "committed":
         from onto_text_tag_spark.plans.kg_absorb import compact_stage
         from onto_text_tag_spark.sinks import read_manifest

@@ -188,3 +188,38 @@ def test_compaction_preserves_content_and_resume(tmp_path, spark):
         map(tuple, spark.read.parquet(triples_path).collect())
     )
     assert after == before  # row multiset unchanged, hive layout intact
+
+
+def test_retract_job_equals_build_without_batch(job_tmp, corpora, spark):
+    """jobs/kg_update.py --retract is the exact inverse of an absorb at
+    the job surface: build the KG over the FULL corpus, retract batch2's
+    urls (with --fold-retractions so the physical stages equal the live
+    view), and the root must equal a from-scratch build over batch1
+    alone — mention triples as sets, co-occurrence weights exactly."""
+    root_full = os.path.join(job_tmp, "kg_retract")
+    _spark_submit(job_tmp, "kg_build.py", "--no-warmup",
+                  "--input", corpora["full"], "--output", root_full)
+    urls = os.path.join(job_tmp, "batch2_urls.parquet")
+    if not os.path.exists(urls):
+        spark.read.parquet(corpora["batch2"]).select("url") \
+            .coalesce(1).write.parquet(urls)
+    upd = _spark_submit(job_tmp, "kg_update.py",
+                        "--kg", root_full, "--retract", urls,
+                        "--fold-retractions")
+    assert upd["retract"]["status"] == "committed"
+    assert upd["fold"]["status"] == "folded"
+    assert upd["fold"]["n_urls_folded"] == upd["retract"]["n_retracted_docs"]
+
+    root_b1 = os.path.join(job_tmp, "kg_b1_only")
+    _spark_submit(job_tmp, "kg_build.py", "--no-warmup",
+                  "--input", corpora["batch1"], "--output", root_b1)
+    got = {tuple(r) for r in _triples(spark, root_full).collect()}
+    want = {tuple(r) for r in _triples(spark, root_b1).collect()}
+    assert got == want
+
+    # idempotence at the job surface: re-submitting the same retraction
+    # (same urls fingerprint) is a committed no-op
+    again = _spark_submit(job_tmp, "kg_update.py",
+                          "--kg", root_full, "--retract", urls)
+    assert again["retract"]["status"] == "noop_already_committed"
+    assert {tuple(r) for r in _triples(spark, root_full).collect()} == want

@@ -93,3 +93,98 @@ def test_streaming_warc_ingest_builds_full_kg(spark, warc_batches):
     assert got_mention_triples == want_mention_triples
     assert got_edges == want_edges
     assert len(got_edges) > 0
+
+
+def test_streaming_warc_crawl_sink_dedup_gated_kg(spark, tmp_path):
+    """The full production composition: raw Common-Crawl-style archives
+    land in a drop directory → ONE continuous sink dedups each batch,
+    absorbs only survivors into the KG, and retracts demotions
+    (``start_crawl_sink``).  P1 extraction is materialized on the
+    stream (``extract_texts`` — narrow ops, streaming-legal) so the
+    dedup gate fingerprints the same byte-identical text the tagger
+    sees.  Pins: cross-drop exact mirror pages never enter the KG, and
+    the final live KG equals a batch build over the live deduped
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.corpus import (
+        distributed_documents_df,
+        mini_ontology,
+    )
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+    from onto_text_tag_spark.operators.tagger import tag_documents
+    from onto_text_tag_spark.plans.dedup_absorb import read_deduped
+    from onto_text_tag_spark.plans.kg_absorb import read_live_triples
+    from onto_text_tag_spark.plans.kg_pipeline import (
+        extract_texts,
+        mention_triples,
+    )
+    from onto_text_tag_spark.sources.warc import (
+        read_warc_document_stream,
+        write_warc_shards,
+    )
+    from onto_text_tag_spark.streaming.incremental import (
+        init_crawl_root,
+        start_crawl_sink,
+    )
+
+    docs = distributed_documents_df(spark, 120, seed=23, partitions=2) \
+        .select("url", "warc_ts", "html")
+    docs.cache().count()
+    b0 = docs.where(F.crc32("url") % 2 == 0)
+    mirrors = b0.sort("url").limit(3) \
+        .withColumn("url", F.concat("url", F.lit("?mirror")))
+    mirror_urls = {r["url"] for r in mirrors.select("url").collect()}
+    b1 = docs.where(F.crc32("url") % 2 == 1).unionByName(mirrors)
+
+    incoming = str(tmp_path / "incoming")
+    import os
+    os.makedirs(incoming)
+    root = str(tmp_path / "crawlroot")
+    ckpt = str(tmp_path / "ckpt")
+    onto = mini_ontology()
+    dict_rows = build_dictionary_rows(onto)
+    init_crawl_root(
+        spark, root, onto,
+        "url string, warc_ts timestamp, html binary, text string")
+
+    for i, batch in enumerate((b0, b1)):
+        d = str(tmp_path / f"shards{i}")
+        write_warc_shards(batch.repartition(1), d).collect()
+        import shutil
+        shutil.copy(os.path.join(d, "seg-00000.warc.gz"),
+                    os.path.join(incoming, f"drop{i}.warc.gz"))
+        stream = extract_texts(read_warc_document_stream(spark, incoming))
+        q = start_crawl_sink(stream, root, dict_rows, ckpt, lang=None)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    dedup_root = os.path.join(root, "dedup")
+    kg_root = os.path.join(root, "kg")
+    live = read_deduped(spark, dedup_root).cache()
+    live_urls = {r["url"] for r in live.select("url").collect()}
+    assert not (mirror_urls & live_urls)  # the gate dropped the mirrors
+    assert len(live_urls) > 0
+
+    m = tag_documents(live, dict_rows)
+    want_mentions = {
+        (r.subj, r.obj)
+        for r in mention_triples(m).select("subj", "obj").collect()
+    }
+    want_edges = {tuple(r) for r in cooccurrence_edges(m).collect()}
+    live.unpersist()
+    triples = read_live_triples(spark, kg_root)
+    got_mentions = {
+        (r.subj, r.obj)
+        for r in triples.where("pred = 'mentions'").collect()
+    }
+    got_edges = {
+        (r.subj, r.obj, r.weight)
+        for r in triples.where("pred = 'co_occurs_with'").collect()
+    }
+    assert got_mentions == want_mentions
+    assert got_edges == want_edges
+    assert len(got_edges) > 0
