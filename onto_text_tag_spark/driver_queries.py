@@ -393,6 +393,54 @@ GROUP BY a.curie, b.curie
 """
 
 
+def q_kg_cooccur_dict_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-delta algebra, oracle-checked: tag with a REDUCED
+    dictionary (every CHEBI-mapped surface withheld — the "old
+    ontology release"), then absorb the withheld surfaces the way
+    ``plans/kg_dict_update.py:update_dictionary`` does: find affected
+    docs with the delta automaton, re-tag ONLY those with the full
+    dictionary, and merge the signed pair delta
+    (``operators/cooccur.py:signed_pair_delta``).  The oracle is the
+    PLAIN full-dictionary co-occurrence SQL — equality proves
+    ``edges(old) ⊕ Δ(affected) ≡ rebuild(new)``."""
+    from onto_text_tag_spark.operators.cooccur import (
+        cooccurrence_edges_from_arrays,
+        doc_term_arrays,
+        merge_cooccurrence_edges,
+        signed_pair_delta,
+    )
+
+    full_rows = driver_dictionary_rows()
+    old_rows = [r for r in full_rows if not r["id"].startswith("CHEBI")]
+    delta_rows = [r for r in full_rows if r["id"].startswith("CHEBI")]
+    docs = _docs(spark, sf_dir)
+
+    old_arrays = doc_term_arrays(
+        tag_documents(docs, old_rows, id_col="doc_id"))
+    old_edges = cooccurrence_edges_from_arrays(
+        old_arrays, assume_deduped=True)
+    affected = (
+        tag_documents(docs, delta_rows, id_col="doc_id")
+        .select("url").distinct()
+    )
+    new_arrays = doc_term_arrays(tag_documents(
+        docs.join(affected.select(F.col("url").alias("doc_id")),
+                  "doc_id", "left_semi"),
+        full_rows, id_col="doc_id",
+    ))
+    delta = signed_pair_delta(
+        old_arrays.join(affected, "url", "left_semi"), new_arrays)
+    return (
+        merge_cooccurrence_edges(old_edges, delta)
+        .where(F.col("weight") > 0)
+        .select("src", "dst", F.col("weight").cast("long").alias("weight"))
+    )
+
+
+def sql_kg_cooccur_dict_delta() -> str:
+    return sql_kg_cooccur()
+
+
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree profile of the co-occurrence graph — the skew diagnostic
     for the materialized KG (hub CURIEs dominate downstream joins)."""
@@ -1538,6 +1586,7 @@ QUERIES = {
     "kg_cooccur": q_kg_cooccur,
     "kg_cooccur_incremental": q_kg_cooccur_incremental,
     "kg_cooccur_retract": q_kg_cooccur_retract,
+    "kg_cooccur_dict_delta": q_kg_cooccur_dict_delta,
     "kg_degree": q_kg_degree,
     "kg_pagerank": q_kg_pagerank,
     "kg_links": q_kg_links,
@@ -1579,6 +1628,7 @@ ORACLES = {
     "kg_cooccur": sql_kg_cooccur(),
     "kg_cooccur_incremental": sql_kg_cooccur_incremental(),
     "kg_cooccur_retract": sql_kg_cooccur_retract(),
+    "kg_cooccur_dict_delta": sql_kg_cooccur_dict_delta(),
     "kg_degree": sql_kg_degree(),
     "kg_pagerank": sql_kg_pagerank(),
     "kg_links": sql_kg_links(),

@@ -187,6 +187,34 @@ def merge_cooccurrence_edges(
     return merged
 
 
+def signed_pair_delta(
+    old_arrays: DataFrame, new_arrays: DataFrame
+) -> DataFrame:
+    """Signed co-occurrence delta for docs whose term SETS changed:
+    ``pairs(new) − pairs(old)`` as (src, dst, weight) rows with weight
+    of either sign.
+
+    Additivity makes this the exact dictionary-update algebra
+    (``plans/kg_dict_update.py``): for the affected docs, subtract
+    every old pair contribution and add every new one —
+    ``merge_cooccurrence_edges(stored_edges, signed_pair_delta(...))``
+    (then ``weight > 0``) equals a full rebuild with the new
+    dictionary.  Both inputs must be ``doc_term_arrays``-shaped and
+    cover the SAME url set (a url absent from one side contributes an
+    empty term set there).  Only the affected docs explode — the delta
+    costs O(affected), not O(corpus)."""
+    neg = cooccurrence_edges_from_arrays(
+        old_arrays, assume_deduped=True
+    ).withColumn("weight", -F.col("weight"))
+    pos = cooccurrence_edges_from_arrays(new_arrays, assume_deduped=True)
+    return (
+        pos.unionByName(neg)
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
+
+
 def cooccurrence_triples(edges: DataFrame) -> DataFrame:
     """Edges → (subj, co_occurs_with, obj, weight) triple rows."""
     return edges.select(

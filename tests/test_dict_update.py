@@ -1,0 +1,222 @@
+"""Dictionary-delta KG maintenance (plans/kg_dict_update.py).
+
+An ontology release is absorbed into an existing KG root by re-tagging
+ONLY the affected docs and merging the signed co-occurrence delta.  The
+pin is span-exact equality with a from-scratch build under the new
+dictionary, in BOTH directions — including the two cases stored-span
+algebra cannot reconstruct under longest-match-wins overlap resolution:
+
+* an added longer surface SHADOWS a stored mention ("acute heart
+  attack" displaces "heart attack");
+* removing that surface UN-shadows the mention it was hiding (the
+  span was never emitted, so only a re-tag can recover it).
+"""
+
+import os
+
+from onto_text_tag_spark.corpus import _cls
+
+_OBO = "http://purl.obolibrary.org/obo/"
+
+ONTO_A = [
+    _cls(_OBO, "TST:0001", "heart attack", ("myocardial infarction",),
+         "An MI.", None),
+    _cls(_OBO, "TST:0002", "nicotine", (), "An alkaloid.", None),
+    _cls(_OBO, "TST:0003", "craving", (), "A desire.", "TST:0002"),
+    _cls(_OBO, "TST:0004", "smoking", (), "Inhaling smoke.", None),
+]
+# release B: a shadowing bigram class, a brand-new class, a new synonym
+# for an existing class, and a new is-a edge
+ONTO_B = ONTO_A[1:] + [
+    _cls(_OBO, "TST:0001", "heart attack", ("myocardial infarction",),
+         "An MI.", None),
+    _cls(_OBO, "TST:0010", "acute heart attack", (), "Acute MI.",
+         "TST:0001"),
+    _cls(_OBO, "TST:0011", "panic", (), "A state.", None),
+    _cls(_OBO, "TST:0012", "tobacco plant", ("tobacco",),
+         "A plant.", None),
+]
+
+DOCS = [
+    ("https://t.example/d1",
+     "the patient had an acute heart attack while smoking", "en"),
+    ("https://t.example/d2",
+     "nicotine causes craving and panic in the clinic", "en"),
+    ("https://t.example/d3",
+     "tobacco use rose sharply this year", "en"),
+    ("https://t.example/d4", "the craving subsided after a week", "en"),
+    ("https://t.example/d5",
+     "smoking and nicotine and craving all appear here", "en"),
+    ("https://t.example/d6", "nothing relevant at all", "en"),
+    ("https://t.example/nonen", "nicotine craving smoking", "de"),
+]
+
+
+def _rows(onto):
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+
+    return build_dictionary_rows(onto)
+
+
+def _build_root(spark, path, onto, docs):
+    from onto_text_tag_spark.plans.kg_absorb import (
+        absorb_batch,
+        init_kg_root,
+    )
+
+    init_kg_root(spark, path, onto)
+    absorb_batch(spark, path, docs, _rows(onto), batch_fp="b0",
+                 lang="en")
+    return path
+
+
+def _content(spark, root):
+    from onto_text_tag_spark.sinks import read_stage
+
+    return {
+        "mentions": {
+            tuple(r) for r in read_stage(spark, root, "mentions")
+            .select("url", "begin", "end", "span_text", "curie")
+            .collect()
+        },
+        "doc_terms": {
+            (r["url"], tuple(sorted(r["_terms"])))
+            for r in read_stage(spark, root, "doc_terms").collect()
+        },
+        "triples": {
+            tuple(r) for r in read_stage(spark, root, "triples")
+            .select("pred", "subj", "obj", "weight").collect()
+        },
+        "closure": {
+            tuple(r) for r in read_stage(spark, root, "isa_closure")
+            .select("subj", "obj").collect()
+        },
+    }
+
+
+def test_dictionary_update_equals_rebuild_both_directions(
+    spark, tmp_path
+):
+    from onto_text_tag_spark.plans.kg_dict_update import (
+        update_dictionary,
+        update_ontology,
+    )
+    from onto_text_tag_spark.session import local_df
+
+    docs = local_df(spark, DOCS, "url string, text string, lang string")
+    root = _build_root(spark, str(tmp_path / "kgA"), ONTO_A, docs)
+    root_b = _build_root(spark, str(tmp_path / "kgB"), ONTO_B, docs)
+    want_a = _content(spark, root)
+    want_b = _content(spark, root_b)
+    assert want_a != want_b
+
+    # the planted shadowing case is actually live in the fixture
+    assert ("https://t.example/d1", ("TST:0001", "TST:0004")) \
+        in want_a["doc_terms"]
+    assert ("https://t.example/d1", ("TST:0004", "TST:0010")) \
+        in want_b["doc_terms"]
+
+    # --- A -> B: additions (incl. a shadowing bigram + new synonym) -------
+    up = update_dictionary(spark, root, docs, _rows(ONTO_A),
+                           _rows(ONTO_B), batch_fp="dict-v2")
+    assert up["status"] == "committed"
+    # d6 (“nothing relevant”) and the non-en doc must not be re-tagged
+    assert up["n_affected_docs"] <= 4
+    onto_up = update_ontology(spark, root, ONTO_B, batch_fp="onto-v2")
+    assert onto_up["status"] == "committed"
+    assert _content(spark, root) == want_b
+
+    # idempotence: same fingerprints are committed no-ops
+    assert update_dictionary(
+        spark, root, docs, _rows(ONTO_A), _rows(ONTO_B),
+        batch_fp="dict-v2",
+    )["status"] == "noop_already_committed"
+    assert update_ontology(
+        spark, root, ONTO_B, batch_fp="onto-v2",
+    )["status"] == "noop_already_committed"
+    assert _content(spark, root) == want_b
+
+    # --- B -> A: removals (incl. un-shadowing "heart attack" in d1) -------
+    down = update_dictionary(spark, root, docs, _rows(ONTO_B),
+                             _rows(ONTO_A), batch_fp="dict-v3")
+    assert down["status"] == "committed"
+    update_ontology(spark, root, ONTO_A, batch_fp="onto-v3")
+    assert _content(spark, root) == want_a
+
+
+def test_dict_update_job_equals_termlist_rebuild(spark, tmp_path):
+    """spark-submit surface: build a KG from termlist A, run
+    jobs/kg_dict_update.py A→B, and the root must equal a from-scratch
+    jobs/kg_build.py --termlist B build (all triple predicates)."""
+    import json
+    import subprocess
+    import sys
+    import zipfile
+
+    from onto_text_tag_spark.corpus import (
+        distributed_documents_df,
+        mini_ontology,
+    )
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = str(tmp_path)
+
+    def submit(script, *args):
+        pkg = os.path.join(tmp, "pkg.zip")
+        if not os.path.exists(pkg):
+            with zipfile.ZipFile(pkg, "w", zipfile.ZIP_DEFLATED) as zf:
+                pkgdir = os.path.join(repo, "onto_text_tag_spark")
+                for root, _dirs, files in os.walk(pkgdir):
+                    for f in files:
+                        if f.endswith(".py"):
+                            p = os.path.join(root, f)
+                            zf.write(p, os.path.relpath(p, repo))
+        out = subprocess.run(
+            ["spark-submit", "--master", "local[4]",
+             "--conf", "spark.ui.enabled=false", "--py-files", pkg,
+             os.path.join(repo, "jobs", script), *args],
+            capture_output=True, text=True, timeout=420,
+            env={**os.environ, "PYSPARK_PYTHON": sys.executable},
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        return json.loads([ln for ln in out.stdout.splitlines()
+                           if ln.startswith("{")][-1])
+
+    def write_termlist(path, rows):
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write("\t".join(
+                    ["A", r["ont"], r["id"], r["surface"], r["name"], ""]
+                ) + "\n")
+
+    full_rows = build_dictionary_rows(mini_ontology())
+    tsv_a = os.path.join(tmp, "terms_a.tsv")
+    tsv_b = os.path.join(tmp, "terms_b.tsv")
+    write_termlist(
+        tsv_a, [r for r in full_rows if not r["id"].startswith("CHEBI")])
+    write_termlist(tsv_b, full_rows)
+    corpus = os.path.join(tmp, "corpus.parquet")
+    distributed_documents_df(spark, 200, seed=13, partitions=2) \
+        .write.parquet(corpus)
+
+    root_a = os.path.join(tmp, "kg_a")
+    root_b = os.path.join(tmp, "kg_b")
+    submit("kg_build.py", "--no-warmup", "--input", corpus,
+           "--output", root_a, "--termlist", tsv_a)
+    submit("kg_build.py", "--no-warmup", "--input", corpus,
+           "--output", root_b, "--termlist", tsv_b)
+    upd = submit("kg_dict_update.py", "--kg", root_a,
+                 "--input", corpus, "--old-termlist", tsv_a,
+                 "--new-termlist", tsv_b)
+    assert upd["status"] == "committed"
+    assert upd["n_affected_docs"] > 0
+
+    def triples(root):
+        return {
+            tuple(r) for r in spark.read.parquet(
+                os.path.join(root, "triples", "data"))
+            .select("pred", "subj", "obj", "weight").collect()
+        }
+
+    assert triples(root_a) == triples(root_b)
