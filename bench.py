@@ -1027,6 +1027,154 @@ def run_crawl_sink_bench(cores: int = 4) -> dict:
     return report
 
 
+def run_dict_update_bench(cores: int = 4) -> dict:
+    """Ontology-release maintenance cost: absorb a dictionary delta
+    into a built KG (jobs/kg_dict_update.py) vs rebuilding it
+    (jobs/kg_build.py --termlist), on the REAL 3.6k-surface reference
+    termlist.  The delta is the realistic release shape — new classes
+    naming rare corpus strings (sample doc frequency 0.2-2%) — in
+    BOTH directions: OLD→NEW exercises the additions path (one corpus
+    scan with the delta-sized automaton + re-tag of affected docs),
+    NEW→OLD the removals path (NO corpus scan: affected docs are looked
+    up in the stored doc_terms arrays).  Equality of the updated root
+    with the from-scratch rebuild is asserted via full-column hash."""
+    import shutil
+
+    docs = int(os.environ.get("SPARK_GRAFT_DICT_DOCS", "200000"))
+    ref_tsv = "/root/reference/static/test_terms.tsv"
+
+    corpus = os.path.join(SCALING_DIR, f"corpus_dictupd_{docs}.parquet")
+    if not os.path.exists(corpus):
+        _spark_submit(
+            f"local[{cores}]", "jobs/gen_corpus.py",
+            "--n-docs", str(docs), "--output", corpus,
+            "--partitions", str(cores * 4),
+        )
+
+    # the delta is the realistic release shape: NEW classes naming
+    # rare corpus strings that are not yet dictionary surfaces —
+    # picked empirically from a 1000-doc sample (tokens with doc
+    # frequency 0.2-2% of the sample; deterministic given the corpus).
+    # OLD = the real termlist, NEW = OLD + these classes.
+    from onto_text_tag_spark.sources.termlist_tsv import read_termlist_rows
+
+    old_rows = read_termlist_rows(ref_tsv)
+    surfaces = {r["surface"] for r in old_rows}
+    spark = _session(cores)
+    from pyspark.sql import functions as F
+
+    sample = spark.read.parquet(corpus).limit(1000)
+    tok_df = (
+        sample.select(
+            "url",
+            F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("t"))
+        .where(F.length("t") >= 4).distinct()
+        .groupBy("t").agg(F.countDistinct("url").alias("df"))
+        .collect()
+    )
+    spark.stop()
+    cand = sorted(
+        (r["df"], r["t"]) for r in tok_df
+        if 2 <= r["df"] <= 20 and r["t"] not in surfaces
+    )
+    delta_rows, cum = [], 0
+    for df_n, t in cand:
+        if len(delta_rows) >= 30 or cum + df_n > 100:
+            break
+        cum += df_n
+        delta_rows.append({
+            "surface": t, "id": f"NEWC:{len(delta_rows):04d}",
+            "name": t, "ont": "NEWC",
+        })
+    assert delta_rows, "no rare non-surface tokens in the sample"
+    full_rows = old_rows + delta_rows
+    delta_curies = {r["id"] for r in delta_rows}
+
+    def _write_tsv(path, rows):
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write("\t".join(
+                    ["A", r["ont"], r["id"], r["surface"], r["name"], ""]
+                ) + "\n")
+
+    tsv_old = os.path.join(SCALING_DIR, "dictupd_old.tsv")
+    tsv_new = os.path.join(SCALING_DIR, "dictupd_new.tsv")
+    _write_tsv(tsv_old, old_rows)
+    _write_tsv(tsv_new, full_rows)
+
+    def _job(script, *args):
+        out = _spark_submit(f"local[{cores}]", f"jobs/{script}", *args)
+        return json.loads(
+            [ln for ln in out.splitlines() if ln.startswith("{")][-1])
+
+    root_old = os.path.join(SCALING_DIR, "dictupd_root_old")
+    root_new = os.path.join(SCALING_DIR, "dictupd_root_new")
+    for p in (root_old, root_new):
+        shutil.rmtree(p, ignore_errors=True)
+    build_old = _job("kg_build.py", "--no-warmup", "--input", corpus,
+                     "--output", root_old, "--termlist", tsv_old)
+    build_new = _job("kg_build.py", "--no-warmup", "--input", corpus,
+                     "--output", root_new, "--termlist", tsv_new)
+
+    up = _job("kg_dict_update.py", "--kg", root_old, "--input", corpus,
+              "--old-termlist", tsv_old, "--new-termlist", tsv_new)
+    down_root = os.path.join(SCALING_DIR, "dictupd_root_down")
+    shutil.rmtree(down_root, ignore_errors=True)
+    shutil.copytree(root_new, down_root)
+    down = _job("kg_dict_update.py", "--kg", down_root, "--input", corpus,
+                "--old-termlist", tsv_new, "--new-termlist", tsv_old)
+
+    # exactness: updated roots equal the from-scratch builds
+    spark = _session(cores)
+
+    def _nh(root):
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(root, "triples", "data")) \
+            .select("pred", "subj", "obj", "weight")
+        cols = [F.col(c).cast("string") for c in df.columns]
+        r = df.select(F.count("*").alias("n"),
+                      F.bit_xor(F.xxhash64(*cols)).alias("h")).collect()[0]
+        return (r["n"], r["h"])
+
+    assert _nh(root_old) == _nh(root_new), "OLD->NEW update != rebuild"
+    # rebuild the OLD root for the reverse-direction equality check
+    root_old2 = os.path.join(SCALING_DIR, "dictupd_root_old2")
+    shutil.rmtree(root_old2, ignore_errors=True)
+    _job("kg_build.py", "--no-warmup", "--input", corpus,
+         "--output", root_old2, "--termlist", tsv_old)
+    assert _nh(down_root) == _nh(root_old2), "NEW->OLD update != rebuild"
+    spark.stop()
+    for p in (root_old, root_new, down_root, root_old2):
+        shutil.rmtree(p, ignore_errors=True)
+
+    return {
+        "job": "jobs/kg_dict_update.py (ontology-release absorb) vs "
+               "jobs/kg_build.py --termlist rebuild",
+        "docs": docs,
+        "cores": cores,
+        "termlist_surfaces": len(full_rows),
+        "delta_curies": len(delta_curies),
+        "delta_surfaces": len(full_rows) - len(old_rows),
+        "rebuild_old_sec": build_old["sec"],
+        "rebuild_new_sec": build_new["sec"],
+        "update_add": {
+            "sec": up["sec"], "affected_docs": up["n_affected_docs"],
+            "stage_sec": up.get("stage_sec"),
+            "ratio_vs_rebuild": round(up["sec"] / build_new["sec"], 3),
+        },
+        "update_remove": {
+            "sec": down["sec"], "affected_docs": down["n_affected_docs"],
+            "stage_sec": down.get("stage_sec"),
+            "ratio_vs_rebuild": round(down["sec"] / build_old["sec"], 3),
+        },
+        "equality": "verified (triples count + xxhash, both directions)",
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 def run_compaction_bench(cores: int = 4) -> dict:
     """Quantify the small-files problem that file-level append commits
     accumulate, and what ``compact_stage`` buys back.  One corpus is
@@ -1510,6 +1658,37 @@ def main() -> None:
                 f"fragment: first batches "
                 f"{rep['absorb_sec_first_batches']} s vs last batches "
                 f"{rep['absorb_sec_last_batches']} s.\n"
+            )
+        print(json.dumps(rep))
+        return
+    if "--bench-dict-update" in sys.argv:
+        rep = run_dict_update_bench(
+            cores=int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", "4")))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            ua, ur = rep["update_add"], rep["update_remove"]
+            fh.write(
+                f"\n## Dictionary-update run — {rep['job']}, "
+                f"{rep['docs']} docs, real {rep['termlist_surfaces']}"
+                f"-surface termlist, delta {rep['delta_curies']} "
+                f"new classes naming rare corpus strings "
+                f"({rep['delta_surfaces']} surfaces, sample df 0.2-2%), "
+                f"local[{rep['cores']}]\n\n"
+                f"| direction | sec | affected docs | rebuild sec | "
+                f"update/rebuild | stage_sec |\n|---|---|---|---|---|---|\n"
+                f"| OLD→NEW (additions) | {ua['sec']} | "
+                f"{ua['affected_docs']} | {rep['rebuild_new_sec']} | "
+                f"{ua['ratio_vs_rebuild']} | "
+                f"{json.dumps(ua['stage_sec'])} |\n"
+                f"| NEW→OLD (removals) | {ur['sec']} | "
+                f"{ur['affected_docs']} | {rep['rebuild_old_sec']} | "
+                f"{ur['ratio_vs_rebuild']} | "
+                f"{json.dumps(ur['stage_sec'])} |\n"
+                f"\nEquality with the from-scratch rebuild: "
+                f"{rep['equality']}.\n"
+                f"\nHost capacity check (pure-Python busy-loop, units/sec "
+                f"by process count):\n\n"
+                f"{json.dumps(rep['host_capacity_units_per_sec'])}\n"
             )
         print(json.dumps(rep))
         return

@@ -43,6 +43,8 @@ def main() -> None:
     ap.add_argument("--new-termlist", required=True,
                     help="6-col termlist TSV of the NEW release")
     ap.add_argument("--lang", default="en")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the steady-state warmup pass")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,6 +54,20 @@ def main() -> None:
     from onto_text_tag_spark.sources.termlist_tsv import read_termlist_rows
 
     spark = apply_engine_conf(SparkSession.builder).getOrCreate()
+
+    if not args.no_warmup:
+        # same steady-state warmup as jobs/kg_update.py: fork the Python
+        # workers, JIT the codegen paths, touch the input footers once
+        import pandas as _pd  # noqa: F401
+
+        def _noop(it):
+            yield from it
+
+        spark.range(0, 10_000, numPartitions=4).toDF("id").mapInPandas(
+            _noop, schema="id long"
+        ).count()
+        spark.read.parquet(args.input).limit(1000).count()
+
     import hashlib
 
     def _fp(path: str) -> str:

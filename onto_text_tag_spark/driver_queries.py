@@ -441,6 +441,54 @@ def sql_kg_cooccur_dict_delta() -> str:
     return sql_kg_cooccur()
 
 
+def q_kg_chord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chord-diagram association data — the reference's
+    ``/visualise_associations`` endpoint (hv_generate.py:25-60): for a
+    SELECTED curie list, every unordered pair of classes sharing at
+    least one document, labeled by class NAME, weighted by the doc-set
+    intersection size.  The reference materializes per-term doc-id sets
+    from the shelve KV and intersects them in a Python double loop with
+    inverse-duplicate pruning; here it is the co-occurrence aggregate
+    restricted to the selection (src < dst gives the canonical pair),
+    with the name projection as a broadcast-free literal map — no
+    Python, no driver loop."""
+    sel = [curie for curie, *_ in DRIVER_ONTOLOGY][:8]
+    names = {c: label for c, label, *_ in DRIVER_ONTOLOGY if c in sel}
+    from itertools import chain
+
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+
+    m = _mentions(spark, sf_dir).where(F.col("curie").isin(sel))
+    name_map = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable(names.items())])
+    return cooccurrence_edges(m, doc_col="url", term_col="curie").select(
+        name_map[F.col("src")].alias("source"),
+        name_map[F.col("dst")].alias("target"),
+        F.col("weight").cast("long").alias("n_docs"),
+    )
+
+
+def sql_kg_chord() -> str:
+    sel = [curie for curie, *_ in DRIVER_ONTOLOGY][:8]
+    in_list = ", ".join(f"'{c}'" for c in sel)
+    names = ", ".join(
+        f"('{c}', '{label}')" for c, label, *_ in DRIVER_ONTOLOGY
+        if c in sel
+    )
+    return f"""
+WITH {_MENTIONS_CTE},
+ names(curie, name) AS (VALUES {names}),
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows
+        WHERE curie IN ({in_list}))
+SELECT na.name AS source, nb.name AS target,
+       count(*)::BIGINT AS n_docs
+FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie
+JOIN names na ON na.curie = a.curie
+JOIN names nb ON nb.curie = b.curie
+GROUP BY na.name, nb.name
+"""
+
+
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree profile of the co-occurrence graph — the skew diagnostic
     for the materialized KG (hub CURIEs dominate downstream joins)."""
@@ -1587,6 +1635,7 @@ QUERIES = {
     "kg_cooccur_incremental": q_kg_cooccur_incremental,
     "kg_cooccur_retract": q_kg_cooccur_retract,
     "kg_cooccur_dict_delta": q_kg_cooccur_dict_delta,
+    "kg_chord": q_kg_chord,
     "kg_degree": q_kg_degree,
     "kg_pagerank": q_kg_pagerank,
     "kg_links": q_kg_links,
@@ -1629,6 +1678,7 @@ ORACLES = {
     "kg_cooccur_incremental": sql_kg_cooccur_incremental(),
     "kg_cooccur_retract": sql_kg_cooccur_retract(),
     "kg_cooccur_dict_delta": sql_kg_cooccur_dict_delta(),
+    "kg_chord": sql_kg_chord(),
     "kg_degree": sql_kg_degree(),
     "kg_pagerank": sql_kg_pagerank(),
     "kg_links": sql_kg_links(),
