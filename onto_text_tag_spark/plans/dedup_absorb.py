@@ -100,6 +100,62 @@ def read_deduped(spark: SparkSession, root: str) -> DataFrame:
     return docs.join(demoted, on=id_col, how="left_anti")
 
 
+def fold_demotions(spark: SparkSession, root: str) -> dict:
+    """Fold the ``demoted`` delete set into the data files: physically
+    rewrite ``deduped`` minus the demoted ids and clear the delete set
+    (Iceberg's rewrite-with-equality-deletes; the dedup twin of
+    ``plans/kg_absorb.py:fold_retractions``).  ``read_deduped`` content
+    is unchanged — the rewrite applies exactly the anti-join the live
+    view was doing per read — so the seal keeps the stage's input
+    fingerprint; what changes is read amplification.  Naturally
+    idempotent and crash-safe: staged swap per subtree, delete-set
+    clear LAST.  Later absorbs are unaffected: demotion detection runs
+    off the clusters map, not the delete set, and newly demoted ids
+    append into the (now empty) ``demoted`` stage as before."""
+    import time as _time
+
+    t0 = _time.time()
+    try:
+        man = read_manifest(root, "demoted")
+    except OSError:
+        man = None
+    if not man or man.get("total_rows", 0) == 0:
+        return {"status": "noop_nothing_demoted",
+                "sec": round(_time.time() - t0, 2)}
+    live_deduped = os.path.join(root, "deduped", "data")
+    live_demoted = os.path.join(root, "demoted", "data")
+    _recover_swap(live_deduped)
+    _recover_swap(live_demoted)
+
+    demoted = read_stage(spark, root, "demoted")
+    (id_col,) = demoted.columns
+    n_demoted = demoted.count()
+    staging = os.path.join(root, "_staging", "fold_demotions")
+    shutil.rmtree(staging, ignore_errors=True)
+    run_stage(
+        spark, staging, "deduped",
+        lambda: read_stage(spark, root, "deduped")
+        .join(demoted, id_col, "left_anti"),
+        input_fingerprint=f"fold-{n_demoted}",
+    )
+    _swap_subtree(os.path.join(staging, "deduped", "data"), live_deduped)
+    empty = spark.createDataFrame([], f"{id_col} string").repartition(1)
+    run_stage(spark, staging, "demoted", lambda: empty,
+              input_fingerprint=f"fold-{n_demoted}")
+    _swap_subtree(os.path.join(staging, "demoted", "data"), live_demoted)
+
+    for stage in ("deduped", "demoted"):
+        m = read_manifest(root, stage)
+        commit_stage(
+            root, stage, input_fingerprint=m["input_fingerprint"],
+            metrics={**(m.get("metrics") or {}),
+                     "fold_demotions": {"ids_folded": n_demoted}},
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"status": "folded", "n_ids_folded": n_demoted,
+            "sec": round(_time.time() - t0, 2)}
+
+
 def dedup_batch_already_committed(root: str, batch_fp: str) -> bool:
     return any(
         s.get("metrics", {}).get("batch_fingerprint") == batch_fp

@@ -194,3 +194,65 @@ def test_streaming_dedup_sink_equals_batch_rebuild(spark, tmp_path):
         q2.stop()
     assert {r["url"] for r in read_deduped(spark, root)
             .select("url").collect()} == want_live
+
+
+def test_fold_demotions_preserves_live_view(spark, tmp_path):
+    """Folding the demoted delete set into the deduped files keeps the
+    live view identical, empties the delete set, physically removes the
+    demoted ids, and re-running is a no-op; a later absorb that demotes
+    another doc appends into the emptied delete set as before."""
+    from onto_text_tag_spark.plans.dedup_absorb import (
+        absorb_dedup_batch,
+        fold_demotions,
+        init_dedup_root,
+        read_deduped,
+    )
+    from onto_text_tag_spark.session import local_df
+    from onto_text_tag_spark.sinks import read_manifest, read_stage
+
+    a_text = _words("alpha", 100)
+    bridge = _words("bridge", 10)
+    root = str(tmp_path / "foldroot")
+    init_dedup_root(spark, root, "url string, text string",
+                    num_hashes=KNOBS["num_hashes"])
+
+    def absorb(rows, fp):
+        return absorb_dedup_batch(
+            spark, root, None,
+            local_df(spark, rows, "url string, text string"),
+            batch_fp=fp, **KNOBS)
+
+    absorb([
+        ("https://f.example/docA", a_text),
+        ("https://f.example/docB",
+         f"{a_text} {bridge} {_words('beta', 25)}"),
+        ("https://f.example/docX", _words("xray", 60)),
+    ], "e0")
+    # docD bridges A-B -> docB (already committed) is demoted
+    r1 = absorb([("https://f.example/docD", f"{a_text} {bridge}")], "e1")
+    assert r1["n_demoted_base"] == 1
+
+    live_before = {r["url"] for r in
+                   read_deduped(spark, root).select("url").collect()}
+    assert "https://f.example/docB" not in live_before
+
+    res = fold_demotions(spark, root)
+    assert res["status"] == "folded" and res["n_ids_folded"] == 1
+    assert {r["url"] for r in read_deduped(spark, root)
+            .select("url").collect()} == live_before
+    assert read_manifest(root, "demoted")["total_rows"] == 0
+    assert "https://f.example/docB" not in {
+        r["url"] for r in read_stage(spark, root, "deduped")
+        .select("url").collect()}
+    assert fold_demotions(spark, root)["status"] == \
+        "noop_nothing_demoted"
+
+    # a later bridge (docY joins A's cluster? no — an EXACT dup of docX
+    # with a smaller id demotes docX) appends into the emptied set
+    r2 = absorb([("https://f.example/doc0X", _words("xray", 60))], "e2")
+    assert r2["n_demoted_base"] == 1
+    assert read_manifest(root, "demoted")["total_rows"] == 1
+    assert {r["url"] for r in read_deduped(spark, root)
+            .select("url").collect()} == (
+        live_before - {"https://f.example/docX"}
+        | {"https://f.example/doc0X"})
