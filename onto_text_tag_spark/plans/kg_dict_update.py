@@ -65,6 +65,7 @@ from onto_text_tag_spark.plans.kg_absorb import (
     _recover_swap,
     _swap_subtree,
     batch_already_committed,
+    read_live_doc_terms,
 )
 from onto_text_tag_spark.plans.kg_pipeline import extract_texts
 from onto_text_tag_spark.sinks import (
@@ -145,7 +146,14 @@ def update_dictionary(
     id_col = "url" if "url" in docs.columns else "doc_id"
 
     staging = os.path.join(kg_root, "_staging", f"dict-{tag}")
-    old_doc_terms = read_stage(spark, kg_root, "doc_terms")
+    # the LIVE view, not the physical stage: on a root with doc
+    # retractions (crawl-sink demotions) the physical doc_terms still
+    # carries the retracted urls' rows, but the co-occurrence aggregate
+    # already excludes their contributions — feeding them into the
+    # affected set / signed delta would subtract them a second time.
+    # The REWRITES below stay physical on purpose (retracted rows are
+    # preserved untouched and remain masked at read).
+    old_doc_terms = read_live_doc_terms(spark, kg_root)
 
     # --- affected urls ----------------------------------------------------
     def _affected():
@@ -225,7 +233,8 @@ def update_dictionary(
     ))
     timed("rewrite_doc_terms", lambda: run_stage(
         spark, staging, "doc_terms",
-        lambda: old_doc_terms.join(affected, "url", "left_anti")
+        lambda: read_stage(spark, kg_root, "doc_terms")
+        .join(affected, "url", "left_anti")
         .unionByName(new_arrays),
         input_fingerprint=batch_fp,
     ))

@@ -220,3 +220,52 @@ def test_dict_update_job_equals_termlist_rebuild(spark, tmp_path):
         }
 
     assert triples(root_a) == triples(root_b)
+
+
+def test_dict_update_after_retraction_uses_live_views(spark, tmp_path):
+    """Interplay regression: on a root where a doc was RETRACTED
+    (crawl-sink demotion), a later dictionary update must compute its
+    affected set and signed delta from the LIVE doc_terms view.  The
+    retracted doc d2 carries a shrunk-release curie ("panic"), so a
+    physical read would pull it into the affected set and subtract its
+    pair contributions a second time (they already left the aggregate
+    at retraction) — deflating shared edges like nicotine–craving."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.plans.kg_absorb import (
+        read_live_mentions,
+        read_live_triples,
+        retract_batch,
+    )
+    from onto_text_tag_spark.plans.kg_dict_update import update_dictionary
+    from onto_text_tag_spark.session import local_df
+    from onto_text_tag_spark.sinks import read_stage
+
+    gone_url = "https://t.example/d2"
+    docs = local_df(spark, DOCS, "url string, text string, lang string")
+    kept = docs.where(F.col("url") != gone_url)
+
+    root = _build_root(spark, str(tmp_path / "kgB"), ONTO_B, docs)
+    retract_batch(spark, root,
+                  local_df(spark, [(gone_url,)], "url string"),
+                  batch_fp="drop-d2")
+    # ground truth: a fresh build under the OLD dictionary over the
+    # live corpus (kept docs only)
+    want_root = _build_root(spark, str(tmp_path / "kgA"), ONTO_A, kept)
+
+    upd = update_dictionary(spark, root, kept, _rows(ONTO_B),
+                            _rows(ONTO_A), batch_fp="rel-down")
+    assert upd["status"] == "committed"
+
+    got_m = {tuple(r) for r in read_live_mentions(spark, root)
+             .select("url", "begin", "end", "curie").collect()}
+    want_m = {tuple(r) for r in read_stage(spark, want_root, "mentions")
+              .select("url", "begin", "end", "curie").collect()}
+    assert got_m == want_m
+    got_t = {tuple(r) for r in read_live_triples(spark, root)
+             .where("pred != 'is_a'")
+             .select("pred", "subj", "obj", "weight").collect()}
+    want_t = {tuple(r) for r in read_stage(spark, want_root, "triples")
+              .where("pred != 'is_a'")
+              .select("pred", "subj", "obj", "weight").collect()}
+    assert got_t == want_t
