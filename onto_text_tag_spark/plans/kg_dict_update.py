@@ -66,6 +66,7 @@ from onto_text_tag_spark.plans.kg_absorb import (
     _swap_subtree,
     batch_already_committed,
     read_live_doc_terms,
+    read_retracted,
 )
 from onto_text_tag_spark.plans.kg_pipeline import extract_texts
 from onto_text_tag_spark.sinks import (
@@ -144,6 +145,13 @@ def update_dictionary(
     if lang and "lang" in docs.columns:
         docs = docs.where(F.col("lang") == lang)
     id_col = "url" if "url" in docs.columns else "doc_id"
+    # defensive twin of the live-view read below: if the caller hands
+    # the FULL corpus rather than the live view, retracted docs must
+    # not re-enter through the re-tag side of the delta
+    gone = read_retracted(spark, kg_root)
+    if gone is not None:
+        docs = docs.join(gone.select(F.col("url").alias(id_col)),
+                         id_col, "left_anti")
 
     staging = os.path.join(kg_root, "_staging", f"dict-{tag}")
     # the LIVE view, not the physical stage: on a root with doc

@@ -253,7 +253,10 @@ def test_dict_update_after_retraction_uses_live_views(spark, tmp_path):
     # live corpus (kept docs only)
     want_root = _build_root(spark, str(tmp_path / "kgA"), ONTO_A, kept)
 
-    upd = update_dictionary(spark, root, kept, _rows(ONTO_B),
+    # pass the FULL corpus (including the retracted d2), the harder
+    # condition: the defensive anti-join must keep d2 out of the re-tag
+    # side just as the live-view read keeps it out of the old side
+    upd = update_dictionary(spark, root, docs, _rows(ONTO_B),
                             _rows(ONTO_A), batch_fp="rel-down")
     assert upd["status"] == "committed"
 
