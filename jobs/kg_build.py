@@ -51,6 +51,9 @@ def main() -> None:
                     "from html:binary — measures the production raw-HTML "
                     "path (P1 byte-identical extraction fused into the "
                     "tagging scan)")
+    ap.add_argument("--no-nodes", action="store_true",
+                    help="skip materializing the nodes table (the edges "
+                    "side — the triples stage — is always written)")
     ap.add_argument("--warc", action="store_true",
                     help="--input is a WARC archive glob (*.warc[.gz], the "
                     "Common Crawl interchange) instead of a documents "
@@ -256,6 +259,21 @@ def main() -> None:
         )
 
     timed("triples", _write_triples)
+
+    if not args.no_nodes:
+        # nodes/edges tables (north_rule "graph materialize"): triples is
+        # the edges side; this is the node side, partitioned by kind so
+        # class-only reads prune the corpus-sized document partition.
+        # Derived from the doc_terms snapshot — dictionary-keyed groupBy,
+        # no corpus re-read (plans/kg_pipeline.py:node_table).
+        from onto_text_tag_spark.plans.kg_pipeline import node_table
+
+        timed("nodes", lambda: run_stage(
+            spark, args.output, "nodes",
+            lambda: node_table(doc_terms, dict_rows),
+            partition_by=["kind"],
+            input_fingerprint=fp,
+        ))
 
     closure_df = local_df(
         spark,

@@ -621,6 +621,48 @@ SELECT src AS node FROM e UNION SELECT dst AS node FROM e
 """
 
 
+def q_kg_node_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized NODES table (plans/kg_pipeline.py:node_table) —
+    the north rule's "nodes/edges tables" node side, as jobs/kg_build.py
+    writes it: document nodes profiled by distinct-class degree, class
+    nodes carrying label + ontology prefix and distinct-doc degree
+    (0 for classes the corpus never mentions)."""
+    from onto_text_tag_spark.operators.cooccur import doc_term_arrays
+    from onto_text_tag_spark.plans.kg_pipeline import node_table
+
+    meta = [
+        {"id": c, "name": label, "ont": c.split(":", 1)[0]}
+        for c, label, _s, _d, _p in DRIVER_ONTOLOGY
+    ]
+    arrays = doc_term_arrays(_mentions(spark, sf_dir))
+    return node_table(arrays, meta)
+
+
+def sql_kg_node_table() -> str:
+    class_rows = ", ".join(
+        f"('{c}', '{label}')" for c, label, _s, _d, _p in DRIVER_ONTOLOGY
+    )
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ classes(id, label) AS (VALUES {class_rows})
+SELECT doc_id AS id,
+       NULL::VARCHAR AS label,
+       NULL::VARCHAR AS ont,
+       count(*)::BIGINT AS degree,
+       'document' AS kind
+FROM dt GROUP BY doc_id
+UNION ALL
+SELECT c.id,
+       c.label,
+       split_part(c.id, ':', 1) AS ont,
+       count(d.doc_id)::BIGINT AS degree,
+       'class' AS kind
+FROM classes c LEFT JOIN dt d ON d.curie = c.id
+GROUP BY c.id, c.label
+"""
+
+
 def q_kg_term_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _mentions(spark, sf_dir)
     return m.groupBy("curie").agg(
@@ -1640,6 +1682,7 @@ QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "kg_links": q_kg_links,
     "kg_nodes": q_kg_nodes,
+    "kg_node_table": q_kg_node_table,
     "kg_term_index": q_kg_term_index,
     "kg_term_index_salted": q_kg_term_index_salted,
     "kg_isa_closure": q_kg_isa_closure,
@@ -1683,6 +1726,7 @@ ORACLES = {
     "kg_pagerank": sql_kg_pagerank(),
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),
+    "kg_node_table": sql_kg_node_table(),
     "kg_term_index": sql_kg_term_index(),
     "kg_term_index_salted": sql_kg_term_index_salted(),
     "kg_isa_closure": sql_kg_isa_closure(),

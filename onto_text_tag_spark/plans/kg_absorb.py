@@ -42,6 +42,7 @@ from onto_text_tag_spark.sinks import (
     read_stage,
     run_stage,
     snapshot_log,
+    stage_is_current,
     write_stage,
     write_stage_branches,
 )
@@ -540,6 +541,81 @@ def fold_retractions(spark: SparkSession, kg_root: str) -> dict:
         "n_urls_folded": n_retracted,
         "rows_before": rows_before,
         "sec": round(_time.time() - t0, 2),
+    }
+
+
+def refresh_nodes(
+    spark: SparkSession,
+    kg_root: str,
+    class_meta: list[dict] | None = None,
+) -> dict:
+    """Recompute the NODES table (plans/kg_pipeline.py:node_table) from
+    the live doc_terms view — the maintenance action that brings a
+    root's node profile current after absorb / retract / dict-update
+    commits.  Node degrees are pure aggregates of doc_terms, so unlike
+    the co-occurrence merge they need no incremental algebra: one
+    dictionary-keyed groupBy re-derives them exactly.
+
+    Class metadata (label, ont) is corpus-independent: reused from the
+    existing nodes stage's ``kind=class`` rows, or — on roots built
+    before the nodes stage existed, or after a dictionary update that
+    adds classes — taken from ``class_meta`` dictionary rows when
+    given.  Idempotent: the stage fingerprint combines the doc_terms
+    and retracted fingerprints, so a refresh over unchanged inputs is
+    a committed no-op.  Lands via the staged swap (the meta read above
+    comes FROM the live stage, so the rewrite must fully materialize
+    before replacing it)."""
+    from onto_text_tag_spark.plans.kg_pipeline import node_table
+
+    t0 = time.time()
+    dt_fp = read_manifest(kg_root, "doc_terms")["input_fingerprint"]
+    try:
+        r_fp = read_manifest(kg_root, "retracted")["input_fingerprint"]
+    except OSError:
+        r_fp = ""
+    fp = hashlib.md5(f"nodes:{dt_fp}+{r_fp}".encode()).hexdigest()
+
+    live = os.path.join(kg_root, "nodes", "data")
+    _recover_swap(live)
+    have_stage = os.path.exists(live)
+    if have_stage and stage_is_current(kg_root, "nodes", fp):
+        return {"status": "noop_already_current",
+                "sec": round(time.time() - t0, 2)}
+
+    if class_meta is not None:
+        meta: "DataFrame | list[dict]" = class_meta
+    elif have_stage:
+        meta = (
+            read_stage(spark, kg_root, "nodes")
+            .where(F.col("kind") == "class")
+            .select("id", "label", "ont")
+        )
+    else:
+        raise ValueError(
+            "root has no nodes stage; pass class_meta dictionary rows "
+            "to bootstrap it"
+        )
+
+    staging = os.path.join(kg_root, "_staging", "refresh_nodes")
+    shutil.rmtree(staging, ignore_errors=True)
+    nodes = run_stage(
+        spark, staging, "nodes",
+        lambda: node_table(read_live_doc_terms(spark, kg_root), meta),
+        partition_by=["kind"],
+        input_fingerprint=fp,
+    )
+    n_nodes = read_manifest(staging, "nodes")["total_rows"]
+    _swap_subtree(os.path.join(staging, "nodes", "data"), live)
+    man = commit_stage(
+        kg_root, "nodes", partition_by=["kind"], input_fingerprint=fp,
+        metrics={"refresh_nodes": {"n_nodes": n_nodes}},
+        schema_json=nodes.schema.jsonValue(),
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "status": "refreshed",
+        "n_nodes": man["total_rows"],
+        "sec": round(time.time() - t0, 2),
     }
 
 

@@ -177,6 +177,71 @@ def shared_mention_and_cooccur_triples(
     return m_triples.unionByName(co_triples)
 
 
+def node_table(
+    doc_terms: DataFrame,
+    class_meta: "list[dict] | DataFrame",
+    id_col: str = "url",
+) -> DataFrame:
+    """The materialized NODES table of the mention graph — the north
+    rule's "nodes/edges tables" pair (the ``triples`` stage is the edges
+    table).  One row per node, profiled by mention-graph degree:
+
+    * ``kind='document'`` — one per tagged doc; ``degree`` = number of
+      distinct ontology classes it mentions (``size(_terms)`` — the
+      stored arrays are collect_set output, already distinct).
+    * ``kind='class'``    — one per dictionary CURIE, carrying its
+      label and ontology prefix; ``degree`` = number of distinct docs
+      mentioning it (0 for classes never seen in the corpus).
+
+    ``class_meta`` is either dictionary rows (dicts with id/name/ont —
+    driver-side small data, deduped by CURIE here) or a DataFrame with
+    columns (id, label, ont) — the refresh path reuses the class rows
+    of the existing nodes stage.  Built from the materialized
+    ``doc_terms`` snapshot: one explode + groupBy(curie) whose key
+    space is dictionary-sized, plus a broadcast-able class-meta join —
+    no corpus re-read, no corpus-keyed shuffle.  ``kind`` is last so
+    callers can ``partitionBy("kind")`` (class-only reads prune the
+    trillion-row document partition).
+    """
+    spark = doc_terms.sparkSession
+    if isinstance(class_meta, DataFrame):
+        meta_df = class_meta.select("id", "label", "ont")
+    else:
+        from onto_text_tag_spark.session import local_df
+
+        meta: dict[str, tuple] = {}
+        for r in class_meta:
+            meta.setdefault(
+                r["id"],
+                (r["name"], r.get("ont") or r["id"].split(":", 1)[0]),
+            )
+        meta_df = local_df(
+            spark,
+            [(c, n, o) for c, (n, o) in sorted(meta.items())],
+            "id string, label string, ont string",
+        )
+    doc_nodes = doc_terms.select(
+        F.col(id_col).alias("id"),
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("string").alias("ont"),
+        F.size("_terms").cast("long").alias("degree"),
+        F.lit("document").alias("kind"),
+    )
+    class_degree = (
+        doc_terms.select(F.explode("_terms").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("_deg"))
+    )
+    class_nodes = meta_df.join(class_degree, "id", "left").select(
+        "id",
+        "label",
+        "ont",
+        F.coalesce("_deg", F.lit(0)).cast("long").alias("degree"),
+        F.lit("class").alias("kind"),
+    )
+    return doc_nodes.unionByName(class_nodes)
+
+
 def closure_triples(isa_edges: DataFrame) -> DataFrame:
     """Transitive (descendant, is_a_transitive, ancestor) triples."""
     closure = transitive_closure(isa_edges)

@@ -216,3 +216,40 @@ def test_merge_cooccurrence_edges_equals_full_rebuild(kg):
     assert {tuple(r) for r in merged_w2.collect()} == {
         tuple(r) for r in full_w2.collect()
     }
+
+
+def test_node_table_profile(spark):
+    """plans/kg_pipeline.py:node_table — the nodes side of the
+    nodes/edges pair: document nodes profiled by distinct-class degree,
+    class nodes by distinct-doc degree, never-mentioned classes kept at
+    degree 0, kind column last (partitionBy target)."""
+    from onto_text_tag_spark.plans.kg_pipeline import node_table
+    from onto_text_tag_spark.session import local_df
+
+    arrays = local_df(
+        spark,
+        [("u1", ["A:1", "A:2"]), ("u2", ["A:1"])],
+        "url string, _terms array<string>",
+    )
+    meta = [
+        {"id": "A:1", "name": "alpha", "ont": "A"},
+        {"id": "A:2", "name": "beta", "ont": "A"},
+        {"id": "B:9", "name": "gamma", "ont": "B"},
+        # duplicate surface rows for one curie collapse to one node
+        {"id": "A:1", "name": "alpha", "ont": "A"},
+    ]
+    rows = {
+        (r["id"], r["kind"]): r.asDict()
+        for r in node_table(arrays, meta).collect()
+    }
+    assert rows[("u1", "document")]["degree"] == 2
+    assert rows[("u2", "document")]["degree"] == 1
+    assert rows[("u1", "document")]["label"] is None
+    assert rows[("A:1", "class")]["degree"] == 2
+    assert rows[("A:2", "class")]["degree"] == 1
+    assert rows[("B:9", "class")] == {
+        "id": "B:9", "label": "gamma", "ont": "B",
+        "degree": 0, "kind": "class",
+    }
+    assert len(rows) == 5
+    assert node_table(arrays, meta).columns[-1] == "kind"

@@ -66,8 +66,20 @@ def test_kg_build_clean_then_resume(job_tmp, corpus):
     assert clean["n_mentions"] > 0
     assert clean["n_triples"] > clean["n_mentions"] * 0  # present
     assert set(clean["stage_sec"]) == {
-        "setup", "mentions", "doc_terms", "triples", "isa_closure"
+        "setup", "mentions", "doc_terms", "triples", "nodes", "isa_closure"
     }
+    # the nodes side of the nodes/edges pair: kind-partitioned, one
+    # document row per tagged doc plus one class row per dictionary CURIE
+    kinds = sorted(
+        d for d in os.listdir(os.path.join(out_dir, "nodes", "data"))
+        if d.startswith("kind=")
+    )
+    assert kinds == ["kind=class", "kind=document"]
+    with open(os.path.join(out_dir, "nodes", "_MANIFEST.json")) as fh:
+        nodes_man = json.load(fh)
+    n_by_kind = {p["kind"]: p["rows"] for p in nodes_man["partitions"]}
+    assert n_by_kind["document"] > 0
+    assert n_by_kind["class"] > 0
     # triples stage landed as hive-partitioned predicate branches
     preds = sorted(
         d for d in os.listdir(os.path.join(out_dir, "triples", "data"))

@@ -223,3 +223,74 @@ def test_retract_job_equals_build_without_batch(job_tmp, corpora, spark):
                           "--kg", root_full, "--retract", urls)
     assert again["retract"]["status"] == "noop_already_committed"
     assert {tuple(r) for r in _triples(spark, root_full).collect()} == want
+
+
+def test_refresh_nodes_tracks_absorbs_and_retractions(spark, tmp_path):
+    """plans/kg_absorb.py:refresh_nodes — the nodes-table maintenance
+    action: bootstrap on an absorb-built root, equality with a direct
+    node_table rebuild over the live doc_terms, no-op idempotence, and
+    degree/doc-set correctness after a retraction."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.corpus import (
+        distributed_documents_df,
+        mini_ontology,
+    )
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.plans.kg_absorb import (
+        absorb_batch,
+        init_kg_root,
+        read_live_doc_terms,
+        refresh_nodes,
+        retract_batch,
+    )
+    from onto_text_tag_spark.plans.kg_pipeline import node_table
+    from onto_text_tag_spark.sinks import read_manifest, read_stage
+
+    onto = mini_ontology()
+    dict_rows = build_dictionary_rows(onto)
+    root = str(tmp_path / "kg")
+    init_kg_root(spark, root, onto)
+    docs = distributed_documents_df(spark, 120, seed=29, partitions=4)
+    docs.cache().count()
+    absorb_batch(spark, root, docs, dict_rows, batch_fp="b0")
+
+    # roots built before the nodes stage existed need the meta bootstrap
+    with pytest.raises(ValueError):
+        refresh_nodes(spark, root)
+    out = refresh_nodes(spark, root, class_meta=dict_rows)
+    assert out["status"] == "refreshed"
+
+    def snap():
+        return sorted(
+            map(tuple, read_stage(spark, root, "nodes")
+                .select("id", "label", "ont", "degree", "kind").collect())
+        )
+
+    want = sorted(map(tuple, node_table(
+        read_live_doc_terms(spark, root), dict_rows).collect()))
+    assert snap() == want
+    assert read_manifest(root, "nodes")["partition_by"] == ["kind"]
+
+    # unchanged inputs -> committed no-op (fingerprint-keyed)
+    assert refresh_nodes(spark, root)["status"] == "noop_already_current"
+
+    # retract a url subset; refresh (meta now reused from the stage)
+    gone = docs.select("url").where(F.crc32("url") % 4 == 0)
+    retract_batch(spark, root, gone, batch_fp="r0")
+    assert refresh_nodes(spark, root)["status"] == "refreshed"
+    after = read_stage(spark, root, "nodes")
+    live_urls = {
+        r["url"] for r in read_live_doc_terms(spark, root)
+        .select("url").collect()
+    }
+    doc_ids = {
+        r["id"] for r in after.where(F.col("kind") == "document").collect()
+    }
+    assert doc_ids == live_urls  # retracted docs left the node set
+    want2 = sorted(map(tuple, node_table(
+        read_live_doc_terms(spark, root),
+        after.where(F.col("kind") == "class")
+        .select("id", "label", "ont"),
+    ).collect()))
+    assert snap() == want2
