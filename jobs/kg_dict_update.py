@@ -45,10 +45,21 @@ def main() -> None:
     ap.add_argument("--lang", default="en")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the steady-state warmup pass")
+    ap.add_argument("--defer-rewrite", action="store_true",
+                    help="merge-on-read commit: land the affected docs' "
+                    "re-tagged rows in the overlay pair instead of "
+                    "rewriting the corpus-sized url-keyed stages — "
+                    "O(affected) write cost; pair with --fold-overlay "
+                    "maintenance runs")
+    ap.add_argument("--fold-overlay", action="store_true",
+                    help="after the update (or alone, with identical "
+                    "old/new termlists), fold the merge-on-read overlay "
+                    "into the base data files and clear it")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
+    from onto_text_tag_spark.plans.kg_absorb import fold_dict_overlay
     from onto_text_tag_spark.plans.kg_dict_update import update_dictionary
     from onto_text_tag_spark.session import apply_engine_conf
     from onto_text_tag_spark.sources.termlist_tsv import read_termlist_rows
@@ -76,13 +87,23 @@ def main() -> None:
             h.update(fh.read())
         return h.hexdigest()
 
-    stats = update_dictionary(
-        spark, args.kg, spark.read.parquet(args.input),
-        read_termlist_rows(args.old_termlist),
-        read_termlist_rows(args.new_termlist),
-        batch_fp=f"dict:{_fp(args.old_termlist)}>{_fp(args.new_termlist)}",
-        lang=args.lang or None,
-    )
+    old_rows = read_termlist_rows(args.old_termlist)
+    new_rows = read_termlist_rows(args.new_termlist)
+    if old_rows == new_rows and args.fold_overlay:
+        # fold-only maintenance run (identical termlists = no release)
+        stats = {"status": "fold_only"}
+    else:
+        stats = update_dictionary(
+            spark, args.kg, spark.read.parquet(args.input),
+            old_rows, new_rows,
+            batch_fp=(
+                f"dict:{_fp(args.old_termlist)}>{_fp(args.new_termlist)}"
+            ),
+            lang=args.lang or None,
+            defer_rewrite=args.defer_rewrite,
+        )
+    if args.fold_overlay:
+        stats["fold"] = fold_dict_overlay(spark, args.kg)
     print(json.dumps(stats))
     spark.stop()
 

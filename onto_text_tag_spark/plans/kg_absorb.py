@@ -310,15 +310,77 @@ def read_retracted(spark: SparkSession, kg_root: str) -> DataFrame | None:
     return read_stage(spark, kg_root, "retracted")
 
 
+def read_dict_overlay(
+    spark: SparkSession, kg_root: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """The dictionary-update overlay pair ``(mentions_overlay,
+    doc_terms_overlay)``, or None when absent/empty.
+
+    A DEFERRED dictionary update (``plans/kg_dict_update.py:
+    update_dictionary(defer_rewrite=True)``) does not rewrite the
+    corpus-sized url-keyed stages; it lands the affected docs'
+    re-tagged rows here instead — Iceberg's merge-on-read MERGE.  The
+    overlay's url set (the ``doc_terms_overlay`` rows — one per
+    affected url, EMPTY term arrays kept so a doc whose mentions all
+    disappeared still masks) is the equality-delete set over the base:
+
+        current = (base ANTI overlay.urls) ∪ overlay
+
+    ``doc_terms_overlay`` row count is the emptiness signal: every
+    deferred update writes one row per affected url there, even when
+    the re-tag produced no mentions."""
+    try:
+        man = read_manifest(kg_root, "doc_terms_overlay")
+    except OSError:
+        return None
+    if man.get("total_rows", 0) == 0:
+        return None
+    return (
+        read_stage(spark, kg_root, "mentions_overlay"),
+        read_stage(spark, kg_root, "doc_terms_overlay"),
+    )
+
+
+def mentions_with_overlay(spark: SparkSession, kg_root: str) -> DataFrame:
+    """Mentions with any dictionary-update overlay applied (retraction
+    delete set NOT applied — compose with ``read_live_mentions`` for
+    the full live view)."""
+    base = read_stage(spark, kg_root, "mentions")
+    ov = read_dict_overlay(spark, kg_root)
+    if ov is None:
+        return base
+    ov_m, ov_dt = ov
+    return base.join(
+        ov_dt.select("url"), "url", "left_anti"
+    ).unionByName(ov_m)
+
+
+def doc_terms_with_overlay(spark: SparkSession, kg_root: str) -> DataFrame:
+    """Doc-term arrays with any dictionary-update overlay applied.
+    Empty-array overlay rows (docs whose mentions all disappeared) are
+    filtered: the rebuild's ``doc_term_arrays`` never emits them, and
+    downstream algebra (retraction decrements, co-occurrence deltas)
+    relies on that invariant."""
+    base = read_stage(spark, kg_root, "doc_terms")
+    ov = read_dict_overlay(spark, kg_root)
+    if ov is None:
+        return base
+    _ov_m, ov_dt = ov
+    return base.join(
+        ov_dt.select("url"), "url", "left_anti"
+    ).unionByName(ov_dt.where(F.size("_terms") > 0))
+
+
 def read_live_mentions(spark: SparkSession, kg_root: str) -> DataFrame:
-    """Merge-on-read live view: mentions minus retracted urls."""
-    m = read_stage(spark, kg_root, "mentions")
+    """Merge-on-read live view: base with the dictionary-update overlay
+    applied, minus retracted urls."""
+    m = mentions_with_overlay(spark, kg_root)
     r = read_retracted(spark, kg_root)
     return m if r is None else m.join(r, "url", "left_anti")
 
 
 def read_live_doc_terms(spark: SparkSession, kg_root: str) -> DataFrame:
-    dt = read_stage(spark, kg_root, "doc_terms")
+    dt = doc_terms_with_overlay(spark, kg_root)
     r = read_retracted(spark, kg_root)
     return dt if r is None else dt.join(r, "url", "left_anti")
 
@@ -331,14 +393,31 @@ def read_live_triples(spark: SparkSession, kg_root: str) -> DataFrame:
     aggregate can't be masked row-wise), and ontology ``is_a`` rows are
     corpus-independent."""
     t = read_stage(spark, kg_root, "triples")
+    ov = read_dict_overlay(spark, kg_root)
     r = read_retracted(spark, kg_root)
-    if r is None:
+    if ov is None and r is None:
         return t
-    masked = r.select(F.col("url").alias("subj"))
-    return t.where(F.col("pred") != "mentions").unionByName(
-        t.where(F.col("pred") == "mentions")
-        .join(masked, "subj", "left_anti")
-    )
+    mention_rows = t.where(F.col("pred") == "mentions")
+    if ov is not None:
+        # overlay applies to the url-keyed mentions branch only: the
+        # co-occurrence branch is physically merged by the update, and
+        # is_a rows are corpus-independent
+        _ov_m, ov_dt = ov
+        mention_rows = mention_rows.join(
+            ov_dt.select(F.col("url").alias("subj")), "subj", "left_anti"
+        ).unionByName(
+            ov_dt.select(
+                F.col("url").alias("subj"),
+                F.lit("mentions").alias("pred"),
+                F.explode("_terms").alias("obj"),
+                F.lit(None).cast("long").alias("weight"),
+            )
+        )
+    if r is not None:
+        mention_rows = mention_rows.join(
+            r.select(F.col("url").alias("subj")), "subj", "left_anti"
+        )
+    return t.where(F.col("pred") != "mentions").unionByName(mention_rows)
 
 
 def retract_batch(
@@ -405,7 +484,11 @@ def retract_batch(
         spark, staging, "retracted", lambda: urls.coalesce(1),
         input_fingerprint=batch_fp,
     )
-    gone_terms = read_stage(spark, kg_root, "doc_terms").join(
+    # overlay-aware: if a url was dictionary-updated after ingestion,
+    # its CURRENT contributions (the ones in the aggregate) live in the
+    # overlay, not the base stage — subtracting the stale base arrays
+    # would corrupt the weights
+    gone_terms = doc_terms_with_overlay(spark, kg_root).join(
         staged_urls, "url", "left_semi"
     )
     neg_edges = cooccurrence_edges_from_arrays(
@@ -497,8 +580,15 @@ def fold_retractions(spark: SparkSession, kg_root: str) -> dict:
     staging = os.path.join(kg_root, "_staging", "fold_retractions")
     shutil.rmtree(staging, ignore_errors=True)
     rows_before: dict[str, int] = {}
-    for stage in ("mentions", "doc_terms"):
+    url_stages = ["mentions", "doc_terms"]
+    if read_dict_overlay(spark, kg_root) is not None:
+        # a retracted url can also sit in the dictionary-update overlay
+        # (updated after ingestion, demoted later) — fold it out of the
+        # overlay pair too, or clearing the delete set would resurrect it
+        url_stages += ["mentions_overlay", "doc_terms_overlay"]
+    for stage in url_stages:
         live = os.path.join(kg_root, stage, "data")
+        _recover_swap(live)
         rows_before[stage] = read_manifest(kg_root, stage)["total_rows"]
         run_stage(
             spark, staging, stage,
@@ -525,7 +615,7 @@ def fold_retractions(spark: SparkSession, kg_root: str) -> dict:
         os.path.join(staging, "retracted", "data"),
         os.path.join(kg_root, "retracted", "data"))
 
-    for stage in ("mentions", "doc_terms", "triples", "retracted"):
+    for stage in (*url_stages, "triples", "retracted"):
         man = read_manifest(kg_root, stage)
         commit_stage(
             kg_root, stage,
@@ -541,6 +631,128 @@ def fold_retractions(spark: SparkSession, kg_root: str) -> dict:
         "n_urls_folded": n_retracted,
         "rows_before": rows_before,
         "sec": round(_time.time() - t0, 2),
+    }
+
+
+def ensure_dict_overlay_stages(spark: SparkSession, kg_root: str) -> None:
+    """Lazily bootstrap the deferred-dictionary-update overlay pair on
+    roots created before it existed: empty ``mentions_overlay`` (tagger
+    output schema) and ``doc_terms_overlay`` stages."""
+    from onto_text_tag_spark.schemas import MENTIONS
+
+    try:
+        read_manifest(kg_root, "doc_terms_overlay")
+    except OSError:
+        write_stage(
+            spark.createDataFrame([], MENTIONS).repartition(1),
+            kg_root, "mentions_overlay", input_fingerprint="init",
+        )
+        write_stage(
+            spark.createDataFrame(
+                [], "url string, _terms array<string>"
+            ).repartition(1),
+            kg_root, "doc_terms_overlay", input_fingerprint="init",
+        )
+
+
+def fold_dict_overlay(spark: SparkSession, kg_root: str) -> dict:
+    """Fold the dictionary-update overlay into the base data files:
+    physically rewrite ``mentions``, ``doc_terms``, and the
+    ``pred=mentions`` triples branch as their overlay-applied views,
+    then truncate the overlay pair — the merge-on-read → copy-on-write
+    maintenance step (Iceberg's "rewrite data files" after MoR MERGE
+    commits).  Live-view content is unchanged at EVERY intermediate
+    step: each base rewrite applies exactly the transformation the live
+    views compute per read, and until the overlay is cleared the view's
+    (base' ANTI mask) ∪ overlay re-derives the same rows — so like
+    ``fold_retractions`` this is crash-safe by construction and the
+    seals KEEP each stage's fingerprint.  The overlay clear is last
+    (the fold's commit point); a re-run folds nothing and no-ops.
+
+    O(corpus) — the deferred rewrite cost, paid once at maintenance
+    time and amortized over every release absorbed since the last
+    fold, instead of once per release."""
+    from onto_text_tag_spark.schemas import MENTIONS
+
+    t0 = time.time()
+    ov = read_dict_overlay(spark, kg_root)
+    if ov is None:
+        return {"status": "noop_no_overlay",
+                "sec": round(time.time() - t0, 2)}
+    _ov_m, ov_dt = ov
+    n_urls = ov_dt.count()
+    live_mention_triples = os.path.join(
+        kg_root, "triples", "data", "pred=mentions")
+    for sub in ("mentions", "doc_terms",
+                "mentions_overlay", "doc_terms_overlay"):
+        _recover_swap(os.path.join(kg_root, sub, "data"))
+    _recover_swap(live_mention_triples)
+
+    staging = os.path.join(kg_root, "_staging", "fold_dict_overlay")
+    shutil.rmtree(staging, ignore_errors=True)
+    fp = f"fold-overlay-{n_urls}"
+    run_stage(
+        spark, staging, "mentions",
+        lambda: mentions_with_overlay(spark, kg_root),
+        input_fingerprint=fp,
+    )
+    run_stage(
+        spark, staging, "doc_terms",
+        lambda: doc_terms_with_overlay(spark, kg_root),
+        input_fingerprint=fp,
+    )
+    mask = ov_dt.select(F.col("url").alias("subj"))
+    run_stage(
+        spark, staging, "mention_triples",
+        lambda: spark.read.parquet(live_mention_triples)
+        .join(mask, "subj", "left_anti")
+        .unionByName(ov_dt.select(
+            F.col("url").alias("subj"),
+            F.explode("_terms").alias("obj"),
+            F.lit(None).cast("long").alias("weight"),
+        )),
+        input_fingerprint=fp,
+    )
+    _swap_subtree(os.path.join(staging, "mentions", "data"),
+                  os.path.join(kg_root, "mentions", "data"))
+    _swap_subtree(os.path.join(staging, "doc_terms", "data"),
+                  os.path.join(kg_root, "doc_terms", "data"))
+    _swap_subtree(os.path.join(staging, "mention_triples", "data"),
+                  live_mention_triples)
+
+    # truncate the overlay LAST (the fold's commit point)
+    run_stage(
+        spark, staging, "mentions_overlay",
+        lambda: spark.createDataFrame([], MENTIONS).repartition(1),
+        input_fingerprint=fp,
+    )
+    run_stage(
+        spark, staging, "doc_terms_overlay",
+        lambda: spark.createDataFrame(
+            [], "url string, _terms array<string>").repartition(1),
+        input_fingerprint=fp,
+    )
+    _swap_subtree(os.path.join(staging, "mentions_overlay", "data"),
+                  os.path.join(kg_root, "mentions_overlay", "data"))
+    _swap_subtree(os.path.join(staging, "doc_terms_overlay", "data"),
+                  os.path.join(kg_root, "doc_terms_overlay", "data"))
+
+    for stage in ("mentions", "doc_terms", "triples",
+                  "mentions_overlay", "doc_terms_overlay"):
+        man = read_manifest(kg_root, stage)
+        commit_stage(
+            kg_root, stage,
+            input_fingerprint=man["input_fingerprint"],
+            metrics={
+                **(man.get("metrics") or {}),
+                "fold_dict_overlay": {"urls_folded": n_urls},
+            },
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "status": "folded",
+        "n_urls_folded": n_urls,
+        "sec": round(time.time() - t0, 2),
     }
 
 

@@ -65,6 +65,7 @@ from onto_text_tag_spark.plans.kg_absorb import (
     _recover_swap,
     _swap_subtree,
     batch_already_committed,
+    ensure_dict_overlay_stages,
     read_live_doc_terms,
     read_retracted,
 )
@@ -107,12 +108,27 @@ def update_dictionary(
     new_dict_rows: list[dict],
     batch_fp: str,
     lang: str | None = "en",
+    defer_rewrite: bool = False,
 ) -> dict:
     """Commit a dictionary change into ``kg_root`` (stage → swap →
     seal).  ``docs`` must be the corpus the KG was built over (the
     same contract as a rebuild — e.g. the live deduped view); only the
     affected urls' texts are ever read from it.  A ``batch_fp``
-    already in the triples snapshot log is a committed no-op."""
+    already in the triples snapshot log is a committed no-op.
+
+    ``defer_rewrite=True`` makes the commit MERGE-ON-READ (Iceberg MoR
+    MERGE): instead of rewriting the corpus-sized url-keyed stages
+    (``mentions``/``doc_terms``/``pred=mentions`` — the whole-stage
+    copy that dominates the eager path's cost), the affected docs'
+    re-tagged rows land in the small overlay pair
+    (``plans/kg_absorb.py:read_dict_overlay``), whose url set masks the
+    base rows at read.  Write cost becomes O(affected) regardless of
+    corpus size; readers pay one extra anti-join + union until
+    ``fold_dict_overlay`` rewrites the base (once, amortized over every
+    release since the last fold).  The co-occurrence aggregate is still
+    physically merged either way — an aggregate cannot be masked
+    row-wise.  Live-view equality with the eager path and with a
+    from-scratch rebuild is pinned by tests/test_dict_update.py."""
     t0 = time.time()
     stage_sec: dict[str, float] = {}
 
@@ -124,12 +140,19 @@ def update_dictionary(
 
     tag = hashlib.md5(batch_fp.encode()).hexdigest()[:12]
     live_triples = os.path.join(kg_root, "triples", "data")
-    swap_targets = [
-        os.path.join(kg_root, "mentions", "data"),
-        os.path.join(kg_root, "doc_terms", "data"),
-        os.path.join(live_triples, "pred=mentions"),
-        os.path.join(live_triples, "pred=co_occurs_with"),
-    ]
+    if defer_rewrite:
+        swap_targets = [
+            os.path.join(kg_root, "mentions_overlay", "data"),
+            os.path.join(kg_root, "doc_terms_overlay", "data"),
+            os.path.join(live_triples, "pred=co_occurs_with"),
+        ]
+    else:
+        swap_targets = [
+            os.path.join(kg_root, "mentions", "data"),
+            os.path.join(kg_root, "doc_terms", "data"),
+            os.path.join(live_triples, "pred=mentions"),
+            os.path.join(live_triples, "pred=co_occurs_with"),
+        ]
 
     if batch_already_committed(kg_root, batch_fp):
         return {
@@ -137,8 +160,24 @@ def update_dictionary(
             "batch_fingerprint": batch_fp,
             "sec": round(time.time() - t0, 2),
         }
+    if defer_rewrite:
+        ensure_dict_overlay_stages(spark, kg_root)
     for target in swap_targets:
         _recover_swap(target)
+
+    if not defer_rewrite:
+        # an EAGER rewrite reads the physical url-keyed stages; a
+        # pending merge-on-read overlay (earlier deferred updates) must
+        # be folded into them first or the rewrite starts from stale
+        # rows.  fold_dict_overlay is idempotent/crash-safe and no-ops
+        # when the overlay is empty or absent.
+        from onto_text_tag_spark.plans.kg_absorb import (
+            fold_dict_overlay,
+            read_dict_overlay,
+        )
+
+        if read_dict_overlay(spark, kg_root) is not None:
+            fold_dict_overlay(spark, kg_root)
 
     delta = dictionary_delta(old_dict_rows, new_dict_rows)
     docs = extract_texts(docs)
@@ -232,42 +271,77 @@ def update_dictionary(
         input_fingerprint=batch_fp,
     ))
 
-    # --- rewritten url-keyed stages (affected rows replaced) ---------------
-    timed("rewrite_mentions", lambda: run_stage(
-        spark, staging, "mentions",
-        lambda: read_stage(spark, kg_root, "mentions")
-        .join(affected, "url", "left_anti").unionByName(retag),
-        input_fingerprint=batch_fp,
-    ))
-    timed("rewrite_doc_terms", lambda: run_stage(
-        spark, staging, "doc_terms",
-        lambda: read_stage(spark, kg_root, "doc_terms")
-        .join(affected, "url", "left_anti")
-        .unionByName(new_arrays),
-        input_fingerprint=batch_fp,
-    ))
-    timed("rewrite_mention_triples", lambda: run_stage(
-        spark, staging, "mention_triples",
-        lambda: spark.read.parquet(
-            os.path.join(live_triples, "pred=mentions"))
-        .join(affected.select(F.col("url").alias("subj")),
-              "subj", "left_anti")
-        .unionByName(new_arrays.select(
-            F.col("url").alias("subj"),
-            F.explode("_terms").alias("obj"),
-            F.lit(None).cast("long").alias("weight"),
-        )),
-        input_fingerprint=batch_fp,
-    ))
-    n_affected = read_manifest(staging, "affected")["total_rows"]
-
-    def _commit():
-        for stage, target in (
+    if defer_rewrite:
+        # --- merge-on-read commit: O(affected) overlay pair --------------
+        # New overlay = previous overlay minus re-affected urls, plus the
+        # re-tag.  EVERY affected url gets a doc_terms_overlay row — docs
+        # whose mentions all disappeared keep an EMPTY array row so they
+        # still mask their base rows (read_dict_overlay docstring).
+        old_ov_m = read_stage(spark, kg_root, "mentions_overlay")
+        old_ov_dt = read_stage(spark, kg_root, "doc_terms_overlay")
+        timed("overlay_mentions", lambda: run_stage(
+            spark, staging, "mentions_overlay",
+            lambda: old_ov_m.join(affected, "url", "left_anti")
+            .unionByName(retag.select(*old_ov_m.columns)),
+            input_fingerprint=batch_fp,
+        ))
+        timed("overlay_doc_terms", lambda: run_stage(
+            spark, staging, "doc_terms_overlay",
+            lambda: old_ov_dt.join(affected, "url", "left_anti")
+            .unionByName(new_arrays)
+            .unionByName(
+                affected.join(new_arrays.select("url"), "url", "left_anti")
+                .select(
+                    "url",
+                    F.expr("cast(array() as array<string>)")
+                    .alias("_terms"),
+                )
+            ),
+            input_fingerprint=batch_fp,
+        ))
+        swap_stages = [
+            ("doc_terms_overlay", swap_targets[1]),
+            ("mentions_overlay", swap_targets[0]),
+            ("merged_cooccur", swap_targets[2]),
+        ]
+    else:
+        # --- copy-on-write: rewrite the url-keyed stages ------------------
+        timed("rewrite_mentions", lambda: run_stage(
+            spark, staging, "mentions",
+            lambda: read_stage(spark, kg_root, "mentions")
+            .join(affected, "url", "left_anti").unionByName(retag),
+            input_fingerprint=batch_fp,
+        ))
+        timed("rewrite_doc_terms", lambda: run_stage(
+            spark, staging, "doc_terms",
+            lambda: read_stage(spark, kg_root, "doc_terms")
+            .join(affected, "url", "left_anti")
+            .unionByName(new_arrays),
+            input_fingerprint=batch_fp,
+        ))
+        timed("rewrite_mention_triples", lambda: run_stage(
+            spark, staging, "mention_triples",
+            lambda: spark.read.parquet(
+                os.path.join(live_triples, "pred=mentions"))
+            .join(affected.select(F.col("url").alias("subj")),
+                  "subj", "left_anti")
+            .unionByName(new_arrays.select(
+                F.col("url").alias("subj"),
+                F.explode("_terms").alias("obj"),
+                F.lit(None).cast("long").alias("weight"),
+            )),
+            input_fingerprint=batch_fp,
+        ))
+        swap_stages = [
             ("mentions", swap_targets[0]),
             ("doc_terms", swap_targets[1]),
             ("mention_triples", swap_targets[2]),
             ("merged_cooccur", swap_targets[3]),
-        ):
+        ]
+    n_affected = read_manifest(staging, "affected")["total_rows"]
+
+    def _commit():
+        for stage, target in swap_stages:
             _swap_subtree(os.path.join(staging, stage, "data"), target)
         metrics = {
             "batch_fingerprint": batch_fp,
@@ -275,9 +349,17 @@ def update_dictionary(
                 "affected_docs": n_affected,
                 "added_surfaces": len(delta["added_rows"]),
                 "shrunk_curies": len(delta["shrunk_curies"]),
+                "deferred": defer_rewrite,
             },
         }
-        for stage in ("mentions", "doc_terms", "triples"):
+        seal = ["mentions", "doc_terms"]
+        if defer_rewrite:
+            # base stages are sealed too: their PHYSICAL rows are
+            # untouched but their logical content changed (the overlay
+            # masks them), so a resume keyed on the old fingerprint
+            # must miss
+            seal += ["mentions_overlay", "doc_terms_overlay"]
+        for stage in (*seal, "triples"):
             prev = read_manifest(kg_root, stage)["input_fingerprint"]
             combined = hashlib.md5(
                 f"{prev}+{batch_fp}".encode()).hexdigest()

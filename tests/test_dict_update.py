@@ -221,6 +221,20 @@ def test_dict_update_job_equals_termlist_rebuild(spark, tmp_path):
 
     assert triples(root_a) == triples(root_b)
 
+    # deferred round-trip at the job surface: B -> A merge-on-read,
+    # then fold — the PHYSICAL root must equal a from-scratch A build
+    down = submit("kg_dict_update.py", "--kg", root_a,
+                  "--input", corpus, "--old-termlist", tsv_b,
+                  "--new-termlist", tsv_a, "--defer-rewrite",
+                  "--fold-overlay")
+    assert down["status"] == "committed"
+    assert down["fold"]["status"] == "folded"
+    assert down["fold"]["n_urls_folded"] == down["n_affected_docs"]
+    root_a_fresh = os.path.join(tmp, "kg_a_fresh")
+    submit("kg_build.py", "--no-warmup", "--input", corpus,
+           "--output", root_a_fresh, "--termlist", tsv_a)
+    assert triples(root_a) == triples(root_a_fresh)
+
 
 def test_dict_update_after_retraction_uses_live_views(spark, tmp_path):
     """Interplay regression: on a root where a doc was RETRACTED
@@ -272,3 +286,164 @@ def test_dict_update_after_retraction_uses_live_views(spark, tmp_path):
               .where("pred != 'is_a'")
               .select("pred", "subj", "obj", "weight").collect()}
     assert got_t == want_t
+
+
+def _live_content(spark, root):
+    from onto_text_tag_spark.plans.kg_absorb import (
+        read_live_doc_terms,
+        read_live_mentions,
+        read_live_triples,
+    )
+    from onto_text_tag_spark.sinks import read_stage
+
+    return {
+        "mentions": {
+            tuple(r) for r in read_live_mentions(spark, root)
+            .select("url", "begin", "end", "span_text", "curie")
+            .collect()
+        },
+        "doc_terms": {
+            (r["url"], tuple(sorted(r["_terms"])))
+            for r in read_live_doc_terms(spark, root).collect()
+        },
+        "triples": {
+            tuple(r) for r in read_live_triples(spark, root)
+            .select("pred", "subj", "obj", "weight").collect()
+        },
+        "closure": {
+            tuple(r) for r in read_stage(spark, root, "isa_closure")
+            .select("subj", "obj").collect()
+        },
+    }
+
+
+def test_deferred_dict_update_equals_rebuild_and_folds(spark, tmp_path):
+    """Merge-on-read release absorb: defer_rewrite=True lands the
+    affected docs' rows in the overlay pair; the LIVE views must equal
+    the rebuild in both directions (sequential overlays included), the
+    base stages stay physically untouched until fold_dict_overlay, and
+    the fold preserves live content exactly while clearing the
+    overlay."""
+    from onto_text_tag_spark.plans.kg_absorb import (
+        fold_dict_overlay,
+        read_dict_overlay,
+    )
+    from onto_text_tag_spark.plans.kg_dict_update import (
+        update_dictionary,
+        update_ontology,
+    )
+    from onto_text_tag_spark.session import local_df
+
+    docs = local_df(spark, DOCS, "url string, text string, lang string")
+    root = _build_root(spark, str(tmp_path / "kgA"), ONTO_A, docs)
+    root_b = _build_root(spark, str(tmp_path / "kgB"), ONTO_B, docs)
+    want_a = _content(spark, root)
+    want_b = _content(spark, root_b)
+
+    # --- A -> B deferred -------------------------------------------------
+    up = update_dictionary(spark, root, docs, _rows(ONTO_A),
+                           _rows(ONTO_B), batch_fp="mor-v2",
+                           defer_rewrite=True)
+    assert up["status"] == "committed"
+    assert "overlay_mentions" in up["stage_sec"]
+    update_ontology(spark, root, ONTO_B, batch_fp="mor-onto-v2")
+    assert _live_content(spark, root) == want_b
+    # base mentions stage is PHYSICALLY untouched (masked at read only)
+    assert _content(spark, root)["mentions"] == want_a["mentions"]
+    assert read_dict_overlay(spark, root) is not None
+
+    # idempotence
+    assert update_dictionary(
+        spark, root, docs, _rows(ONTO_A), _rows(ONTO_B),
+        batch_fp="mor-v2", defer_rewrite=True,
+    )["status"] == "noop_already_committed"
+    assert _live_content(spark, root) == want_b
+
+    # --- B -> A deferred on top (second overlay generation) ---------------
+    down = update_dictionary(spark, root, docs, _rows(ONTO_B),
+                             _rows(ONTO_A), batch_fp="mor-v3",
+                             defer_rewrite=True)
+    assert down["status"] == "committed"
+    update_ontology(spark, root, ONTO_A, batch_fp="mor-onto-v3")
+    assert _live_content(spark, root) == want_a
+
+    # --- fold: physical == live, overlay cleared, refold no-op ------------
+    fold = fold_dict_overlay(spark, root)
+    assert fold["status"] == "folded"
+    assert _content(spark, root) == want_a
+    assert _live_content(spark, root) == want_a
+    assert read_dict_overlay(spark, root) is None
+    assert fold_dict_overlay(spark, root)["status"] == "noop_no_overlay"
+
+    # --- eager update on a root with a pending overlay folds first --------
+    update_dictionary(spark, root, docs, _rows(ONTO_A), _rows(ONTO_B),
+                      batch_fp="mor-v4", defer_rewrite=True)
+    eager = update_dictionary(spark, root, docs, _rows(ONTO_B),
+                              _rows(ONTO_A), batch_fp="eager-v5")
+    assert eager["status"] == "committed"
+    update_ontology(spark, root, ONTO_A, batch_fp="onto-v5")
+    assert read_dict_overlay(spark, root) is None
+    assert _content(spark, root) == want_a
+
+
+def test_retract_after_deferred_update_uses_overlay_arrays(
+    spark, tmp_path
+):
+    """Interplay regression, the mirror of the live-view fix: a doc
+    that was dictionary-updated (its current arrays live in the
+    OVERLAY) and is then RETRACTED must have its CURRENT contributions
+    subtracted from the co-occurrence aggregate — reading the stale
+    base arrays would decrement pairs that are no longer in the
+    aggregate (d2's panic pairs left it at the B->A update) and leave
+    stale ones in.  Then fold_retractions must scrub the retracted url
+    from the overlay pair too."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.plans.kg_absorb import (
+        fold_retractions,
+        read_dict_overlay,
+        retract_batch,
+    )
+    from onto_text_tag_spark.plans.kg_dict_update import (
+        update_dictionary,
+        update_ontology,
+    )
+    from onto_text_tag_spark.session import local_df
+
+    gone_url = "https://t.example/d2"
+    docs = local_df(spark, DOCS, "url string, text string, lang string")
+    kept = docs.where(F.col("url") != gone_url)
+
+    # A -> B ADDS mentions to d2 (release B's new class "panic" matches
+    # it), so the overlay arrays are a strict superset of the stale base
+    # arrays: a retract that read the base would UNDER-subtract, leaving
+    # ghost nicotine-panic / craving-panic edges in the live aggregate.
+    root = _build_root(spark, str(tmp_path / "kgA"), ONTO_A, docs)
+    upd = update_dictionary(spark, root, docs, _rows(ONTO_A),
+                            _rows(ONTO_B), batch_fp="mor-up",
+                            defer_rewrite=True)
+    assert upd["status"] == "committed"
+    update_ontology(spark, root, ONTO_B, batch_fp="mor-onto-up")
+    _ov_m, ov_dt = read_dict_overlay(spark, root)
+    d2_terms = {
+        t for r in ov_dt.collect() if r["url"] == gone_url
+        for t in r["_terms"]
+    }
+    assert "TST:0011" in d2_terms  # the added-in-overlay mention
+
+    retract_batch(spark, root,
+                  local_df(spark, [(gone_url,)], "url string"),
+                  batch_fp="drop-d2")
+
+    # ground truth: fresh build under B over the kept docs
+    want_root = _build_root(spark, str(tmp_path / "kgB"), ONTO_B, kept)
+    want = _content(spark, want_root)
+    assert _live_content(spark, root) == want
+
+    # fold the retraction: live unchanged, overlay scrubbed of d2
+    fold = fold_retractions(spark, root)
+    assert fold["status"] == "folded"
+    assert _live_content(spark, root) == want
+    ov = read_dict_overlay(spark, root)
+    if ov is not None:
+        assert gone_url not in {r["url"] for r in ov[1].collect()}
