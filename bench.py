@@ -1145,7 +1145,33 @@ def run_dict_update_bench(cores: int = 4) -> dict:
          "--output", root_old2, "--termlist", tsv_old)
     assert _nh(down_root) == _nh(root_old2), "NEW->OLD update != rebuild"
     spark.stop()
-    for p in (root_old, root_new, down_root, root_old2):
+
+    # --- merge-on-read commits (defer_rewrite): the O(affected) path ------
+    # same deltas, fresh root copies; the fold (MoR -> CoW maintenance
+    # rewrite) runs in the same job so equality can be asserted on the
+    # PHYSICAL stages, but is timed separately (stats["fold"]["sec"]).
+    defer_up_root = os.path.join(SCALING_DIR, "dictupd_root_defup")
+    defer_down_root = os.path.join(SCALING_DIR, "dictupd_root_defdown")
+    shutil.rmtree(defer_up_root, ignore_errors=True)
+    shutil.rmtree(defer_down_root, ignore_errors=True)
+    shutil.copytree(root_old2, defer_up_root)
+    shutil.copytree(root_new, defer_down_root)
+    defer_up = _job("kg_dict_update.py", "--kg", defer_up_root,
+                    "--input", corpus, "--old-termlist", tsv_old,
+                    "--new-termlist", tsv_new, "--defer-rewrite",
+                    "--fold-overlay")
+    defer_down = _job("kg_dict_update.py", "--kg", defer_down_root,
+                      "--input", corpus, "--old-termlist", tsv_new,
+                      "--new-termlist", tsv_old, "--defer-rewrite",
+                      "--fold-overlay")
+    spark = _session(cores)
+    assert _nh(defer_up_root) == _nh(root_new), \
+        "deferred OLD->NEW + fold != rebuild"
+    assert _nh(defer_down_root) == _nh(root_old2), \
+        "deferred NEW->OLD + fold != rebuild"
+    spark.stop()
+    for p in (root_old, root_new, down_root, root_old2,
+              defer_up_root, defer_down_root):
         shutil.rmtree(p, ignore_errors=True)
 
     return {
@@ -1168,7 +1194,22 @@ def run_dict_update_bench(cores: int = 4) -> dict:
             "stage_sec": down.get("stage_sec"),
             "ratio_vs_rebuild": round(down["sec"] / build_old["sec"], 3),
         },
-        "equality": "verified (triples count + xxhash, both directions)",
+        "update_add_deferred": {
+            "sec": defer_up["sec"],
+            "stage_sec": defer_up.get("stage_sec"),
+            "ratio_vs_rebuild": round(
+                defer_up["sec"] / build_new["sec"], 3),
+            "fold_sec": defer_up["fold"]["sec"],
+        },
+        "update_remove_deferred": {
+            "sec": defer_down["sec"],
+            "stage_sec": defer_down.get("stage_sec"),
+            "ratio_vs_rebuild": round(
+                defer_down["sec"] / build_old["sec"], 3),
+            "fold_sec": defer_down["fold"]["sec"],
+        },
+        "equality": "verified (triples count + xxhash, both directions, "
+                    "eager AND deferred+fold)",
         "host_capacity_units_per_sec": {
             str(k): v for k, v in _host_capacity().items()
         },
