@@ -1,0 +1,121 @@
+"""SQL query surface (views.py): temp views over live KG/dedup roots.
+
+The reference's query endpoints (app.py:329-358 chord probe,
+app.py:373 stored-abstract reads) become plain ``spark.sql`` over
+registered views; these tests pin that the views expose exactly the
+live merge-on-read readers' content — including after a retraction —
+and that optional stages appear only once they exist.
+"""
+
+import pytest
+
+
+def _rows(df, *cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+@pytest.fixture(scope="module")
+def kg_root(spark, tmp_path_factory):
+    from onto_text_tag_spark.corpus import (
+        distributed_documents_df,
+        mini_ontology,
+    )
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.plans.kg_absorb import (
+        absorb_batch,
+        init_kg_root,
+        retract_batch,
+    )
+
+    onto = mini_ontology()
+    root = str(tmp_path_factory.mktemp("views") / "kg")
+    init_kg_root(spark, root, onto)
+    docs = distributed_documents_df(spark, 40, seed=7, partitions=2)
+    absorb_batch(spark, root, docs, build_dictionary_rows(onto),
+                 batch_fp="b0", lang=None)
+    retract_batch(spark, root, docs.limit(6).select("url"), batch_fp="r0")
+    return root
+
+
+def test_kg_views_match_live_readers(spark, kg_root):
+    from onto_text_tag_spark.plans.kg_absorb import (
+        read_live_mentions,
+        read_live_triples,
+    )
+    from onto_text_tag_spark.views import register_kg_views
+
+    views = register_kg_views(spark, kg_root)
+    assert views["mentions"] == "kg_mentions"
+    # absorb-bootstrapped root: no nodes stage yet
+    assert "nodes" not in views and "isa_closure" in views
+
+    assert _rows(spark.sql("SELECT url, curie FROM kg_mentions"),
+                 "url", "curie") == _rows(
+        read_live_mentions(spark, kg_root), "url", "curie")
+    assert _rows(spark.sql(
+        "SELECT subj, pred, obj FROM kg_triples"), "subj", "pred", "obj"
+    ) == _rows(read_live_triples(spark, kg_root), "subj", "pred", "obj")
+
+    # the edges view is the co-occurrence projection of live triples
+    assert _rows(spark.sql("SELECT src, dst, weight FROM kg_edges"),
+                 "src", "dst", "weight") == _rows(
+        read_live_triples(spark, kg_root)
+        .where("pred = 'co_occurs_with'"),
+        "subj", "obj", "weight")
+
+    # a retracted doc is invisible through the view
+    gone = spark.sql(
+        "SELECT DISTINCT url FROM kg_doc_terms"
+    ).count()
+    assert gone == read_live_mentions(spark, kg_root) \
+        .select("url").distinct().count()
+
+
+def test_kg_views_pick_up_new_stages(spark, kg_root):
+    from onto_text_tag_spark.corpus import mini_ontology
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.plans.kg_absorb import refresh_nodes
+    from onto_text_tag_spark.views import register_kg_views
+
+    refresh_nodes(spark, kg_root,
+                  class_meta=build_dictionary_rows(mini_ontology()))
+    views = register_kg_views(spark, kg_root)
+    assert views["nodes"] == "kg_nodes"
+    got = spark.sql(
+        "SELECT kind, count(*) AS n FROM kg_nodes GROUP BY kind"
+    ).collect()
+    assert {r["kind"] for r in got} == {"document", "class"}
+
+
+def test_chord_query_through_views(spark, kg_root):
+    """The reference's chord probe (hv_generate.py:39-58) as one SQL
+    statement over the registered views."""
+    from onto_text_tag_spark.views import register_kg_views
+
+    register_kg_views(spark, kg_root)
+    chord = spark.sql("""
+        SELECT e.src, e.dst, e.weight
+        FROM kg_edges e
+        JOIN kg_nodes ns ON ns.id = e.src
+        JOIN kg_nodes nd ON nd.id = e.dst
+        WHERE ns.degree > 0 AND nd.degree > 0
+        ORDER BY e.weight DESC, e.src, e.dst
+    """).collect()
+    assert chord, "absorbed corpus must produce co-occurrence edges"
+    assert all(r["src"] < r["dst"] for r in chord)
+
+
+def test_dedup_views(spark, tmp_path):
+    from onto_text_tag_spark.corpus import distributed_documents_df
+    from onto_text_tag_spark.plans.dedup_absorb import read_deduped
+    from onto_text_tag_spark.sinks import write_stage
+    from onto_text_tag_spark.views import register_dedup_views
+
+    root = str(tmp_path / "dedup")
+    docs = distributed_documents_df(spark, 25, seed=3, partitions=2)
+    write_stage(docs, root, "deduped", input_fingerprint="t")
+    views = register_dedup_views(spark, root)
+    assert views == {"deduped": "dedup_deduped"}  # no clusters stage
+    assert spark.sql(
+        "SELECT count(*) AS n FROM dedup_deduped"
+    ).first()["n"] == read_deduped(spark, root).count() == 25
