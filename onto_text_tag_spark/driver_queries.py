@@ -320,6 +320,91 @@ GROUP BY a.curie, b.curie
 """
 
 
+def q_kg_cooccur_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same edges as ``kg_cooccur``, computed from a BUCKETED
+    materialization of the distinct (url, curie) relation
+    (sources/bucketed.py).  The corpus-sized exchange — the
+    ``groupBy(url)`` that feeds pair generation — disappears: the
+    bucketed scan already satisfies the aggregate's required
+    distribution, so the only shuffle left is the (edge-sized) pair
+    aggregate.  Values are oracle-identical to the plain path; the
+    exchange elimination itself is pinned by tests/test_bucketed.py.
+
+    This is the scale form of the reference's one physical device —
+    key-organized precomputed storage (shelve KV, app.py:85-91) — for
+    the fact table every downstream url-keyed join/aggregate reuses."""
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+    from onto_text_tag_spark.sources.bucketed import write_bucketed
+
+    m = _mentions(spark, sf_dir)
+    dt = write_bucketed(
+        m.select("url", "curie").distinct(),
+        "otts_doc_terms_bucketed",
+        key="url",
+        buckets=8,
+    )
+    return cooccurrence_edges(dt, doc_col="url", term_col="curie").select(
+        "src", "dst", F.col("weight").cast("long").alias("weight")
+    )
+
+
+def sql_kg_cooccur_bucketed() -> str:
+    return sql_kg_cooccur()
+
+
+def q_kg_top_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 co-occurrence partners per term — the ranked association
+    list behind the reference's per-term association view (the chord
+    diagram orders a term's partners by shared-document count,
+    hv_generate.py:49-71).  Spark form: symmetrize the canonical
+    ``src < dst`` edges (each undirected edge seen from both ends),
+    then a ``row_number`` window per term ordered by
+    (weight desc, partner asc) — deterministic because (term, partner)
+    is unique.  At scale the window partitions by term: one shuffle of
+    the edge table (≪ corpus), no driver loop."""
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+
+    m = _mentions(spark, sf_dir)
+    edges = cooccurrence_edges(m, doc_col="url", term_col="curie")
+    sym = edges.select(
+        F.col("src").alias("term"), F.col("dst").alias("partner"), "weight"
+    ).unionByName(
+        edges.select(
+            F.col("dst").alias("term"), F.col("src").alias("partner"),
+            "weight",
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("weight").desc(), F.col("partner").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("term", "partner", F.col("weight").cast("long").alias("weight"),
+                "rank")
+    )
+
+
+def sql_kg_top_partners() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ edges AS (
+   SELECT a.curie AS src, b.curie AS dst, count(*)::BIGINT AS weight
+   FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie
+   GROUP BY a.curie, b.curie),
+ sym AS (
+   SELECT src AS term, dst AS partner, weight FROM edges
+   UNION ALL
+   SELECT dst AS term, src AS partner, weight FROM edges)
+SELECT term, partner, weight,
+       row_number() OVER (PARTITION BY term
+                          ORDER BY weight DESC, partner ASC)::BIGINT AS rank
+FROM sym
+QUALIFY rank <= 3
+"""
+
+
 def q_kg_cooccur_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-maintenance algebra, oracle-checked: split the corpus
     into two disjoint batches, tag + build co-occurrence edges per batch
@@ -1674,6 +1759,8 @@ QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_mention_triples": q_kg_mention_triples,
     "kg_cooccur": q_kg_cooccur,
+    "kg_cooccur_bucketed": q_kg_cooccur_bucketed,
+    "kg_top_partners": q_kg_top_partners,
     "kg_cooccur_incremental": q_kg_cooccur_incremental,
     "kg_cooccur_retract": q_kg_cooccur_retract,
     "kg_cooccur_dict_delta": q_kg_cooccur_dict_delta,
@@ -1718,6 +1805,8 @@ ORACLES = {
     "kg_mentions": sql_kg_mentions(),
     "kg_mention_triples": sql_kg_mention_triples(),
     "kg_cooccur": sql_kg_cooccur(),
+    "kg_cooccur_bucketed": sql_kg_cooccur_bucketed(),
+    "kg_top_partners": sql_kg_top_partners(),
     "kg_cooccur_incremental": sql_kg_cooccur_incremental(),
     "kg_cooccur_retract": sql_kg_cooccur_retract(),
     "kg_cooccur_dict_delta": sql_kg_cooccur_dict_delta(),
