@@ -83,3 +83,50 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     from the catalog — ``spark.read.parquet(path)`` on the same files
     would NOT know the clustering and would re-shuffle downstream."""
     return spark.table(name)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    schema_ddl: str,
+    key: str = "url",
+    buckets: int = 32,
+) -> DataFrame:
+    """Re-attach a bucketed table written by ``write_bucketed`` in a
+    PREVIOUS session.
+
+    The sandbox's in-memory catalog forgets tables at session end, but
+    the bucket layout is durable — it lives in the file names (the
+    ``_0000N`` suffix is the bucket id).  ``CREATE TABLE … CLUSTERED
+    BY`` DDL over the existing location restores the spec, and every
+    url-keyed join/aggregate is exchange-free again (pinned by
+    tests/test_bucketed.py::test_reregistered_table_keeps_clustering).
+    This is what lets a maintenance job (kg_update anti-joins,
+    retractions, dict-delta re-tags) reuse the clustering a build job
+    paid for.  ``schema_ddl``/``key``/``buckets`` must match the write
+    — Spark trusts the DDL and will mis-bucket reads if they disagree,
+    so callers should persist them alongside the data (the stage
+    manifest is the natural place).
+
+    On a production deployment the metastore (HMS/Unity/Iceberg) makes
+    this re-attach unnecessary; the helper exists so path-based stage
+    roots get the same physics.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return spark.table(name)
+
+
+# Filter-only scans (point lookups) keep bucket PRUNING — read 1 bucket
+# of N for an equality predicate on the bucket key, the reference's
+# shelve point-lookup (app.py:391-399) at rest — only while the bucketed
+# scan itself is enabled; Spark's auto-bucketed-scan heuristic turns the
+# scan off for plans with no bucketing-benefiting join/agg, trading
+# pruning for finer split granularity.  Flip this conf off around pure
+# point-lookup workloads.
+AUTO_BUCKETED_SCAN = "spark.sql.sources.bucketing.autoBucketedScan.enabled"

@@ -120,12 +120,60 @@ def test_bucketed_cooccur_groupby_stage_is_exchange_free(table):
     assert "hashpartitioning(src" in plan, plan  # the surviving one
 
 
-def test_write_is_idempotent(spark, rel, table):
-    t, path = table
-    t2 = write_bucketed(rel, "t_bkt_test", key="url",
+def test_write_is_idempotent(spark, rel, tmp_path):
+    # own table + path: re-writing the module fixture's table would
+    # invalidate the fixture DataFrame's resolved file listing
+    path = str(tmp_path / "t_idem")
+    write_bucketed(rel, "t_bkt_idem", key="url",
+                   buckets=BUCKETS, path=path)
+    t2 = write_bucketed(rel, "t_bkt_idem", key="url",
                         buckets=BUCKETS, path=path)
     assert t2.count() == rel.count()
 
 
 def test_default_path_is_tmp():
     assert "otts_bucketed" in bucketed_path("x")
+
+
+def test_reregistered_table_keeps_clustering(spark, table):
+    """Dropping the catalog entry (≅ session end) and re-attaching the
+    files with CLUSTERED BY DDL restores exchange-free planning — the
+    bucket layout is durable in the files, only the spec is session-
+    scoped in this sandbox's in-memory catalog."""
+    from onto_text_tag_spark.sources.bucketed import register_bucketed
+
+    t, path = table
+    rows = sorted(map(tuple, t.collect()))
+    spark.sql("DROP TABLE t_bkt_test")
+    t2 = register_bucketed(
+        spark, "t_bkt_reattached", path,
+        "url STRING, curie STRING", key="url", buckets=BUCKETS,
+    )
+    assert sorted(map(tuple, t2.collect())) == rows
+    agg = t2.groupBy("url").agg(F.collect_set("curie").alias("terms"))
+    plan = _plan(agg)
+    assert "Exchange" not in plan, plan
+    # restore the module fixture's table for any later test
+    register_bucketed(spark, "t_bkt_test", path,
+                      "url STRING, curie STRING", key="url",
+                      buckets=BUCKETS)
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, table):
+    """Equality filter on the bucket key reads 1 bucket of N — the
+    reference's shelve KV point lookup (app.py:391-399) as storage
+    physics.  Needs the bucketed scan kept on: the auto-bucketed-scan
+    heuristic disables it for filter-only plans."""
+    from onto_text_tag_spark.sources.bucketed import AUTO_BUCKETED_SCAN
+
+    old = spark.conf.get(AUTO_BUCKETED_SCAN)
+    spark.conf.set(AUTO_BUCKETED_SCAN, "false")
+    try:
+        q = spark.table("t_bkt_test").where(F.col("url") == "u17")
+        assert q.count() > 0
+        plan = _plan(q)
+    finally:
+        spark.conf.set(AUTO_BUCKETED_SCAN, old)
+    assert f"SelectedBucketsCount: 1 out of {BUCKETS}" in plan, plan
+    assert "PushedFilters: [IsNotNull(url), EqualTo(url,u17)]" in plan \
+        or "EqualTo(url,u17)" in plan, plan
