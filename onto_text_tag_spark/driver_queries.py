@@ -829,6 +829,49 @@ SELECT 'OP:0001' AS curie
 """
 
 
+def q_kg_isa_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy depth of every ontology class: multi-source BFS from
+    the roots (classes with no parent) DOWN the is-a tree — the
+    distributed generalization of the reference's driver-side
+    descendant recursion (app.py:116-151), which only ever answers
+    "which classes are below X", never "how deep".  Directed traversal
+    parent→child; depth = min hops from any root (operators/
+    graph_metrics.py:bfs_distances)."""
+    from onto_text_tag_spark.operators.graph_metrics import bfs_distances
+
+    onto = driver_ontology_df(spark)
+    down_edges = onto.where(F.col("parent_curie").isNotNull()).select(
+        F.col("parent_curie").alias("src"), F.col("curie").alias("dst")
+    )
+    roots = onto.where(F.col("parent_curie").isNull()).select(
+        F.col("curie").alias("node")
+    )
+    return bfs_distances(down_edges, roots, undirected=False).select(
+        F.col("node").alias("curie"), "dist"
+    )
+
+
+def sql_kg_isa_depth() -> str:
+    roots = ", ".join(
+        f"('{curie}')"
+        for curie, _label, _syns, _defn, parent in DRIVER_ONTOLOGY
+        if parent is None
+    )
+    return f"""
+WITH RECURSIVE
+edges(child, parent) AS (VALUES {_ISA_EDGES_SQL}),
+roots(node) AS (VALUES {roots}),
+walk(node, dist) AS (
+  SELECT node, 0 FROM roots
+  UNION ALL
+  SELECT e.child, w.dist + 1
+  FROM walk w JOIN edges e ON e.parent = w.node
+)
+SELECT node AS curie, min(dist)::BIGINT AS dist
+FROM walk GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -1774,6 +1817,7 @@ QUERIES = {
     "kg_term_index_salted": q_kg_term_index_salted,
     "kg_isa_closure": q_kg_isa_closure,
     "kg_descendants": q_kg_descendants,
+    "kg_isa_depth": q_kg_isa_depth,
     "canon_components": q_canon_components,
     "graph_components": q_graph_components,
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
@@ -1820,6 +1864,7 @@ ORACLES = {
     "kg_term_index_salted": sql_kg_term_index_salted(),
     "kg_isa_closure": sql_kg_isa_closure(),
     "kg_descendants": sql_kg_descendants(),
+    "kg_isa_depth": sql_kg_isa_depth(),
     "canon_components": sql_canon_components(),
     "graph_components": sql_graph_components(),
     "dedup_clusters_incremental": sql_dedup_clusters_incremental(),

@@ -51,6 +51,69 @@ def degree_stats(
     )
 
 
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame | list[str],
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 20,
+    undirected: bool = True,
+) -> DataFrame:
+    """(node, dist) — minimum hop count from any source node, by
+    frontier-expanding BFS.  Nodes unreachable within ``max_hops`` are
+    absent from the result.  Deterministic (set semantics per level).
+
+    The reference's only traversal is the is-a descendant walk
+    (app.py:116-151, a driver-side recursion into pyhornedowl); this is
+    the distributed generalization: multi-source shortest hop counts
+    over any KG edge relation (is-a depth, co-occurrence neighborhood
+    radius).  Scale shape: each round joins only the FRONTIER against
+    the edge set — frontier-sized shuffles, not graph-sized; the
+    visited set grows monotonically and the anti-join prunes
+    re-expansion, so total work is O(edges within the reached
+    component), each edge touched at most once per direction.  Every
+    round ``localCheckpoint``s, truncating lineage exactly like
+    ``pagerank``/``transitive_closure`` (plans stay O(1) deep).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+    e = e.distinct().localCheckpoint(eager=True)
+
+    if isinstance(sources, list):
+        spark = edges.sparkSession
+        from onto_text_tag_spark.session import local_df
+
+        srcs = local_df(
+            spark, [(s,) for s in sources], "node string"
+        )
+    else:
+        cols = sources.columns
+        srcs = sources.select(F.col(cols[0]).alias("node"))
+    visited = (
+        srcs.distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.head(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

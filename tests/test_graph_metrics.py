@@ -76,3 +76,48 @@ def test_pagerank_directed_with_dangling(spark):
         assert got[node] == pytest.approx(rank, abs=1e-9)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     assert got["b"] == max(got.values())  # sink collects the mass
+
+
+def test_bfs_distances_undirected(spark, edges):
+    from onto_text_tag_spark.operators.graph_metrics import bfs_distances
+
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, ["a"]).collect()
+    }
+    # path a-b-c then the triangle; f/g unreachable -> absent
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 3}
+
+
+def test_bfs_distances_multi_source_directed(spark, edges):
+    from onto_text_tag_spark.operators.graph_metrics import bfs_distances
+
+    srcs = spark.createDataFrame([("a",), ("f",)], "node string")
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, srcs, undirected=False).collect()
+    }
+    assert got == {"a": 0, "f": 0, "b": 1, "g": 1, "c": 2, "d": 3, "e": 3}
+
+
+def test_bfs_distances_max_hops_bounds_reach(spark, edges):
+    from onto_text_tag_spark.operators.graph_metrics import bfs_distances
+
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, ["a"], max_hops=1).collect()
+    }
+    assert got == {"a": 0, "b": 1}
+
+
+def test_bfs_distances_cycle_terminates(spark):
+    from onto_text_tag_spark.operators.graph_metrics import bfs_distances
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(e, ["a"], undirected=False).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}
