@@ -1474,6 +1474,95 @@ def run_bucketed_bench(cores: int = 8) -> dict:
     }
 
 
+def run_dict_size_bench() -> dict:
+    """Matcher cost vs dictionary size — evidence that the broadcast-
+    automaton tagging path survives million-surface dictionaries (the
+    aho_corasick.py scale claim, and the gap between the reference's
+    3,818-surface fixture and a real OBO-foundry-wide dictionary).
+
+    Driver-side microbench by design: the matcher object is built once
+    on the driver, shipped via broadcast, and runs IDENTICALLY inside
+    every executor's mapInPandas batch — so per-doc match cost, build
+    cost, pickle size, and per-worker unpickle cost are exactly the
+    quantities that scale (or don't) with dictionary size.  Corpus and
+    surface sets are seeded-deterministic; surfaces mix unigrams and
+    bigrams (multi-word ontology labels) over the same vocabulary the
+    documents draw from, so hit rates stay realistic as size grows.
+    """
+    import pickle
+    import random
+
+    from onto_text_tag_spark.operators.tagger import compile_dictionary
+
+    vocab = 200_000
+    rng = random.Random(42)
+    docs = [
+        " ".join(
+            f"w{int(rng.random() ** 2 * vocab)}" for _ in range(300)
+        )
+        for _ in range(500)
+    ]
+
+    sizes = [1_000, 10_000, 100_000, 1_000_000]
+    per_size: dict[str, dict] = {}
+    for n in sizes:
+        rloc = random.Random(7)
+        seen: set[str] = set()
+        rows = []
+        while len(rows) < n:
+            if rloc.random() < 0.35:
+                s = (
+                    f"w{rloc.randrange(vocab)} w{rloc.randrange(vocab)}"
+                )
+            else:
+                s = f"w{rloc.randrange(vocab)}"
+            if s in seen:
+                continue
+            seen.add(s)
+            rows.append(
+                {"surface": s, "id": f"T:{len(rows)}", "name": s,
+                 "ont": "T"}
+            )
+
+        t0 = time.perf_counter()
+        matcher = compile_dictionary(rows)
+        matcher.find("w0 warmup")  # forces the lazy regex compile
+        build_sec = round(time.perf_counter() - t0, 2)
+
+        blob = pickle.dumps(matcher)
+        t0 = time.perf_counter()
+        m2 = pickle.loads(blob)
+        m2.find("w0 warmup")
+        unpickle_sec = round(time.perf_counter() - t0, 2)
+
+        best = None
+        matches = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            matches = sum(len(m2.find(t)) for t in docs)
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        per_size[str(n)] = {
+            "build_sec": build_sec,
+            "pickle_mb": round(len(blob) / 1e6, 2),
+            "unpickle_sec": unpickle_sec,
+            "us_per_doc": round(best / len(docs) * 1e6, 1),
+            "matches": matches,
+        }
+
+    return {
+        "job": "operators/tagger.py compile_dictionary + "
+               "TokenIndexMatcher.find vs dictionary size",
+        "docs": len(docs),
+        "tokens_per_doc": 300,
+        "vocab": vocab,
+        "per_size": per_size,
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 SKEW_DOCS = int(os.environ.get("SPARK_GRAFT_SKEW_DOCS", "200000"))
 SKEW_VOCAB = int(os.environ.get("SPARK_GRAFT_SKEW_VOCAB", "10000"))
 SKEW_TERMS_PER_DOC = int(os.environ.get("SPARK_GRAFT_SKEW_TPD", "12"))
@@ -1857,6 +1946,31 @@ def main() -> None:
                 f"anti-joins, retraction masks, dict-delta re-tags) is "
                 f"pure savings.\n\n"
                 f"Host capacity probe: "
+                f"{json.dumps(rep['host_capacity_units_per_sec'])}\n"
+            )
+        print(json.dumps(rep))
+        return
+    if "--bench-dict-size" in sys.argv:
+        rep = run_dict_size_bench()
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Dictionary-size run — {rep['job']}, "
+                f"{rep['docs']} docs × {rep['tokens_per_doc']} tokens, "
+                f"{rep['vocab']}-word vocabulary (driver microbench: the "
+                f"matcher runs identically inside every executor's "
+                f"mapInPandas batch)\n\n"
+                f"| surfaces | build s | pickle MB | unpickle s "
+                f"| µs/doc | matches |\n|---|---|---|---|---|---|\n"
+            )
+            for n, r in rep["per_size"].items():
+                fh.write(
+                    f"| {n} | {r['build_sec']} | {r['pickle_mb']} "
+                    f"| {r['unpickle_sec']} | {r['us_per_doc']} "
+                    f"| {r['matches']} |\n"
+                )
+            fh.write(
+                f"\nHost capacity probe: "
                 f"{json.dumps(rep['host_capacity_units_per_sec'])}\n"
             )
         print(json.dumps(rep))
