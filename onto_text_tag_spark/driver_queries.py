@@ -181,10 +181,10 @@ bigrams AS (
   FROM docs
 ),
 mention_rows AS (
-  SELECT t.doc_id, d.curie
+  SELECT t.doc_id, d.curie, d.surface
   FROM toks t JOIN dict d ON d.kind = 'uni' AND t.tok = d.surface
   UNION ALL
-  SELECT b.doc_id, d.curie
+  SELECT b.doc_id, d.curie, d.surface
   FROM bigrams b JOIN dict d ON d.kind = 'bi' AND b.bg = d.surface
 )
 """
@@ -595,6 +595,116 @@ WITH {_MENTIONS_CTE},
  u AS (SELECT src AS node, dst AS nbr FROM e
        UNION ALL SELECT dst AS node, src AS nbr FROM e)
 SELECT node, count(DISTINCT nbr)::BIGINT AS degree FROM u GROUP BY node
+"""
+
+
+# Query-local candidate alternates: three driver-dictionary surfaces
+# redeclared as legitimately shared with a second ontology (the
+# cross-domain homonym case resolve_collisions cannot handle).  The
+# alternate onts have no other surfaces, so a document supports them
+# only by NOT carrying same-ont context for the incumbent — both the
+# context-win and the zero-context CURIE tie-break paths get real rows.
+_AMBIG_ALTERNATES: list[tuple[str, str]] = [
+    ("order", "ECOM:0001"),   # purchase order vs. OP:0002 "sort" synonym
+    ("merge", "VCS:0001"),    # branch merge vs. OP:0003
+    ("vector", "BIO:0001"),   # disease vector vs. ML:0001
+]
+
+
+def _candidate_rows() -> list[tuple[str, str]]:
+    """Full (surface, curie) candidate relation: every non-stopword base
+    dictionary surface plus the ambiguous alternates (plural surfaces
+    are omitted — the driver corpus vocabulary has none, pinned by the
+    _MENTIONS_CTE design note)."""
+    rows = {
+        (s, curie)
+        for curie, label, syns, _d, _p in DRIVER_ONTOLOGY
+        for s in [label, *syns]
+        if s not in STOPWORDS
+    }
+    rows.update(_AMBIG_ALTERNATES)
+    return sorted(rows)
+
+
+def q_kg_disambig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-scored candidate entity linking: resolve each ambiguous
+    (doc, surface) occurrence to the candidate CURIE whose ontology the
+    document's unambiguous mentions support most (operators/linker.py);
+    zero-context documents fall back to the deterministic CURIE
+    tie-break.  The oracle replays the identical score/window algebra
+    in SQL."""
+    from onto_text_tag_spark.operators.linker import disambiguate
+    from onto_text_tag_spark.session import local_df
+
+    m = _mentions(spark, sf_dir).withColumn(
+        "surface", F.lower(F.col("span_text"))
+    )
+    cands = local_df(
+        spark, _candidate_rows(), "surface string, curie string"
+    )
+    out = disambiguate(m, cands, doc_col="url", surface_col="surface")
+    return out.select(
+        F.col("url").alias("doc_id"), "surface", "curie", "ont", "score"
+    )
+
+
+def sql_kg_disambig() -> str:
+    cand_rows = ", ".join(
+        f"('{s}', '{c}')" for s, c in _candidate_rows()
+    )
+    return f"""
+WITH {_MENTIONS_CTE},
+ cands(surface, curie) AS (VALUES {cand_rows}),
+ cand_ont AS (SELECT surface, curie, split_part(curie, ':', 1) AS ont
+              FROM cands),
+ amb AS (SELECT surface FROM cands GROUP BY surface HAVING count(*) > 1),
+ ctx AS (SELECT doc_id, split_part(curie, ':', 1) AS ont,
+                count(DISTINCT curie)::BIGINT AS support
+         FROM mention_rows
+         WHERE surface NOT IN (SELECT surface FROM amb)
+         GROUP BY doc_id, split_part(curie, ':', 1)),
+ occ AS (SELECT DISTINCT doc_id, surface FROM mention_rows
+         WHERE surface IN (SELECT surface FROM amb)),
+ scored AS (SELECT o.doc_id, o.surface, c.curie, c.ont,
+                   coalesce(x.support, 0)::BIGINT AS score
+            FROM occ o
+            JOIN cand_ont c ON c.surface = o.surface
+            LEFT JOIN ctx x ON x.doc_id = o.doc_id AND x.ont = c.ont)
+SELECT doc_id, surface, curie, ont, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id, surface
+                           ORDER BY score DESC, curie) = 1
+"""
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-occurrence graph — the
+    clustering-structure diagnostic (which ontology classes sit inside
+    densely inter-mentioned cliques vs. mere hub spokes).  Runs the
+    degree-oriented wedge-closure operator; the oracle enumerates
+    ordered triangles directly, so parity also re-proves the
+    orientation algebra on real data."""
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+    from onto_text_tag_spark.operators.graph_metrics import triangle_counts
+
+    m = _mentions(spark, sf_dir)
+    edges = cooccurrence_edges(m, doc_col="url", term_col="curie")
+    return triangle_counts(edges)
+
+
+def sql_kg_triangles() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ e AS (SELECT DISTINCT a.curie AS a, b.curie AS b
+       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie),
+ tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM e e1
+         JOIN e e2 ON e1.b = e2.a
+         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+ n AS (SELECT x AS node FROM tri
+       UNION ALL SELECT y FROM tri
+       UNION ALL SELECT z FROM tri)
+SELECT node, count(*)::BIGINT AS triangles FROM n GROUP BY node
 """
 
 
@@ -1809,6 +1919,8 @@ QUERIES = {
     "kg_cooccur_dict_delta": q_kg_cooccur_dict_delta,
     "kg_chord": q_kg_chord,
     "kg_degree": q_kg_degree,
+    "kg_triangles": q_kg_triangles,
+    "kg_disambig": q_kg_disambig,
     "kg_pagerank": q_kg_pagerank,
     "kg_links": q_kg_links,
     "kg_nodes": q_kg_nodes,
@@ -1856,6 +1968,8 @@ ORACLES = {
     "kg_cooccur_dict_delta": sql_kg_cooccur_dict_delta(),
     "kg_chord": sql_kg_chord(),
     "kg_degree": sql_kg_degree(),
+    "kg_triangles": sql_kg_triangles(),
+    "kg_disambig": sql_kg_disambig(),
     "kg_pagerank": sql_kg_pagerank(),
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),

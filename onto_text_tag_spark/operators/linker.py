@@ -1,0 +1,115 @@
+"""Context-scored candidate entity linking (mention disambiguation).
+
+The reference links every detected surface form to exactly ONE ontology
+class at dictionary-BUILD time: colliding surfaces are resolved by
+dict-key overwrite in iteration order (reference ontotagtext.py:90-104 /
+app.py:100-114, re-derived as ``dictionary.resolve_collisions`` —
+SURVEY.md §2 A5), so whichever class wins owns the surface corpus-wide.  That is
+fine for one curated domain dictionary, but wrong the moment two
+ontologies legitimately share a surface ("vector" the embedding vs.
+"vector" the disease carrier): a single global winner mis-links every
+document from the other domain.
+
+``disambiguate`` instead keeps ALL candidate classes per surface and
+resolves each (document, surface) occurrence by document context — the
+north_star's "candidate entity linking" step as a first-class operator:
+
+* context profile: for every document, the distinct unambiguously-linked
+  classes it mentions, counted per ontology prefix (the ont is the
+  domain signal: a page mentioning ``sort``/``filter``/``hash join``
+  is an OP-domain page);
+* score: a candidate's score for an occurrence is the document's
+  unambiguous-class support for the candidate's ontology;
+* winner: highest score, ties broken by CURIE ascending — fully
+  deterministic, and with zero context the tie-break degrades to the
+  reference-style static choice.
+
+Scale shape: the candidate table is dictionary-sized → broadcast to
+both the ambiguity split and the scoring join (no corpus-keyed shuffle
+is introduced by candidates).  The context profile is one map-side
+combinable groupBy over the mention stream keyed (doc, ont); scoring
+left-joins occurrence×candidate rows against it on the same key — all
+shuffles are corpus-keyed and bounded by the mention count, never
+corpus × candidates.  The winner pick is a single ``row_number`` window
+per (doc, surface), whose partitions are candidate-set-sized (tiny) and
+co-partitioned with the scoring join's output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def disambiguate(
+    mentions: DataFrame,
+    candidates: DataFrame,
+    doc_col: str = "url",
+    surface_col: str = "surface",
+    curie_col: str = "curie",
+) -> DataFrame:
+    """Resolve ambiguous mention surfaces by document context.
+
+    ``mentions``: the tagger's output (one row per detected occurrence)
+    carrying ``doc_col``, ``surface_col`` and the dictionary's statically
+    linked ``curie_col`` (used only for the unambiguous context rows).
+    ``candidates``: the full (surface, curie) candidate relation —
+    surfaces with >1 row are the ambiguous ones to resolve.  Ontology
+    prefixes are derived from the CURIEs (``split(curie, ':')[0]``) on
+    both sides, so context and candidates can never disagree on the
+    domain key.
+
+    Returns one row per distinct ambiguous (doc, surface) occurrence:
+    (doc_col, surface_col, curie, ont, score) — the winning candidate,
+    its ontology prefix, and its context support (0 when the document
+    carries no signal; the CURIE tie-break makes that case
+    deterministic too).
+    """
+    cand = candidates.select(
+        F.col(surface_col).alias("surface"),
+        F.col(curie_col).alias("curie"),
+    ).withColumn("ont", F.split("curie", ":").getItem(0))
+    amb = (
+        cand.groupBy("surface")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("surface")
+    )
+
+    m = mentions.select(
+        F.col(doc_col).alias("doc"),
+        F.col(surface_col).alias("surface"),
+        F.col(curie_col).alias("curie"),
+    )
+    ctx = (
+        m.join(F.broadcast(amb), "surface", "left_anti")
+        .withColumn("ont", F.split("curie", ":").getItem(0))
+        .groupBy("doc", "ont")
+        .agg(F.countDistinct("curie").cast("long").alias("_support"))
+    )
+    occ = (
+        m.join(F.broadcast(amb), "surface", "left_semi")
+        .select("doc", "surface")
+        .distinct()
+    )
+    scored = (
+        occ.join(F.broadcast(cand), "surface")
+        .join(ctx, ["doc", "ont"], "left")
+        .withColumn(
+            "score", F.coalesce(F.col("_support"), F.lit(0)).cast("long")
+        )
+    )
+    w = Window.partitionBy("doc", "surface").orderBy(
+        F.col("score").desc(), F.col("curie").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("doc").alias(doc_col),
+            F.col("surface").alias(surface_col),
+            "curie",
+            "ont",
+            "score",
+        )
+    )

@@ -121,3 +121,46 @@ def test_bfs_distances_cycle_terminates(spark):
         for r in bfs_distances(e, ["a"], undirected=False).collect()
     }
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_triangle_counts_k4(spark):
+    from onto_text_tag_spark.operators.graph_metrics import triangle_counts
+
+    # K4: every node sits in C(3,2) = 3 triangles
+    nodes = ["a", "b", "c", "d"]
+    e = spark.createDataFrame(
+        [(x, y) for x in nodes for y in nodes if x < y],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(e).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_counts_path_has_none(spark):
+    from onto_text_tag_spark.operators.graph_metrics import triangle_counts
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    assert triangle_counts(e).count() == 0
+
+
+def test_triangle_counts_orientation_invariant(spark):
+    from onto_text_tag_spark.operators.graph_metrics import triangle_counts
+
+    # bowtie (two triangles sharing node c) + noise edges, rows stored in
+    # MIXED direction with duplicates and a self-loop — the operator must
+    # canonicalize; per-node counts must not depend on the orientation.
+    rows = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("c", "d"), ("d", "e"), ("e", "c"),
+        ("b", "a"), ("a", "c"),          # reversed duplicates
+        ("e", "e"),                      # self-loop
+        ("d", "f"),                      # dangling edge
+    ]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    by_deg = {r["node"]: r["triangles"]
+              for r in triangle_counts(e, orient_by_degree=True).collect()}
+    by_id = {r["node"]: r["triangles"]
+             for r in triangle_counts(e, orient_by_degree=False).collect()}
+    assert by_deg == by_id == {"a": 1, "b": 1, "c": 2, "d": 1, "e": 1}

@@ -1,0 +1,77 @@
+"""Context-scored candidate entity linking (operators/linker.py)."""
+
+from onto_text_tag_spark.operators.linker import disambiguate
+from onto_text_tag_spark.session import local_df
+
+CAND_SCHEMA = "surface string, curie string"
+
+CANDS = [
+    # ambiguous: "vector" is claimed by ML and BIO
+    ("vector", "ML:0001"),
+    ("vector", "BIO:0009"),
+    # unambiguous context surfaces
+    ("embedding", "ML:0001"),
+    ("spark", "ENG:0001"),
+    ("mosquito", "BIO:0002"),
+    ("parasite", "BIO:0003"),
+]
+
+MENTION_SCHEMA = "url string, surface string, curie string"
+
+
+def _mention_rows():
+    return [
+        # d1: ML-context page — "vector" alongside "embedding"
+        ("d1", "embedding", "ML:0001"),
+        ("d1", "vector", "ML:0001"),
+        ("d1", "spark", "ENG:0001"),
+        # d2: BIO-context page — two distinct BIO classes beat one ML
+        ("d2", "mosquito", "BIO:0002"),
+        ("d2", "parasite", "BIO:0003"),
+        ("d2", "embedding", "ML:0001"),
+        ("d2", "vector", "ML:0001"),  # tagger's static link is wrong here
+        ("d2", "vector", "ML:0001"),  # repeated occurrence — one output row
+        # d3: no context at all — CURIE tie-break
+        ("d3", "vector", "ML:0001"),
+    ]
+
+
+def test_disambiguate_context_and_tiebreak(spark):
+    mentions = local_df(spark, _mention_rows(), MENTION_SCHEMA)
+    cands = local_df(spark, CANDS, CAND_SCHEMA)
+    out = disambiguate(mentions, cands)
+    rows = {(r["url"], r["surface"]): (r["curie"], r["ont"], r["score"])
+            for r in out.collect()}
+    assert rows == {
+        # d1: ML support 1 (embedding) vs BIO 0
+        ("d1", "vector"): ("ML:0001", "ML", 1),
+        # d2: BIO support 2 (mosquito, parasite) beats ML 1 (embedding) —
+        # the context OVERRIDES the tagger's static link
+        ("d2", "vector"): ("BIO:0009", "BIO", 2),
+        # d3: zero context both sides — min CURIE wins deterministically
+        ("d3", "vector"): ("BIO:0009", "BIO", 0),
+    }
+    # exactly one row per ambiguous (doc, surface), repeats collapsed
+    assert out.count() == 3
+
+
+def test_disambiguate_unambiguous_mentions_produce_no_rows(spark):
+    mentions = local_df(
+        spark, [("d1", "spark", "ENG:0001")], MENTION_SCHEMA
+    )
+    cands = local_df(spark, CANDS, CAND_SCHEMA)
+    assert disambiguate(mentions, cands).count() == 0
+
+
+def test_disambiguate_context_counts_distinct_classes_not_occurrences(spark):
+    # five repeats of ONE ML surface must not outvote two distinct BIO
+    # classes: support is countDistinct(curie), not mention frequency
+    rows = [("d9", "embedding", "ML:0001")] * 5 + [
+        ("d9", "mosquito", "BIO:0002"),
+        ("d9", "parasite", "BIO:0003"),
+        ("d9", "vector", "ML:0001"),
+    ]
+    mentions = local_df(spark, rows, MENTION_SCHEMA)
+    cands = local_df(spark, CANDS, CAND_SCHEMA)
+    [r] = disambiguate(mentions, cands).collect()
+    assert (r["curie"], r["score"]) == ("BIO:0009", 2)
