@@ -51,6 +51,11 @@ def main() -> None:
                     "from html:binary — measures the production raw-HTML "
                     "path (P1 byte-identical extraction fused into the "
                     "tagging scan)")
+    ap.add_argument("--ntriples", default=None, metavar="DIR",
+                    help="additionally export the triples stage as W3C "
+                         "N-Triples text shards (RDF interchange for "
+                         "downstream consumers; weights become RDF-star "
+                         "annotations — sources/ntriples.py)")
     ap.add_argument("--no-nodes", action="store_true",
                     help="skip materializing the nodes table (the edges "
                     "side — the triples stage — is always written)")
@@ -283,6 +288,14 @@ def main() -> None:
     timed("isa_closure", lambda: write_stage(
         closure_df, args.output, "isa_closure", input_fingerprint=fp,
     ))
+
+    if args.ntriples:
+        from onto_text_tag_spark.sinks import read_stage
+        from onto_text_tag_spark.sources.ntriples import write_ntriples
+
+        timed("ntriples", lambda: write_ntriples(
+            read_stage(spark, args.output, "triples"), args.ntriples
+        ))
 
     n_triples = read_manifest(args.output, "triples")["total_rows"]
     dt = time.time() - t0

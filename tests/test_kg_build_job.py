@@ -126,3 +126,23 @@ def test_kg_build_from_html_identical(job_tmp, corpus, spark):
     b = spark.read.parquet(os.path.join(html_out, "mentions", "data"))
     assert a.count() == from_html["n_mentions"] == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_kg_build_ntriples_export_roundtrips(job_tmp, corpus, spark):
+    from onto_text_tag_spark.sinks import read_stage
+    from onto_text_tag_spark.sources.ntriples import read_ntriples
+
+    out_dir = os.path.join(job_tmp, "out_nt")
+    nt_dir = os.path.join(job_tmp, "nt_export")
+    res = _spark_submit(
+        job_tmp, "--input", corpus, "--output", out_dir,
+        "--ntriples", nt_dir,
+    )
+    assert "ntriples" in res["stage_sec"]
+    stage = read_stage(spark, out_dir, "triples").select(
+        "subj", "pred", "obj", "weight"
+    )
+    back = read_ntriples(spark, nt_dir)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, stage.collect())
+    )
