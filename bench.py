@@ -1474,6 +1474,177 @@ def run_bucketed_bench(cores: int = 8) -> dict:
     }
 
 
+def run_graph_bench(cores: int = 8) -> dict:
+    """Graph-metrics scale run (operators/graph_metrics.py, operators/
+    components.py) on a deterministic SKEWED synthetic graph — the
+    regime the ontology-bounded driver graph cannot exercise.
+
+    Edge endpoints are drawn by inverse-CDF from a u² density
+    (xxhash64-seeded, fully deterministic), which concentrates mass on
+    low node ids: the head node's degree is ~1000× the median, the
+    co-occurrence-hub shape the north_star names.  The headline
+    comparison is triangle counting's orientation strategy:
+
+    * (degree, id) orientation bounds every oriented out-degree by
+      O(√m), so wedge generation is O(m^1.5) regardless of hubs;
+    * plain id orientation makes the low-id HUBS the wedge apexes —
+      Σ C(outdeg, 2) explodes quadratically in the hub degree.
+
+    Both are timed on the same stored edge relation, their per-node
+    results asserted hash-identical, and the actual wedge counts
+    (Σ C(outdeg, 2) under each orientation) reported — the measured
+    gap is the operator-design evidence, not just the wall clock.
+    degree_stats, connected_components (above its driver short-circuit
+    threshold → the distributed contraction path), and a 5-round
+    pagerank round out the table: every graph operator at million-edge
+    scale in one place.
+    """
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.components import connected_components
+    from onto_text_tag_spark.operators.graph_metrics import (
+        degree_stats,
+        pagerank,
+        triangle_counts,
+    )
+
+    n_nodes, n_edges = 200_000, 2_000_000
+    spark = _session(cores)
+    spark.range(1_000_000).select(F.bit_xor(F.xxhash64("id"))).collect()
+
+    def _endpoint(seed: int):
+        u = F.pmod(
+            F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1_000_000)
+        ) / 1_000_000.0
+        return F.concat(
+            F.lit("n"),
+            F.floor(F.lit(float(n_nodes)) * F.pow(u, F.lit(2.0)))
+            .cast("long"),
+        )
+
+    path = os.path.join(SCALING_DIR, f"graph_bench_{n_edges}.parquet")
+    if not os.path.exists(path):
+        (
+            spark.range(0, n_edges, 1, cores * 4)
+            .select(_endpoint(1).alias("src"), _endpoint(2).alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .write.mode("overwrite").parquet(path)
+        )
+    e = spark.read.parquet(path)
+
+    def _force_sig(df) -> tuple:
+        cols = [F.col(c).cast("string") for c in df.columns]
+        row = df.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(*cols)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def _timed(make_df, repeats: int = 2) -> tuple[float, tuple]:
+        best, sig = None, None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            s = _force_sig(make_df())
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+            assert sig is None or sig == s
+            sig = s
+        return round(best, 2), sig
+
+    # degree profile of the generated graph (also the skew evidence)
+    deg = degree_stats(e).persist()
+    deg_sec, deg_sig = _timed(lambda: degree_stats(e))
+    prof = deg.agg(
+        F.max("degree").alias("max"),
+        F.expr("percentile_approx(degree, 0.5)").alias("p50"),
+        F.expr("percentile_approx(degree, 0.99)").alias("p99"),
+    ).collect()[0]
+
+    # wedge counts under each orientation: Σ C(outdeg, 2)
+    pairs = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    dd = deg.withColumnRenamed("node", "a").withColumnRenamed(
+        "degree", "_da"
+    )
+    db = deg.withColumnRenamed("node", "b").withColumnRenamed(
+        "degree", "_db"
+    )
+    both = pairs.join(dd, "a").join(db, "b")
+    ka = F.struct(F.col("_da").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("_db").alias("d"), F.col("b").alias("n"))
+    apex_deg = both.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u")
+    ).groupBy("u").count()
+    apex_id = pairs.groupBy("a").count()
+
+    def _wedges(apex) -> int:
+        return int(
+            apex.agg(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2)
+            ).collect()[0][0]
+        )
+
+    wedges_deg = _wedges(apex_deg)
+    wedges_id = _wedges(apex_id)
+
+    tri_deg_sec, tri_deg_sig = _timed(
+        lambda: triangle_counts(e, orient_by_degree=True)
+    )
+    tri_id_sec, tri_id_sig = _timed(
+        lambda: triangle_counts(e, orient_by_degree=False)
+    )
+    assert tri_deg_sig == tri_id_sig, (tri_deg_sig, tri_id_sig)
+
+    cc_sec, cc_sig = _timed(
+        lambda: connected_components(e), repeats=1
+    )
+    pr_sec, pr_sig = _timed(
+        lambda: pagerank(e, iterations=5).select(
+            "node", F.round("rank", 8).alias("rank")
+        ),
+        repeats=1,
+    )
+
+    n_pairs = pairs.count()
+    deg.unpersist()
+    pairs.unpersist()
+    rep = {
+        "job": "bench.run_graph_bench",
+        "cores": cores,
+        "nodes_drawn_from": n_nodes,
+        "edge_rows": n_edges,
+        "distinct_edges": n_pairs,
+        "degree_max": int(prof["max"]),
+        "degree_p50": int(prof["p50"]),
+        "degree_p99": int(prof["p99"]),
+        "wedges_degree_oriented": wedges_deg,
+        "wedges_id_oriented": wedges_id,
+        "timings_sec": {
+            "degree_stats": deg_sec,
+            "triangles_degree_oriented": tri_deg_sec,
+            "triangles_id_oriented": tri_id_sec,
+            "connected_components": cc_sec,
+            "pagerank_5_rounds": pr_sec,
+        },
+        "triangle_nodes": tri_deg_sig[0],
+        "components_sig": cc_sig[0],
+        "pagerank_nodes": pr_sig[0],
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+    spark.stop()
+    return rep
+
+
 def run_dict_size_bench() -> dict:
     """Matcher cost vs dictionary size — evidence that the broadcast-
     automaton tagging path survives million-surface dictionaries (the
@@ -1945,6 +2116,41 @@ def main() -> None:
                 f"downstream op; every re-read after that (incremental "
                 f"anti-joins, retraction masks, dict-delta re-tags) is "
                 f"pure savings.\n\n"
+                f"Host capacity probe: "
+                f"{json.dumps(rep['host_capacity_units_per_sec'])}\n"
+            )
+        print(json.dumps(rep))
+        return
+    if "--bench-graph" in sys.argv:
+        rep = run_graph_bench(
+            cores=int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", "8")))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            t = rep["timings_sec"]
+            fh.write(
+                f"\n## Graph-metrics run — {rep['job']}, "
+                f"{rep['distinct_edges']} distinct edges over ≤"
+                f"{rep['nodes_drawn_from']} nodes (u² skew: degree max "
+                f"{rep['degree_max']} / p99 {rep['degree_p99']} / p50 "
+                f"{rep['degree_p50']}), local[{rep['cores']}] "
+                f"(min of 2 for the triangle shapes)\n\n"
+                f"| operator | sec |\n|---|---|\n"
+                f"| degree_stats | {t['degree_stats']} |\n"
+                f"| triangle_counts, (degree, id) orientation "
+                f"| {t['triangles_degree_oriented']} |\n"
+                f"| triangle_counts, id orientation "
+                f"| {t['triangles_id_oriented']} |\n"
+                f"| connected_components (distributed contraction path) "
+                f"| {t['connected_components']} |\n"
+                f"| pagerank, 5 rounds | {t['pagerank_5_rounds']} |\n"
+                f"\nWedge candidates Σ C(outdeg, 2): "
+                f"{rep['wedges_id_oriented']} id-oriented vs "
+                f"{rep['wedges_degree_oriented']} degree-oriented "
+                f"({rep['wedges_id_oriented'] / max(rep['wedges_degree_oriented'], 1):.1f}x "
+                f"reduction — the O(m^1.5) bound at work); per-node "
+                f"triangle results asserted hash-identical across "
+                f"orientations ({rep['triangle_nodes']} nodes in ≥1 "
+                f"triangle).\n\n"
                 f"Host capacity probe: "
                 f"{json.dumps(rep['host_capacity_units_per_sec'])}\n"
             )
