@@ -754,6 +754,126 @@ SELECT node, round(rank, 6) AS rank FROM ranks WHERE iter = 10
 """
 
 
+def q_kg_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-normalized association strengths (jaccard / lift / PMI /
+    NPMI) per co-occurrence edge (operators/cooccur.py:
+    association_scores) — the scoring layer that separates "frequent
+    together" from "associated" when raw shared-doc counts are
+    dominated by boilerplate head terms.  The oracle recomputes every
+    measure from first principles in SQL."""
+    from onto_text_tag_spark.operators.cooccur import association_scores
+
+    m = _mentions(spark, sf_dir)
+    return association_scores(m, doc_col="url", term_col="curie")
+
+
+def sql_kg_assoc() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ nn AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM dt),
+ df AS (SELECT curie, count(*)::BIGINT AS df FROM dt GROUP BY curie),
+ e AS (SELECT a.curie AS src, b.curie AS dst, count(*)::BIGINT AS weight
+       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie
+       GROUP BY a.curie, b.curie)
+SELECT e.src, e.dst, e.weight,
+       da.df AS df_src, db.df AS df_dst,
+       round(e.weight::DOUBLE
+             / (da.df::DOUBLE + db.df::DOUBLE - e.weight::DOUBLE), 6)
+         AS jaccard,
+       round(e.weight::DOUBLE * (SELECT n FROM nn)
+             / (da.df::DOUBLE * db.df::DOUBLE), 6) AS lift,
+       round(ln(e.weight::DOUBLE * (SELECT n FROM nn)
+                / (da.df::DOUBLE * db.df::DOUBLE)), 6) AS pmi,
+       CASE WHEN e.weight::DOUBLE = (SELECT n FROM nn) THEN 1.0
+            ELSE round(ln(e.weight::DOUBLE * (SELECT n FROM nn)
+                          / (da.df::DOUBLE * db.df::DOUBLE))
+                       / -ln(e.weight::DOUBLE / (SELECT n FROM nn)), 6)
+       END AS npmi
+FROM e
+JOIN df da ON da.curie = e.src
+JOIN df db ON db.curie = e.dst
+"""
+
+
+def q_kg_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the co-occurrence graph
+    (operators/graph_metrics.py:adamic_adar): score every
+    NOT-yet-co-mentioned class pair by shared-neighborhood density —
+    candidate missing KG edges for curation.  The oracle re-derives the
+    wedge/anti-join/Σ1/ln(deg) algebra directly in SQL."""
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+    from onto_text_tag_spark.operators.graph_metrics import adamic_adar
+
+    m = _mentions(spark, sf_dir)
+    edges = cooccurrence_edges(m, doc_col="url", term_col="curie")
+    out = adamic_adar(edges)
+    return out.select("u", "w", "common", F.round("score", 6).alias("score"))
+
+
+def sql_kg_link_predict() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ e AS (SELECT DISTINCT a.curie AS a, b.curie AS b
+       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie),
+ sym AS (SELECT a AS node, b AS v FROM e UNION ALL SELECT b, a FROM e),
+ deg AS (SELECT v, count(DISTINCT node)::BIGINT AS degree
+         FROM sym GROUP BY v),
+ nb AS (SELECT s.node, s.v, 1.0/ln(d.degree::DOUBLE) AS w
+        FROM sym s JOIN deg d ON d.v = s.v),
+ cand AS (SELECT n1.node AS u, n2.node AS w_node, n1.w AS aa
+          FROM nb n1 JOIN nb n2
+            ON n1.v = n2.v AND n1.node < n2.node),
+ miss AS (SELECT c.* FROM cand c
+          LEFT JOIN e ON e.a = c.u AND e.b = c.w_node
+          WHERE e.a IS NULL)
+SELECT u, w_node AS w, count(*)::BIGINT AS common,
+       round(sum(aa), 6) AS score
+FROM miss GROUP BY u, w_node
+"""
+
+
+def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (4 rounds, ties →
+    min label) over the co-occurrence graph
+    (operators/graph_metrics.py:label_propagation) — the cheap
+    community pass grouping ontology classes into mention-cluster
+    themes.  The oracle replays the identical 4 rounds as unrolled SQL
+    (count → per-node argmax with the same tie-break)."""
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+    from onto_text_tag_spark.operators.graph_metrics import label_propagation
+
+    m = _mentions(spark, sf_dir)
+    edges = cooccurrence_edges(m, doc_col="url", term_col="curie")
+    return label_propagation(edges, rounds=4)
+
+
+def sql_kg_communities(rounds: int = 4) -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+ m{i} AS (SELECT e.dst AS node, l.label
+          FROM sym e JOIN {prev} l ON l.node = e.src),
+ l{i} AS (SELECT node, label FROM (
+            SELECT node, label, count(*) AS c FROM m{i}
+            GROUP BY node, label)
+          QUALIFY row_number() OVER (PARTITION BY node
+                                     ORDER BY c DESC, label ASC) = 1)""")
+        prev = f"l{i}"
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ e0 AS (SELECT DISTINCT a.curie AS a, b.curie AS b
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie),
+ sym AS (SELECT a AS src, b AS dst FROM e0
+         UNION ALL SELECT b, a FROM e0),
+ l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),{",".join(steps)}
+SELECT node, label AS community FROM {prev}
+"""
+
+
 def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6+P7+P8 scalar surface (SURVEY.md §2.2): IRI → CURIE
     normalization, namespace extraction, vocabulary-link projection —
@@ -1922,6 +2042,9 @@ QUERIES = {
     "kg_triangles": q_kg_triangles,
     "kg_disambig": q_kg_disambig,
     "kg_pagerank": q_kg_pagerank,
+    "kg_assoc": q_kg_assoc,
+    "kg_link_predict": q_kg_link_predict,
+    "kg_communities": q_kg_communities,
     "kg_links": q_kg_links,
     "kg_nodes": q_kg_nodes,
     "kg_node_table": q_kg_node_table,
@@ -1971,6 +2094,9 @@ ORACLES = {
     "kg_triangles": sql_kg_triangles(),
     "kg_disambig": sql_kg_disambig(),
     "kg_pagerank": sql_kg_pagerank(),
+    "kg_assoc": sql_kg_assoc(),
+    "kg_link_predict": sql_kg_link_predict(),
+    "kg_communities": sql_kg_communities(),
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),
     "kg_node_table": sql_kg_node_table(),

@@ -157,6 +157,90 @@ def cooccurrence_edges(
     )
 
 
+def association_scores(
+    mentions: DataFrame,
+    doc_col: str = "url",
+    term_col: str = "curie",
+    min_weight: int = 1,
+) -> DataFrame:
+    """Normalized association strengths per co-occurrence edge.
+
+    The reference's edge weight is the raw shared-document count
+    (hv_generate.py:49-51), which at web scale just ranks by term
+    frequency — boilerplate CURIEs dominate every chord.  This operator
+    attaches the standard corpus-normalized measures so downstream
+    ranking/pruning can separate "frequent together" from "associated":
+
+    * ``jaccard``  = w / (df_a + df_b − w)            (set overlap)
+    * ``lift``     = w·N / (df_a·df_b)                (vs independence)
+    * ``pmi``      = ln(lift)                          (pointwise MI)
+    * ``npmi``     = pmi / −ln(w/N), 1.0 when w = N   (normalized [−1,1])
+
+    with df = per-term distinct-doc frequency and N = distinct docs
+    carrying ≥1 mention.  All derived from ONE corpus-sized exchange:
+    the ``doc_term_arrays`` groupBy(doc) feeds the pair explosion, the
+    df aggregate (single explode + count), and the N count — identical
+    subplans, so Catalyst plans the corpus shuffle once (ReusedExchange,
+    same device the triples plan pins).  df table and N are
+    ontology-bounded (≪ corpus) → broadcast joins onto the edge set; no
+    additional corpus-keyed shuffle.  Floats are deterministic: integer
+    counts are exact in doubles, division is IEEE-correctly-rounded, and
+    the only libm calls (ln) take identical arguments on any engine.
+    """
+    arrays = doc_term_arrays(mentions, doc_col=doc_col, term_col=term_col)
+    edges = cooccurrence_edges_from_arrays(
+        arrays, min_weight=min_weight, doc_col=doc_col, assume_deduped=True
+    )
+    df_tbl = (
+        arrays.select(F.explode("_terms").alias("_t"))
+        .groupBy("_t")
+        .agg(F.count("*").cast("long").alias("_df"))
+    )
+    # one-row corpus count; crossing it in stays inside the single plan
+    # (ReusedExchange keeps one corpus shuffle) — a collect() here would
+    # run the corpus exchange twice.  The broadcast nested loop over a
+    # 1-row build side is a constant-time probe per edge row.
+    n_docs = arrays.agg(F.count("*").cast("double").alias("_n"))
+
+    scored = (
+        edges.join(
+            F.broadcast(
+                df_tbl.select(
+                    F.col("_t").alias("src"), F.col("_df").alias("df_src")
+                )
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                df_tbl.select(
+                    F.col("_t").alias("dst"), F.col("_df").alias("df_dst")
+                )
+            ),
+            "dst",
+        )
+        .crossJoin(F.broadcast(n_docs))
+    )
+    w = F.col("weight").cast("double")
+    da = F.col("df_src").cast("double")
+    db = F.col("df_dst").cast("double")
+    n = F.col("_n")
+    lift = w * n / (da * db)
+    pmi = F.log(lift)
+    npmi = F.when(w == n, F.lit(1.0)).otherwise(pmi / -F.log(w / n))
+    return scored.select(
+        "src",
+        "dst",
+        F.col("weight").cast("long").alias("weight"),
+        "df_src",
+        "df_dst",
+        F.round(w / (da + db - w), 6).alias("jaccard"),
+        F.round(lift, 6).alias("lift"),
+        F.round(pmi, 6).alias("pmi"),
+        F.round(npmi, 6).alias("npmi"),
+    )
+
+
 def merge_cooccurrence_edges(
     *edge_sets: DataFrame, min_weight: int = 1
 ) -> DataFrame:

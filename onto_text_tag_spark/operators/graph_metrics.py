@@ -30,6 +30,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def degree_stats(
@@ -187,6 +188,144 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("triangles"))
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected simple graph:
+    for every NON-adjacent node pair (u, w) sharing at least one
+    neighbor, ``score = Σ_{v ∈ N(u)∩N(w)} 1/ln(deg(v))`` plus the raw
+    common-neighbor count.  Output ``(u, w, common, score)`` with
+    ``u < w`` canonical; adjacent pairs are excluded (they need no
+    prediction).  Deterministic; multi-edges/self-loops collapse.
+
+    This is the KG-completion primitive the reference's association
+    view motivates but never computes: which ontology-class pairs are
+    NOT yet co-mentioned in any document but sit in densely shared
+    co-occurrence neighborhoods (candidate missing edges for curation).
+
+    Scale shape: wedge generation through each shared neighbor v costs
+    deg(v)² pairs — the Σdeg² hazard.  Unlike triangle counting there
+    is no orientation trick (both wedge arms must be enumerated), so
+    the standard mitigation is ``max_neighbor_degree``: drop hub
+    BRIDGES above the cap before pair generation.  A hub contributes
+    only 1/ln(deg) ≈ 0 per pair while generating quadratically many of
+    them, so capping removes almost no score mass — the exact trade
+    every production link-prediction system makes.  Shuffles: degree
+    aggregate, wedge self-join on v, the (u, w) anti-join + final sum;
+    all key on high-cardinality ids, partial aggregation absorbs the
+    per-pair sum.  A common neighbor has deg ≥ 2 by construction, so
+    ln(deg) is never 0.
+    """
+    a, b = F.col(src), F.col(dst)
+    pairs = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # deg-1 nodes can never bridge a wedge (one arm only) — and ln(1)=0
+    # would divide by zero under ANSI semantics, so they exit here.
+    deg = degree_stats(pairs, "a", "b").where(F.col("degree") >= 2)
+    if max_neighbor_degree is not None:
+        deg = deg.where(F.col("degree") <= max_neighbor_degree)
+    nbrs = (
+        pairs.select(F.col("a").alias("node"), F.col("b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("b").alias("node"), F.col("a").alias("v"))
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), "degree"), "v"
+        )
+        .withColumn("_w", 1.0 / F.log(F.col("degree").cast("double")))
+    )
+    n1 = nbrs.alias("n1")
+    n2 = nbrs.alias("n2")
+    cand = (
+        n1.join(
+            n2,
+            (F.col("n1.v") == F.col("n2.v"))
+            & (F.col("n1.node") < F.col("n2.node")),
+        )
+        .select(
+            F.col("n1.node").alias("u"),
+            F.col("n2.node").alias("w"),
+            F.col("n1._w").alias("_w"),
+        )
+    )
+    existing = pairs.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    return (
+        cand.join(existing, ["u", "w"], "left_anti")
+        .groupBy("u", "w")
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum("_w").alias("score"),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation, made fully
+    deterministic: every node starts labeled with its own id; each
+    round every node adopts the most frequent label among its
+    neighbors, ties broken by MIN label.  Fixed ``rounds`` (no
+    convergence test — synchronous LPA can oscillate on bipartite
+    structures, and a fixed round count is what makes the result
+    reproducible AND SQL-replayable).  Output ``(node, community)``
+    over all nodes incident to an edge.
+
+    Scale shape per round: one join of the edge relation against the
+    label frame (shuffle keyed on node id), one (node, label) count
+    aggregate with map-side partials, one per-node window for the
+    argmax — all hash-partitioned on high-cardinality node ids; hub
+    label multiplicity collapses in the partial aggregate.  Each round
+    ``localCheckpoint``s, so the plan stays O(1) deep exactly like
+    ``pagerank``/``bfs_distances``.  Cost is O(rounds · |E|): LPA is
+    the cheap community pass run over the materialized co-occurrence
+    edge table (CURIE-pair-sized, ≪ corpus) to group ontology classes
+    into mention-cluster themes.
+    """
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    win = Window.partitionBy("node").orderBy(
+        F.col("_n").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        labels = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("_n"))
+            .withColumn("_rk", F.row_number().over(win))
+            .where(F.col("_rk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))
 
 
 def pagerank(

@@ -164,3 +164,82 @@ def test_triangle_counts_orientation_invariant(spark):
     by_id = {r["node"]: r["triangles"]
              for r in triangle_counts(e, orient_by_degree=False).collect()}
     assert by_deg == by_id == {"a": 1, "b": 1, "c": 2, "d": 1, "e": 1}
+
+
+def test_adamic_adar_scores(spark, edges):
+    import math
+
+    from onto_text_tag_spark.operators.graph_metrics import adamic_adar
+
+    got = {
+        (r.u, r.w): (r.common, r.score)
+        for r in adamic_adar(edges).collect()
+    }
+    # adjacency: a-b, b-c, c-d, d-e, c-e, f-g (dup a-b collapses)
+    # non-adjacent pairs with common neighbors:
+    #   (a,c) via b (deg 2); (b,d) via c (deg 3); (b,e) via c (deg 3)
+    want = {
+        ("a", "c"): (1, 1 / math.log(2)),
+        ("b", "d"): (1, 1 / math.log(3)),
+        ("b", "e"): (1, 1 / math.log(3)),
+    }
+    assert set(got) == set(want)
+    for k, (common, score) in want.items():
+        assert got[k][0] == common
+        assert got[k][1] == pytest.approx(score, abs=1e-12)
+
+
+def test_adamic_adar_hub_cap_drops_bridges(spark, edges):
+    from onto_text_tag_spark.operators.graph_metrics import adamic_adar
+
+    # cap 2 removes c (deg 3) as a bridge: only the (a,c)-via-b pair stays
+    got = {(r.u, r.w) for r in
+           adamic_adar(edges, max_neighbor_degree=2).collect()}
+    assert got == {("a", "c")}
+
+
+def _py_lpa(pairs, rounds=4):
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj[s].add(d)
+        adj[d].add(s)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            cnt = Counter(labels[u] for u in adj[v])
+            new[v] = min(
+                cnt, key=lambda lab: (-cnt[lab], lab)
+            )
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_python_twin(spark, edges):
+    from onto_text_tag_spark.operators.graph_metrics import label_propagation
+
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    for rounds in (1, 2, 4):
+        want = _py_lpa(pairs, rounds=rounds)
+        got = {
+            r.node: r.community
+            for r in label_propagation(edges, rounds=rounds).collect()
+        }
+        assert got == want, f"rounds={rounds}"
+
+
+def test_label_propagation_two_triangles(spark):
+    from onto_text_tag_spark.operators.graph_metrics import label_propagation
+
+    rows = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("x", "y"), ("y", "z"), ("z", "x"),
+    ]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    got = {r.node: r.community for r in label_propagation(e).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "x"}

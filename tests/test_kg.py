@@ -253,3 +253,48 @@ def test_node_table_profile(spark):
     }
     assert len(rows) == 5
     assert node_table(arrays, meta).columns[-1] == "kind"
+
+
+def test_association_scores_hand_values(spark):
+    import math
+
+    from onto_text_tag_spark.operators.cooccur import association_scores
+
+    rows = [
+        ("d1", "A"), ("d1", "B"),
+        ("d2", "A"), ("d2", "B"),
+        ("d3", "A"), ("d3", "C"),
+        ("d4", "B"),
+        ("d1", "A"),  # duplicate mention must not inflate anything
+    ]
+    m = spark.createDataFrame(rows, "url string, curie string")
+    got = {(r.src, r.dst): r for r in association_scores(m).collect()}
+    assert set(got) == {("A", "B"), ("A", "C")}
+
+    ab = got[("A", "B")]
+    # N=4, df(A)=3, df(B)=3, w=2
+    assert (ab.weight, ab.df_src, ab.df_dst) == (2, 3, 3)
+    assert ab.jaccard == round(2 / 4, 6)
+    assert ab.lift == round(2 * 4 / 9, 6)
+    assert ab.pmi == round(math.log(8 / 9), 6)
+    assert ab.npmi == round(math.log(8 / 9) / -math.log(2 / 4), 6)
+
+    ac = got[("A", "C")]
+    # df(C)=1, w=1
+    assert (ac.weight, ac.df_src, ac.df_dst) == (1, 3, 1)
+    assert ac.jaccard == round(1 / 3, 6)
+    assert ac.lift == round(4 / 3, 6)
+    assert ac.pmi == round(math.log(4 / 3), 6)
+    assert ac.npmi == round(math.log(4 / 3) / -math.log(1 / 4), 6)
+
+
+def test_association_scores_full_cooccurrence_npmi_is_one(spark):
+    from onto_text_tag_spark.operators.cooccur import association_scores
+
+    rows = [("d1", "A"), ("d1", "B"), ("d2", "A"), ("d2", "B")]
+    m = spark.createDataFrame(rows, "url string, curie string")
+    [r] = association_scores(m).collect()
+    # w == N: perfectly associated -> npmi pinned to 1.0, pmi=ln(1)=0
+    assert (r.src, r.dst, r.weight) == ("A", "B", 2)
+    assert r.jaccard == 1.0 and r.lift == 1.0
+    assert r.pmi == 0.0 and r.npmi == 1.0

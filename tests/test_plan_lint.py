@@ -40,6 +40,10 @@ BNLJ_ALLOWED = {
     "emb_neardup",     # all-pairs near-dup on the small embeddings table
     "dedup_jaccard",   # pair verify over LSH candidates (tiny at sf0.001)
     "dedup_word_jaccard",
+    "kg_assoc",        # 1-ROW broadcast scalar (corpus doc count) crossed
+                       # onto the edge set: constant-time probe per row,
+                       # kept in-plan so ReusedExchange shares the corpus
+                       # shuffle (a collect would run it twice)
 }
 
 
