@@ -874,6 +874,58 @@ SELECT node, label AS community FROM {prev}
 """
 
 
+def q_kg_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphFrames-style motif find over the mixed triple relation
+    (operators/motif.py): documents that mention a subclass but never
+    mention its direct superclass — "(d)-[m]->(c); (c)-[i]->(p);
+    !(d)-[]->(p)" with m.pred='mentions', i.pred='is_a'.  This is the
+    reference's descendant-expansion query (app.py:116-151) inverted
+    into a conjunctive pattern with negation; the oracle re-derives the
+    same bindings as plain SQL joins + NOT EXISTS."""
+    from onto_text_tag_spark.operators.motif import find
+    from onto_text_tag_spark.session import local_df
+
+    m = _mentions(spark, sf_dir)
+    mention_edges = (
+        m.select(F.col("url").alias("src"), F.col("curie").alias("dst"))
+        .distinct()
+        .withColumn("pred", F.lit("mentions"))
+    )
+    isa_edges = local_df(
+        spark,
+        [
+            (c, p, "is_a")
+            for c, _l, _s, _d, p in DRIVER_ONTOLOGY
+            if p is not None
+        ],
+        "src string, dst string, pred string",
+    )
+    triples = mention_edges.unionByName(isa_edges)
+    out = find(triples, "(d)-[m]->(c); (c)-[i]->(p); !(d)-[]->(p)")
+    return (
+        out.where(
+            (F.col("m.pred") == "mentions") & (F.col("i.pred") == "is_a")
+        )
+        .select(
+            F.col("d").alias("doc_id"),
+            F.col("c").alias("curie"),
+            F.col("p").alias("parent"),
+        )
+    )
+
+
+def sql_kg_motif() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+ edges(child, parent) AS (VALUES {_ISA_EDGES_SQL}),
+ dm AS (SELECT DISTINCT doc_id, curie FROM mention_rows)
+SELECT dm.doc_id, dm.curie, e.parent
+FROM dm JOIN edges e ON e.child = dm.curie
+WHERE NOT EXISTS (
+  SELECT 1 FROM dm p WHERE p.doc_id = dm.doc_id AND p.curie = e.parent)
+"""
+
+
 def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6+P7+P8 scalar surface (SURVEY.md §2.2): IRI → CURIE
     normalization, namespace extraction, vocabulary-link projection —
@@ -2045,6 +2097,7 @@ QUERIES = {
     "kg_assoc": q_kg_assoc,
     "kg_link_predict": q_kg_link_predict,
     "kg_communities": q_kg_communities,
+    "kg_motif": q_kg_motif,
     "kg_links": q_kg_links,
     "kg_nodes": q_kg_nodes,
     "kg_node_table": q_kg_node_table,
@@ -2097,6 +2150,7 @@ ORACLES = {
     "kg_assoc": sql_kg_assoc(),
     "kg_link_predict": sql_kg_link_predict(),
     "kg_communities": sql_kg_communities(),
+    "kg_motif": sql_kg_motif(),
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),
     "kg_node_table": sql_kg_node_table(),
