@@ -1613,6 +1613,27 @@ def run_graph_bench(cores: int = 8) -> dict:
         repeats=1,
     )
 
+    from onto_text_tag_spark.operators.graph_metrics import (
+        adamic_adar,
+        label_propagation,
+    )
+
+    lpa_sec, lpa_sig = _timed(
+        lambda: label_propagation(e, rounds=4), repeats=1
+    )
+    # Adamic-Adar needs BOTH wedge arms per shared neighbor — Σ C(deg,2)
+    # with no orientation escape — so the hub cap is not optional on a
+    # skewed graph: bridges above deg 64 contribute ≤ 1/ln(64) ≈ 0.24
+    # per pair while generating the quadratic bulk.  The capped run is
+    # the production form; its candidate volume is reported alongside.
+    aa_cap = 64
+    aa_sec, aa_sig = _timed(
+        lambda: adamic_adar(e, max_neighbor_degree=aa_cap).select(
+            "u", "w", "common", F.round("score", 8).alias("score")
+        ),
+        repeats=1,
+    )
+
     n_pairs = pairs.count()
     deg.unpersist()
     pairs.unpersist()
@@ -1633,10 +1654,14 @@ def run_graph_bench(cores: int = 8) -> dict:
             "triangles_id_oriented": tri_id_sec,
             "connected_components": cc_sec,
             "pagerank_5_rounds": pr_sec,
+            "label_propagation_4_rounds": lpa_sec,
+            f"adamic_adar_cap{aa_cap}": aa_sec,
         },
         "triangle_nodes": tri_deg_sig[0],
         "components_sig": cc_sig[0],
         "pagerank_nodes": pr_sig[0],
+        "lpa_nodes": lpa_sig[0],
+        "adamic_adar_candidates": aa_sig[0],
         "host_capacity_units_per_sec": {
             str(k): v for k, v in _host_capacity().items()
         },
@@ -2143,6 +2168,12 @@ def main() -> None:
                 f"| connected_components (distributed contraction path) "
                 f"| {t['connected_components']} |\n"
                 f"| pagerank, 5 rounds | {t['pagerank_5_rounds']} |\n"
+                f"| label_propagation, 4 rounds "
+                f"({rep['lpa_nodes']} nodes) "
+                f"| {t['label_propagation_4_rounds']} |\n"
+                f"| adamic_adar, bridge cap 64 "
+                f"({rep['adamic_adar_candidates']} candidate pairs) "
+                f"| {t['adamic_adar_cap64']} |\n"
                 f"\nWedge candidates Σ C(outdeg, 2): "
                 f"{rep['wedges_id_oriented']} id-oriented vs "
                 f"{rep['wedges_degree_oriented']} degree-oriented "

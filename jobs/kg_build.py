@@ -56,6 +56,10 @@ def main() -> None:
                          "N-Triples text shards (RDF interchange for "
                          "downstream consumers; weights become RDF-star "
                          "annotations — sources/ntriples.py)")
+    ap.add_argument("--edge-scores", action="store_true",
+                    help="additionally write an edge_scores stage: "
+                    "jaccard/lift/PMI/NPMI per co-occurrence edge, derived "
+                    "from the doc_terms snapshot (no corpus re-read)")
     ap.add_argument("--no-nodes", action="store_true",
                     help="skip materializing the nodes table (the edges "
                     "side — the triples stage — is always written)")
@@ -277,6 +281,23 @@ def main() -> None:
             spark, args.output, "nodes",
             lambda: node_table(doc_terms, dict_rows),
             partition_by=["kind"],
+            input_fingerprint=fp,
+        ))
+
+    if args.edge_scores:
+        # association strengths per stored co-occurrence edge; the
+        # doc_terms snapshot supplies pairs, per-term df AND the corpus
+        # count — one stage, zero corpus re-reads (operators/cooccur.py:
+        # association_scores_from_arrays).
+        from onto_text_tag_spark.operators.cooccur import (
+            association_scores_from_arrays,
+        )
+
+        timed("edge_scores", lambda: run_stage(
+            spark, args.output, "edge_scores",
+            lambda: association_scores_from_arrays(
+                doc_terms, min_weight=args.min_cooccur_weight
+            ),
             input_fingerprint=fp,
         ))
 

@@ -188,6 +188,21 @@ def association_scores(
     the only libm calls (ln) take identical arguments on any engine.
     """
     arrays = doc_term_arrays(mentions, doc_col=doc_col, term_col=term_col)
+    return association_scores_from_arrays(
+        arrays, doc_col=doc_col, min_weight=min_weight
+    )
+
+
+def association_scores_from_arrays(
+    arrays: DataFrame,
+    doc_col: str = "url",
+    min_weight: int = 1,
+) -> DataFrame:
+    """``association_scores`` starting from a ``doc_term_arrays``-shaped
+    relation — the form the build DAG uses (jobs/kg_build.py
+    ``--edge-scores``): the doc_terms SNAPSHOT replaces the corpus
+    exchange entirely, so scoring a built KG's edges never re-reads or
+    re-tags the corpus."""
     edges = cooccurrence_edges_from_arrays(
         arrays, min_weight=min_weight, doc_col=doc_col, assume_deduped=True
     )
