@@ -93,3 +93,76 @@ def test_errors(g):
         find(g, "(x)-[]->(y); !(x)-[]->(q)")
     with pytest.raises(ValueError, match="empty"):
         find(g, " ; ")
+
+
+# ---------------------------------------------------------------------------
+# Property: find() == brute-force enumeration on random graphs/patterns
+# ---------------------------------------------------------------------------
+
+def _brute_force(edge_rows, pattern):
+    """Reference enumerator: try every assignment of pattern variables to
+    graph nodes, keeping those where all positive terms have a matching
+    edge (with multiplicity = product of edge multiplicities) and no
+    negated term does."""
+    import itertools
+    import re as _re
+
+    terms = []
+    for raw in pattern.split(";"):
+        raw = raw.strip()
+        m = _re.match(r"^(!?)\((\w*)\)-\[(\w*)\]->\((\w*)\)$", raw)
+        neg, s, _e, d = m.groups()
+        terms.append((bool(neg), s, d))
+    nodes = sorted({x for e in edge_rows for x in e})
+    variables = sorted({v for _n, s, d in terms for v in (s, d) if v})
+    from collections import Counter
+
+    mult = Counter(edge_rows)
+    out = Counter()
+    for combo in itertools.product(nodes, repeat=len(variables)):
+        bind = dict(zip(variables, combo))
+        ok, weight = True, 1
+        for neg, s, d in terms:
+            if not (s and d):
+                # anonymous endpoints: positive term needs ANY matching
+                # edge; only used in the fixed patterns below with both
+                # ends named, so skip
+                continue
+            cnt = mult.get((bind[s], bind[d]), 0)
+            if neg:
+                if cnt:
+                    ok = False
+                    break
+            else:
+                if not cnt:
+                    ok = False
+                    break
+                weight *= cnt
+        if ok:
+            out[tuple(bind[v] for v in variables)] += weight
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("pattern,vars_", [
+    ("(a)-[]->(b); (b)-[]->(c)", ["a", "b", "c"]),
+    ("(a)-[]->(b); (b)-[]->(a)", ["a", "b"]),
+    ("(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)", ["a", "b", "c"]),
+    ("(a)-[]->(b); (a)-[]->(c); !(b)-[]->(c)", ["a", "b", "c"]),
+])
+def test_motif_matches_brute_force(spark, seed, pattern, vars_):
+    import random
+    from collections import Counter
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(6)]
+    rows = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(12)
+    ]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    got = Counter(
+        tuple(r[v] for v in vars_)
+        for r in find(e, pattern).collect()
+    )
+    want = _brute_force(rows, pattern)
+    assert got == want
