@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--aa-cap", type=int, default=64,
                     help="Adamic-Adar hub-bridge degree cap (the Σdeg² "
                     "wedge defuse; 0 disables capping)")
+    ap.add_argument("--weighted", action="store_true",
+                    help="PageRank flows and LPA votes proportional to the "
+                    "co-occurrence edge weight instead of uniform")
     ap.add_argument("--skip", default="",
                     help=f"comma-separated stages to skip, from {STAGES}")
     args = ap.parse_args()
@@ -101,18 +104,21 @@ def main() -> None:
         stage_sec[name] = round(time.perf_counter() - t, 2)
         rows[name] = read_manifest(args.root, name)["total_rows"]
 
+    wcol = "weight" if args.weighted else None
     timed("degree", lambda: degree_stats(edges))
     timed(
         "pagerank",
-        lambda: pagerank(edges, iterations=args.pagerank_iters).select(
-            "node", F.round("rank", 8).alias("rank")
-        ),
-        args.pagerank_iters,
+        lambda: pagerank(
+            edges, iterations=args.pagerank_iters, weight_col=wcol
+        ).select("node", F.round("rank", 8).alias("rank")),
+        args.pagerank_iters, wcol,
     )
     timed(
         "communities",
-        lambda: label_propagation(edges, rounds=args.lpa_rounds),
-        args.lpa_rounds,
+        lambda: label_propagation(
+            edges, rounds=args.lpa_rounds, weight_col=wcol
+        ),
+        args.lpa_rounds, wcol,
     )
     timed("triangles", lambda: triangle_counts(edges))
     cap = args.aa_cap if args.aa_cap > 0 else None

@@ -273,6 +273,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 4,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation, made fully
     deterministic: every node starts labeled with its own id; each
@@ -293,16 +294,26 @@ def label_propagation(
     the cheap community pass run over the materialized co-occurrence
     edge table (CURIE-pair-sized, ≪ corpus) to group ontology classes
     into mention-cluster themes.
+
+    ``weight_col`` makes each neighbor's vote proportional to the edge
+    weight (shared-doc count on the co-occurrence graph) instead of 1 —
+    the natural reading when a 10,000-doc edge should pull harder than
+    a 1-doc edge.  Ties still break to MIN label; determinism holds
+    because weights are exact longs summed per (node, label).
     """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1)
     e = (
         edges.where(F.col(src) != F.col(dst))
-        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                w.alias("_w"))
     )
     sym = (
         e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                     "_w")
         )
-        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.max("_w").alias("_w"))  # multi-edges collapse, like before
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -317,9 +328,9 @@ def label_propagation(
     for _ in range(rounds):
         labels = (
             sym.join(labels, sym["src"] == labels["node"])
-            .select(F.col("dst").alias("node"), "label")
+            .select(F.col("dst").alias("node"), "label", "_w")
             .groupBy("node", "label")
-            .agg(F.count("*").alias("_n"))
+            .agg(F.sum("_w").alias("_n"))
             .withColumn("_rk", F.row_number().over(win))
             .where(F.col("_rk") == 1)
             .select("node", "label")
@@ -335,6 +346,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     undirected: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` rounds of power iteration.
 
@@ -342,13 +354,27 @@ def pagerank(
     mirrors every edge, the right reading for the co-occurrence graph;
     pass False for directed edge sets (e.g. is-a).  Deterministic: no
     randomness, fixed iteration count.
+
+    ``weight_col``: rank flows along each out-edge proportionally to
+    its weight (w / Σ_out w) instead of uniformly (1 / out-degree) —
+    the weighted-PageRank reading where a heavily co-mentioned pair
+    conducts more centrality than an incidental one.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("_w")
+    )
     if undirected:
         e = e.unionByName(
-            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+            edges.select(
+                F.col(dst).alias("src"), F.col(src).alias("dst"),
+                w.alias("_w"),
+            )
         )
-    e = e.distinct().localCheckpoint(eager=True)
+    e = (
+        e.groupBy("src", "dst").agg(F.max("_w").alias("_w"))
+        .localCheckpoint(eager=True)
+    )
 
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -360,7 +386,7 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
 
-    out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    out_deg = e.groupBy("src").agg(F.sum("_w").alias("_deg"))
     # (src, dst, _deg) — static per iteration, checkpoint once
     contrib_edges = e.join(out_deg, "src").localCheckpoint(eager=True)
 
@@ -381,7 +407,7 @@ def pagerank(
             contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("_deg")).alias("_c"),
+                (F.col("rank") * F.col("_w") / F.col("_deg")).alias("_c"),
             )
             .groupBy("node")
             .agg(F.sum("_c").alias("_sum"))

@@ -243,3 +243,81 @@ def test_label_propagation_two_triangles(spark):
     got = {r.node: r.community for r in label_propagation(e).collect()}
     assert got == {"a": "a", "b": "a", "c": "a",
                    "x": "x", "y": "x", "z": "x"}
+
+
+def _numpy_weighted_pagerank(triples, iterations=10, damping=0.85):
+    # undirected, weighted: flow proportional to w / sum_out(w)
+    es = {}
+    for s, d, w in triples:
+        es[(s, d)] = max(es.get((s, d), 0.0), float(w))
+        es[(d, s)] = max(es.get((d, s), 0.0), float(w))
+    nodes = sorted({x for e in es for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_w = np.zeros(n)
+    for (s, _d), w in es.items():
+        out_w[idx[s]] += w
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for (s, d), w in es.items():
+            contrib[idx[d]] += ranks[idx[s]] * w / out_w[idx[s]]
+        ranks = (1 - damping) / n + damping * contrib
+    return dict(zip(nodes, ranks))
+
+
+def test_pagerank_weighted_matches_numpy_twin(spark):
+    triples = [
+        ("a", "b", 10), ("b", "c", 1), ("a", "c", 1), ("c", "d", 5),
+    ]
+    e = spark.createDataFrame(
+        triples, "src string, dst string, weight long"
+    )
+    want = _numpy_weighted_pagerank(triples)
+    got = {
+        r.node: r.rank
+        for r in pagerank(e, weight_col="weight").collect()
+    }
+    for node, rank in want.items():
+        assert got[node] == pytest.approx(rank, abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # weighting must actually change the result vs the unweighted run
+    unweighted = {r.node: r.rank for r in pagerank(e).collect()}
+    assert any(
+        abs(unweighted[n] - got[n]) > 1e-6 for n in got
+    )
+
+
+def test_label_propagation_weighted_overrides_majority(spark):
+    from onto_text_tag_spark.operators.graph_metrics import label_propagation
+
+    # x has two light neighbors in community p/q and ONE heavy neighbor h:
+    # unweighted LPA (round 1) gives x the min of {p,q,h}=h? counts all 1,
+    # tie -> min label; weighted makes h's label win outright.
+    rows = [
+        ("p", "x", 1), ("q", "x", 1), ("h", "x", 5),
+    ]
+    e = spark.createDataFrame(rows, "src string, dst string, weight long")
+    got_w = {
+        r.node: r.community
+        for r in label_propagation(e, rounds=1, weight_col="weight").collect()
+    }
+    assert got_w["x"] == "h"
+    got_u = {
+        r.node: r.community
+        for r in label_propagation(e, rounds=1).collect()
+    }
+    assert got_u["x"] == "h"  # tie-break min("h","p","q") = "h" here
+    # make the tie-break differ from the weighted winner: rename h -> z
+    rows2 = [("p", "x", 1), ("q", "x", 1), ("z", "x", 5)]
+    e2 = spark.createDataFrame(rows2, "src string, dst string, weight long")
+    got_w2 = {
+        r.node: r.community
+        for r in label_propagation(e2, rounds=1, weight_col="weight").collect()
+    }
+    got_u2 = {
+        r.node: r.community
+        for r in label_propagation(e2, rounds=1).collect()
+    }
+    assert got_w2["x"] == "z"   # weight wins
+    assert got_u2["x"] == "p"   # unweighted tie-break: min label
