@@ -926,6 +926,39 @@ WHERE NOT EXISTS (
 """
 
 
+def q_kg_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(document, class) tf·idf salience + in-document rank
+    (operators/linker.py:entity_salience) — which classes a page is
+    ABOUT, vs merely mentions.  The oracle recomputes tf, df, N and the
+    ranked score from the token stream."""
+    from onto_text_tag_spark.operators.linker import entity_salience
+
+    m = _mentions(spark, sf_dir)
+    return entity_salience(m, doc_col="url", term_col="curie").select(
+        F.col("url").alias("doc_id"), "curie", "tf", "df", "salience",
+        "rank",
+    )
+
+
+def sql_kg_salience() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+ tf AS (SELECT doc_id, curie, count(*)::BIGINT AS tf
+        FROM mention_rows GROUP BY doc_id, curie),
+ dfx AS (SELECT curie, count(DISTINCT doc_id)::BIGINT AS df
+         FROM tf GROUP BY curie),
+ nn AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf)
+SELECT t.doc_id, t.curie, t.tf, d.df,
+       round(t.tf::DOUBLE * ln((SELECT n FROM nn) / d.df::DOUBLE), 6)
+         AS salience,
+       row_number() OVER (
+         PARTITION BY t.doc_id
+         ORDER BY t.tf::DOUBLE * ln((SELECT n FROM nn) / d.df::DOUBLE)
+                  DESC, t.curie ASC)::BIGINT AS rank
+FROM tf t JOIN dfx d ON d.curie = t.curie
+"""
+
+
 def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6+P7+P8 scalar surface (SURVEY.md §2.2): IRI → CURIE
     normalization, namespace extraction, vocabulary-link projection —
@@ -2098,6 +2131,7 @@ QUERIES = {
     "kg_link_predict": q_kg_link_predict,
     "kg_communities": q_kg_communities,
     "kg_motif": q_kg_motif,
+    "kg_salience": q_kg_salience,
     "kg_links": q_kg_links,
     "kg_nodes": q_kg_nodes,
     "kg_node_table": q_kg_node_table,
@@ -2151,6 +2185,7 @@ ORACLES = {
     "kg_link_predict": sql_kg_link_predict(),
     "kg_communities": sql_kg_communities(),
     "kg_motif": sql_kg_motif(),
+    "kg_salience": sql_kg_salience(),
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),
     "kg_node_table": sql_kg_node_table(),

@@ -113,3 +113,68 @@ def disambiguate(
             "score",
         )
     )
+
+
+def entity_salience(
+    mentions: DataFrame,
+    doc_col: str = "url",
+    term_col: str = "curie",
+) -> DataFrame:
+    """Per-(document, class) salience: tf·idf over the mention stream,
+    ranked within each document.
+
+    The reference renders every tag with equal prominence
+    (app.py:702-708); at web scale a page mentions dozens of classes
+    and downstream consumers (node profiles, training-data filtering,
+    per-page topic assignment) need to know which ones the page is
+    ABOUT.  Classic tf·idf does that with two aggregates:
+
+    * tf  = mention count of the class in the document (repetition =
+      emphasis, the signal the set-semantics pipeline deliberately
+      discards for co-occurrence);
+    * idf = ln(N / df) with df = documents mentioning the class and N =
+      documents with ≥1 mention — boilerplate classes on every page get
+      idf → 0 and stop dominating;
+    * salience = tf · idf, rank = per-document ``row_number`` by
+      (salience desc, curie asc) — deterministic.
+
+    Scale shape: one (doc, term)-keyed aggregate for tf (map-side
+    combinable), one term-keyed df aggregate whose output is
+    ontology-bounded → broadcast back onto the tf relation (no second
+    corpus shuffle), N crossed in as a 1-row broadcast.  The rank
+    window partitions by document — corpus-keyed, co-partitioned with
+    tf's exchange.  Floats deterministic: exact long counts, IEEE
+    division, one ln.
+    """
+    tf = (
+        mentions.select(doc_col, term_col)
+        .groupBy(doc_col, term_col)
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_tbl = (
+        tf.groupBy(term_col)
+        .agg(F.countDistinct(doc_col).cast("long").alias("df"))
+    )
+    n_docs = tf.agg(
+        F.countDistinct(doc_col).cast("double").alias("_n")
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), term_col)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "salience",
+            F.col("tf").cast("double")
+            * F.log(F.col("_n") / F.col("df").cast("double")),
+        )
+    )
+    win = Window.partitionBy(doc_col).orderBy(
+        F.col("salience").desc(), F.col(term_col).asc()
+    )
+    return scored.select(
+        doc_col,
+        term_col,
+        "tf",
+        "df",
+        F.round("salience", 6).alias("salience"),
+        F.row_number().over(win).cast("long").alias("rank"),
+    )

@@ -75,3 +75,30 @@ def test_disambiguate_context_counts_distinct_classes_not_occurrences(spark):
     cands = local_df(spark, CANDS, CAND_SCHEMA)
     [r] = disambiguate(mentions, cands).collect()
     assert (r["curie"], r["score"]) == ("BIO:0009", 2)
+
+
+def test_entity_salience_hand_values(spark):
+    import math
+
+    rows = [
+        # d1: A×3, B×1 ; d2: A×1 ; d3: B×2, C×1
+        ("d1", "A"), ("d1", "A"), ("d1", "A"), ("d1", "B"),
+        ("d2", "A"),
+        ("d3", "B"), ("d3", "B"), ("d3", "C"),
+    ]
+    m = spark.createDataFrame(rows, "url string, curie string")
+    from onto_text_tag_spark.operators.linker import entity_salience
+
+    got = {
+        (r.url, r.curie): (r.tf, r.df, r.salience, r.rank)
+        for r in entity_salience(m).collect()
+    }
+    # N=3; df: A=2, B=2, C=1
+    idf_a = math.log(3 / 2)
+    idf_c = math.log(3 / 1)
+    assert got[("d1", "A")] == (3, 2, round(3 * idf_a, 6), 1)
+    assert got[("d1", "B")] == (1, 2, round(1 * idf_a, 6), 2)
+    assert got[("d2", "A")] == (1, 2, round(idf_a, 6), 1)
+    # d3: B tf2·idf(2/3)≈0.811 vs C tf1·idf(3)≈1.099 -> C ranks first
+    assert got[("d3", "C")][3] == 1
+    assert got[("d3", "B")][3] == 2

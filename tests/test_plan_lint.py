@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
                        # onto the edge set: constant-time probe per row,
                        # kept in-plan so ReusedExchange shares the corpus
                        # shuffle (a collect would run it twice)
+    "kg_salience",     # same 1-row broadcast-scalar shape (N for idf)
 }
 
 
