@@ -959,6 +959,105 @@ FROM tf t JOIN dfx d ON d.curie = t.curie
 """
 
 
+_CLASS_CENT_CTE = """
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ j AS (SELECT dt.curie, e.embedding
+       FROM dt JOIN embeddings e ON e.vec_id = dt.doc_id::BIGINT),
+ x AS (SELECT curie, generate_subscripts(embedding, 1) - 1 AS dim,
+              unnest(embedding)::DOUBLE AS val
+       FROM j),
+ cm AS (SELECT curie, dim::BIGINT AS dim, avg(val) AS m,
+               count(*)::BIGINT AS n
+        FROM x GROUP BY curie, dim)
+"""
+
+
+def _class_centroid_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(curie, n_docs, centroid) over the driver corpus: mentions keyed
+    back to numeric doc ids joined to the embeddings table."""
+    from onto_text_tag_spark.operators.similarity import class_centroids
+
+    m = _mentions(spark, sf_dir).select(
+        F.col("url").cast("long").alias("doc_id"), "curie"
+    )
+    emb = _parallel(_read(spark, sf_dir, "embeddings"))
+    return class_centroids(m, emb, doc_col="doc_id", term_col="curie")
+
+
+def q_kg_class_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-centroid embeddings (operators/similarity.py:
+    class_centroids): each ontology class's mean document embedding —
+    the symbolic-KG → vector-space bridge (synonym discovery,
+    concept-routed ANN, class-conditioned data selection).  Emitted as
+    per-dimension rows so the parity hash compares scalars, not
+    stringified float arrays."""
+    c = _class_centroid_df(spark, sf_dir)
+    return c.select(
+        "curie",
+        "n_docs",
+        F.posexplode("centroid").alias("dim", "value"),
+    ).select(
+        "curie",
+        "n_docs",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def sql_kg_class_embedding() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+{_CLASS_CENT_CTE}
+SELECT curie, n AS n_docs, dim, round(m, 6) AS value FROM cm
+"""
+
+
+def q_kg_class_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest classes by centroid cosine — the embedding twin of
+    the co-occurrence association list (`kg_top_partners`): classes
+    whose mention contexts look alike even when they never co-occur.
+    Composition: class_centroids → cosine_topk (the class table is
+    ontology-bounded, so the probe side broadcasts)."""
+    from onto_text_tag_spark.operators.similarity import cosine_topk
+
+    c = _class_centroid_df(spark, sf_dir)
+    cent = c.select(
+        F.col("curie").alias("cid"), F.col("centroid").alias("embedding")
+    )
+    out = cosine_topk(
+        cent,
+        cent.select(F.col("cid").alias("query_id"), "embedding"),
+        k=3,
+        id_col="cid",
+    )
+    return out.select(
+        F.col("query_id").alias("curie"),
+        F.col("cand_id").alias("neighbor"),
+        "score",
+        "rank",
+    )
+
+
+def sql_kg_class_neighbors() -> str:
+    cos = (
+        "round(list_dot_product(q.emb, c.emb) / "
+        "(sqrt(list_dot_product(q.emb, q.emb)) * "
+        "sqrt(list_dot_product(c.emb, c.emb))), 4)"
+    )
+    return f"""
+WITH {_MENTIONS_CTE},
+{_CLASS_CENT_CTE},
+ cent AS (SELECT curie, list(m ORDER BY dim) AS emb FROM cm GROUP BY curie),
+ scored AS (SELECT q.curie AS curie, c.curie AS neighbor, {cos} AS score
+            FROM cent q JOIN cent c ON c.curie != q.curie),
+ ranked AS (SELECT *, row_number() OVER (PARTITION BY curie
+                      ORDER BY score DESC, neighbor ASC) AS rank
+            FROM scored)
+SELECT curie, neighbor, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6+P7+P8 scalar surface (SURVEY.md §2.2): IRI → CURIE
     normalization, namespace extraction, vocabulary-link projection —
@@ -2132,6 +2231,8 @@ QUERIES = {
     "kg_communities": q_kg_communities,
     "kg_motif": q_kg_motif,
     "kg_salience": q_kg_salience,
+    "kg_class_embedding": q_kg_class_embedding,
+    "kg_class_neighbors": q_kg_class_neighbors,
     "kg_links": q_kg_links,
     "kg_nodes": q_kg_nodes,
     "kg_node_table": q_kg_node_table,
@@ -2186,6 +2287,8 @@ ORACLES = {
     "kg_communities": sql_kg_communities(),
     "kg_motif": sql_kg_motif(),
     "kg_salience": sql_kg_salience(),
+    "kg_class_embedding": sql_kg_class_embedding(),
+    "kg_class_neighbors": sql_kg_class_neighbors(),
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),
     "kg_node_table": sql_kg_node_table(),

@@ -396,3 +396,63 @@ def embedding_near_duplicates(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+def class_centroids(
+    mentions: DataFrame,
+    embeddings: DataFrame,
+    doc_col: str = "url",
+    term_col: str = "curie",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(term, n_docs, centroid)`` — each ontology class's centroid in
+    embedding space: the mean document embedding over the documents
+    that mention it (set semantics — a doc counts once however often it
+    repeats the class, matching the co-occurrence pipeline's reading).
+
+    This is the bridge between the symbolic KG and the vector space:
+    class centroids feed synonym/canonicalization candidate discovery
+    (near-identical centroids ≈ same concept — the embedding twin of
+    the MinHash surface-form blocking), ANN routing by concept, and
+    class-conditioned training-data selection.
+
+    Scale shape: the mention stream collapses to one row per doc
+    (``collect_set`` — map-side combinable, and it IS the dedupe, so no
+    separate distinct pass), partitioned by the doc key; the doc-keyed
+    equi-join to embeddings then reuses that exchange, so each
+    corpus-scale side is shuffled exactly once (zero times if both are
+    bucketed by the doc key, `sources/bucketed.py`).  Terms explode
+    only AFTER the join, then ``posexplode`` to (term, dim, value)
+    rows: the explode multiplies rows by dim, but the (term, dim)
+    average is map-side combinable, so only |classes|·dim partial rows
+    cross the final shuffle; array re-assembly groups the
+    ontology-bounded result.  No Python row path anywhere.
+
+    ``mentions[doc_col]`` must be join-compatible with
+    ``embeddings[id_col]`` (cast upstream if the corpus keys docs by
+    string url and the vector store by numeric id).
+    """
+    doc_terms = mentions.groupBy(doc_col).agg(
+        F.collect_set(term_col).alias("_terms")
+    )
+    emb = embeddings.select(
+        F.col(id_col).alias("_doc"), F.col(vec_col).alias("_vec")
+    )
+    per_dim = (
+        doc_terms.join(emb, doc_terms[doc_col] == emb["_doc"])
+        .select(F.explode("_terms").alias(term_col), "_vec")
+        .select(term_col, F.posexplode("_vec").alias("dim", "comp"))
+        .groupBy(term_col, "dim")
+        .agg(
+            F.avg(F.col("comp").cast("double")).alias("_m"),
+            F.count("*").cast("long").alias("_n"),
+        )
+    )
+    return per_dim.groupBy(term_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, _m))), "
+            "s -> s._m)"
+        ).alias("centroid"),
+        F.max("_n").alias("n_docs"),
+    )

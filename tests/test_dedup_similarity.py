@@ -705,3 +705,26 @@ def test_incremental_exact_edges_cross_and_intra(spark):
     # cross: min base id per matched digest -> delta member;
     # intra: min delta id -> other delta members of a new digest group
     assert got == {("b1", "d1"), ("b3", "d2"), ("d3", "d4")}
+
+
+def test_class_centroids_hand_values(spark):
+    from onto_text_tag_spark.operators.similarity import class_centroids
+
+    # mentions: d1 {A,B}, d2 {A} (A repeated — set semantics), d3 {B}
+    m = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "A"), (3, "B")],
+        "doc string, curie string",
+    ).select(F.col("doc").cast("long").alias("doc"), "curie")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [4.0, 4.0]),
+         (4, [9.0, 9.0])],  # doc 4 never mentioned -> excluded
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["curie"]: (r["n_docs"], [round(x, 9) for x in r["centroid"]])
+        for r in class_centroids(m, emb, doc_col="doc").collect()
+    }
+    assert got == {
+        "A": (2, [0.5, 1.0]),        # mean of d1, d2 (d2 counted once)
+        "B": (2, [2.5, 2.0]),        # mean of d1, d3
+    }

@@ -45,6 +45,8 @@ BNLJ_ALLOWED = {
                        # kept in-plan so ReusedExchange shares the corpus
                        # shuffle (a collect would run it twice)
     "kg_salience",     # same 1-row broadcast-scalar shape (N for idf)
+    "kg_class_neighbors",  # all-pairs cosine over the ontology-bounded
+                           # class-centroid table (both sides tiny)
 }
 
 
