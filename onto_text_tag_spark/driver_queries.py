@@ -754,6 +754,68 @@ SELECT node, round(rank, 6) AS rank FROM ranks WHERE iter = 10
 """
 
 
+def q_kg_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed class set — "related classes":
+    random walk with restart at the seeds, the distributed
+    generalization of the reference's one-hop association probe
+    (app.py:329-358) to multi-hop proximity.  Seeds here: the two
+    lexicographically-smallest graph nodes (deterministic at every sf);
+    the oracle replays the identical seeded 10-round iteration in a
+    recursive CTE."""
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+    from onto_text_tag_spark.operators.graph_metrics import pagerank
+
+    m = _mentions(spark, sf_dir)
+    edges = cooccurrence_edges(m, doc_col="url", term_col="curie")
+    seeds = [
+        r["node"]
+        for r in edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .orderBy("node")
+        .limit(2)
+        .collect()
+    ]
+    return pagerank(edges, iterations=10, seeds=seeds).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
+def sql_kg_related() -> str:
+    """Seeded twin of sql_kg_pagerank: teleport mass restarts at the
+    two smallest node ids only; init = uniform over the seeds, zero
+    elsewhere.  Mirrored edges keep every node receiving each round."""
+    return f"""
+WITH RECURSIVE {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ e0 AS (SELECT a.curie AS src, b.curie AS dst
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie
+        GROUP BY a.curie, b.curie),
+ e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+ deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+ nodes AS (SELECT DISTINCT src AS node FROM e),
+ seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 2),
+ ns AS (SELECT count(*)::DOUBLE AS s FROM seeds),
+ ranks(iter, node, rank) AS (
+   SELECT 0, node,
+          CASE WHEN node IN (SELECT node FROM seeds)
+               THEN 1.0/(SELECT s FROM ns) ELSE 0.0 END
+   FROM nodes
+   UNION ALL
+   SELECT r.iter+1, e.dst,
+          CASE WHEN e.dst IN (SELECT node FROM seeds)
+               THEN 0.15/(SELECT s FROM ns) ELSE 0.0 END
+          + 0.85*sum(r.rank/d.deg)
+   FROM ranks r
+   JOIN e ON e.src = r.node
+   JOIN deg d ON d.src = r.node
+   WHERE r.iter < 10
+   GROUP BY r.iter+1, e.dst
+ )
+SELECT node, round(rank, 6) AS rank FROM ranks WHERE iter = 10
+"""
+
+
 def q_kg_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-normalized association strengths (jaccard / lift / PMI /
     NPMI) per co-occurrence edge (operators/cooccur.py:
@@ -2232,6 +2294,7 @@ QUERIES = {
     "kg_motif": q_kg_motif,
     "kg_salience": q_kg_salience,
     "kg_class_embedding": q_kg_class_embedding,
+    "kg_related": q_kg_related,
     "kg_class_neighbors": q_kg_class_neighbors,
     "kg_links": q_kg_links,
     "kg_nodes": q_kg_nodes,
@@ -2288,6 +2351,7 @@ ORACLES = {
     "kg_motif": sql_kg_motif(),
     "kg_salience": sql_kg_salience(),
     "kg_class_embedding": sql_kg_class_embedding(),
+    "kg_related": sql_kg_related(),
     "kg_class_neighbors": sql_kg_class_neighbors(),
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),

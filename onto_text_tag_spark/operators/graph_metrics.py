@@ -347,6 +347,7 @@ def pagerank(
     damping: float = 0.85,
     undirected: bool = True,
     weight_col: str | None = None,
+    seeds: list | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` rounds of power iteration.
 
@@ -359,6 +360,16 @@ def pagerank(
     its weight (w / Σ_out w) instead of uniformly (1 / out-degree) —
     the weighted-PageRank reading where a heavily co-mentioned pair
     conducts more centrality than an incidental one.
+
+    ``seeds``: PERSONALIZED PageRank — teleport mass (and dangling
+    mass) returns uniformly to the seed node set instead of the whole
+    graph, so ranks measure proximity to the seeds: "classes related
+    to X" as a random walk with restart, the distributed
+    generalization of the reference's one-hop association probe
+    (app.py:329-358).  Seeds are a query-sized driver-side list (ids
+    absent from the edge set are ignored); the per-node teleport term
+    becomes a literal IN — no extra join or shuffle versus the global
+    walk.  Raises ``ValueError`` if no seed is in the graph.
     """
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = edges.select(
@@ -401,7 +412,23 @@ def pagerank(
     )
     has_dangling = not undirected and bool(dangling_nodes.head(1))
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if seeds is not None:
+        in_graph = sorted(
+            r["node"]
+            for r in nodes.where(
+                F.col("node").isin(list(set(seeds)))
+            ).collect()
+        )
+        if not in_graph:
+            raise ValueError("no seed node appears in the edge set")
+        ns = float(len(in_graph))
+        is_seed = F.col("node").isin(in_graph)
+        ranks = nodes.withColumn(
+            "rank", F.when(is_seed, F.lit(1.0 / ns)).otherwise(F.lit(0.0))
+        )
+    else:
+        is_seed = None
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         contribs = (
             contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
@@ -419,13 +446,22 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
         ) if has_dangling else 0.0
-        base = (1.0 - damping) / n + damping * dangling / n
+        if is_seed is not None:
+            # teleport + dangling mass restart AT THE SEEDS only
+            teleport = (1.0 - damping) / ns + damping * dangling / ns
+            base_col = F.when(is_seed, F.lit(teleport)).otherwise(
+                F.lit(0.0)
+            )
+        else:
+            base_col = F.lit(
+                (1.0 - damping) / n + damping * dangling / n
+            )
         ranks = (
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_col
                     + F.lit(damping) * F.coalesce(F.col("_sum"), F.lit(0.0))
                 ).alias("rank"),
             )

@@ -321,3 +321,63 @@ def test_label_propagation_weighted_overrides_majority(spark):
     }
     assert got_w2["x"] == "z"   # weight wins
     assert got_u2["x"] == "p"   # unweighted tie-break: min label
+
+
+def _numpy_ppr(pairs, seeds, iterations=10, damping=0.85):
+    """Personalized twin: teleport (and dangling) mass restarts at the
+    seeds only; init = uniform over seeds.  Undirected mirroring."""
+    es = set()
+    for s, d in pairs:
+        es.add((s, d))
+        es.add((d, s))
+    nodes = sorted({x for e in es for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _d in es:
+        out_deg[idx[s]] += 1
+    seed_ix = [idx[s] for s in seeds if s in idx]
+    ns = len(seed_ix)
+    ranks = np.zeros(n)
+    ranks[seed_ix] = 1.0 / ns
+    reset = np.zeros(n)
+    reset[seed_ix] = 1.0 / ns
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for s, d in es:
+            contrib[idx[d]] += ranks[idx[s]] / out_deg[idx[s]]
+        dangling = ranks[out_deg == 0].sum()
+        ranks = (1 - damping + damping * dangling) * reset + damping * contrib
+    return dict(zip(nodes, ranks))
+
+
+def test_personalized_pagerank_matches_numpy_twin(edges):
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    want = _numpy_ppr(pairs, ["a"])
+    got = {
+        r.node: r.rank for r in pagerank(edges, seeds=["a"]).collect()
+    }
+    assert set(got) == set(want)
+    for node, rank in want.items():
+        assert got[node] == pytest.approx(rank, abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # proximity, not global centrality: the seed's component holds ALL
+    # the mass, the disconnected pair f-g none
+    assert got["f"] == 0.0 and got["g"] == 0.0
+    # and the seed itself outranks the far side of its own component
+    assert got["a"] > got["e"]
+
+
+def test_personalized_pagerank_multi_seed_and_missing_seed(edges):
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    # one real seed + one absent from the graph: absent id ignored
+    want = _numpy_ppr(pairs, ["c", "f"])
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, seeds=["c", "f", "zzz"]).collect()
+    }
+    for node, rank in want.items():
+        assert got[node] == pytest.approx(rank, abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    with pytest.raises(ValueError):
+        pagerank(edges, seeds=["zzz"])
