@@ -1348,6 +1348,45 @@ FROM walk GROUP BY node
 """
 
 
+def q_kg_isa_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy rollup: distinct-document mention count per class
+    INCLUDING all of its descendants — the reference's one-root-at-a-time
+    descendant-expansion + PMID-set probe (app.py:116-151 feeding
+    hv_generate.py:28-36) answered for every class in one job
+    (operators/closure.py:rollup_doc_counts)."""
+    from onto_text_tag_spark.operators.closure import rollup_doc_counts
+
+    m = _mentions(spark, sf_dir)
+    closure = q_kg_isa_closure(spark, sf_dir)
+    classes = driver_ontology_df(spark).select("curie")
+    return rollup_doc_counts(
+        m.select(F.col("url").alias("doc_id"), "curie"), closure, classes
+    )
+
+
+def sql_kg_isa_rollup() -> str:
+    class_rows = ", ".join(
+        f"('{curie}')" for curie, _l, _s, _d, _p in DRIVER_ONTOLOGY
+    )
+    return f"""
+WITH RECURSIVE {_MENTIONS_CTE},
+ {_CLOSURE_CTE},
+ classes(curie) AS (VALUES {class_rows}),
+ refl AS (
+   SELECT descendant, ancestor FROM closure
+   UNION
+   SELECT curie, curie FROM classes
+ ),
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows)
+SELECT c.curie,
+       count(DISTINCT dt.doc_id)::BIGINT AS doc_count
+FROM classes c
+LEFT JOIN refl r ON r.ancestor = c.curie
+LEFT JOIN dt ON dt.curie = r.descendant
+GROUP BY c.curie
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2304,6 +2343,7 @@ QUERIES = {
     "kg_isa_closure": q_kg_isa_closure,
     "kg_descendants": q_kg_descendants,
     "kg_isa_depth": q_kg_isa_depth,
+    "kg_isa_rollup": q_kg_isa_rollup,
     "canon_components": q_canon_components,
     "graph_components": q_graph_components,
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
@@ -2361,6 +2401,7 @@ ORACLES = {
     "kg_isa_closure": sql_kg_isa_closure(),
     "kg_descendants": sql_kg_descendants(),
     "kg_isa_depth": sql_kg_isa_depth(),
+    "kg_isa_rollup": sql_kg_isa_rollup(),
     "canon_components": sql_canon_components(),
     "graph_components": sql_graph_components(),
     "dedup_clusters_incremental": sql_dedup_clusters_incremental(),

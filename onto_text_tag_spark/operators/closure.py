@@ -110,6 +110,57 @@ def descendants_of(closure: DataFrame, roots: DataFrame | list[str]) -> DataFram
     return expanded.unionByName(roots.select("curie")).distinct()
 
 
+def rollup_doc_counts(
+    doc_terms: DataFrame,
+    closure: DataFrame,
+    classes: DataFrame,
+    doc_col: str = "doc_id",
+    term_col: str = "curie",
+) -> DataFrame:
+    """(curie, doc_count) with doc_count = distinct documents mentioning
+    the class OR ANY OF ITS DESCENDANTS — the taxonomy rollup.
+
+    This is the composition the reference performs one root at a time:
+    descendant expansion (app.py:116-151) feeding the per-term PMID-set
+    probe (hv_generate.py:28-36) — "how big is the literature under X,
+    subclasses included".  Here every class rolls up simultaneously in
+    one job.
+
+    Shape at scale: the reflexive closure (ontology-sized, ≤ millions of
+    rows) broadcasts onto the corpus-sized distinct (doc, term) relation,
+    fanning each mention out to its ancestor chain — bounded by hierarchy
+    depth, not corpus size, so the blow-up is ~depth×.  The count-distinct
+    then runs as Spark's two-phase rewrite: partial dedupe on the
+    fine-grained (ancestor, doc) pair before the per-ancestor count, so
+    root classes (which every document rolls into — the df=100% hot key)
+    never concentrate raw mention rows on one reducer.  Classes nobody
+    mentions (directly or below) report 0, same contract as the nodes
+    table.
+    """
+    refl = closure.select("descendant", "ancestor").unionByName(
+        classes.select(
+            F.col(term_col).alias("descendant"),
+            F.col(term_col).alias("ancestor"),
+        )
+    )
+    dt = doc_terms.select(doc_col, term_col).distinct()
+    rolled = (
+        dt.join(F.broadcast(refl), dt[term_col] == refl["descendant"])
+        .groupBy("ancestor")
+        .agg(F.countDistinct(doc_col).alias("doc_count"))
+    )
+    return (
+        classes.select(term_col)
+        .join(rolled, classes[term_col] == rolled["ancestor"], "left")
+        .select(
+            term_col,
+            F.coalesce(F.col("doc_count"), F.lit(0)).cast("long").alias(
+                "doc_count"
+            ),
+        )
+    )
+
+
 def isa_triples(edges: DataFrame) -> DataFrame:
     """Direct is-a edges → (child, is_a, parent) triples (SURVEY.md §2.9)."""
     return edges.select(

@@ -146,6 +146,37 @@ def test_descendants_of(spark):
     assert got == {"CHEBI:0030", "CHEBI:0031", "CHEBI:0032"}
 
 
+def test_rollup_doc_counts_hand_values(spark):
+    """Taxonomy rollup: counts include descendants, distinct docs only,
+    unmentioned classes report 0."""
+    from onto_text_tag_spark.operators.closure import rollup_doc_counts
+    from onto_text_tag_spark.session import local_df
+
+    # A <- B <- C ; A <- D ; E isolated
+    edges = local_df(
+        spark,
+        [("B", "A"), ("C", "B"), ("D", "A")],
+        "child_curie string, parent_curie string",
+    )
+    closure = transitive_closure(edges)
+    classes = local_df(
+        spark, [("A",), ("B",), ("C",), ("D",), ("E",)], "curie string"
+    )
+    doc_terms = local_df(
+        spark,
+        [
+            ("d1", "B"), ("d1", "C"), ("d2", "C"), ("d3", "D"),
+            ("d4", "A"), ("d4", "A"),  # duplicate mention: counted once
+        ],
+        "doc_id string, curie string",
+    )
+    got = {
+        r["curie"]: r["doc_count"]
+        for r in rollup_doc_counts(doc_terms, closure, classes).collect()
+    }
+    assert got == {"A": 4, "B": 2, "C": 2, "D": 1, "E": 0}
+
+
 def test_triples_union_shape(kg):
     preds = {r["pred"] for r in kg.triples.select("pred").distinct().collect()}
     assert preds == {"mentions", "co_occurs_with", "is_a"}
