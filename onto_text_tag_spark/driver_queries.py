@@ -1388,6 +1388,164 @@ GROUP BY c.curie
 
 
 # ---------------------------------------------------------------------------
+# Web link graph
+# ---------------------------------------------------------------------------
+
+def _linked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (url, html) pages derived from the documents table:
+    each page carries one absolute cross-host anchor, one root-relative
+    anchor, and one fragment anchor — the harness for the link-graph
+    operators (the driver testdata has no html column, so the pages are a
+    pure function of doc_id/text that the SQL oracle reconstructs
+    identically)."""
+    d = _docs(spark, sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://host"), s(F.col("doc_id") % 5),
+        F.lit(".example.com/page/"), s(F.col("doc_id")),
+    )
+    html = F.concat(
+        F.lit("<p>"), F.col("text"),
+        F.lit('</p><a href="https://host'), s((F.col("doc_id") * 2 + 1) % 7),
+        F.lit('.example.com/d/'), s((F.col("doc_id") * 7 + 3) % 100),
+        F.lit('">doc '), s(F.col("doc_id")),
+        F.lit('</a><a href="/local/'), s(F.col("doc_id") % 13),
+        F.lit('">self</a><a href="#top">top</a>'),
+    )
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+_LINKED_PAGES_CTE = """
+pages AS (
+  SELECT 'https://host' || (doc_id % 5)::VARCHAR || '.example.com/page/'
+           || doc_id::VARCHAR AS src_url,
+         '<p>' || text || '</p><a href="https://host'
+           || ((doc_id * 2 + 1) % 7)::VARCHAR || '.example.com/d/'
+           || ((doc_id * 7 + 3) % 100)::VARCHAR || '">doc '
+           || doc_id::VARCHAR || '</a><a href="/local/'
+           || (doc_id % 13)::VARCHAR
+           || '">self</a><a href="#top">top</a>' AS html
+  FROM documents
+),
+anchors AS (
+  SELECT src_url,
+         unnest(regexp_extract_all(html,
+                '<a [^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1)) AS href,
+         unnest(regexp_extract_all(html,
+                '<a [^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2)) AS inner_html
+  FROM pages
+),
+links AS (
+  SELECT src_url, dst_url, anchor FROM (
+    SELECT src_url,
+           CASE WHEN regexp_matches(href, '^https?://') THEN href
+                WHEN regexp_matches(href, '^/($|[^/])')
+                 AND regexp_extract(src_url, '^(https?://[^/]+)', 1) <> ''
+                THEN regexp_extract(src_url, '^(https?://[^/]+)', 1) || href
+                ELSE NULL END AS dst_url,
+           trim(regexp_replace(inner_html, '<[^>]+>', '', 'g')) AS anchor
+    FROM anchors
+  ) WHERE dst_url IS NOT NULL
+)
+"""
+
+
+def q_web_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-to-page anchor extraction from raw HTML — the Common-Crawl
+    link-graph primitive (operators/weblinks.py:extract_links): absolute
+    hrefs pass, root-relative resolve against the src host, fragments
+    drop; all JVM-side regexp, no UDF."""
+    from onto_text_tag_spark.operators.weblinks import extract_links
+
+    return extract_links(_linked_docs(spark, sf_dir))
+
+
+def sql_web_links() -> str:
+    return f"""
+WITH {_LINKED_PAGES_CTE}
+SELECT src_url, dst_url, anchor FROM links
+"""
+
+
+def q_web_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph: anchor edges rolled up to (src_host,
+    dst_host, weight), intra-host navigation excluded (operators/
+    weblinks.py:host_graph) — one edge-keyed shuffle with map-side
+    partial counts absorbing web host skew."""
+    from onto_text_tag_spark.operators.weblinks import (
+        extract_links,
+        host_graph,
+    )
+
+    return host_graph(extract_links(_linked_docs(spark, sf_dir)))
+
+
+def sql_web_host_graph() -> str:
+    return f"""
+WITH {_LINKED_PAGES_CTE}
+SELECT src_host, dst_host, count(*)::BIGINT AS weight FROM (
+  SELECT regexp_extract(src_url, '^https?://([^/:]+)', 1) AS src_host,
+         regexp_extract(dst_url, '^https?://([^/:]+)', 1) AS dst_host
+  FROM links
+) WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+GROUP BY src_host, dst_host
+"""
+
+
+def q_web_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host centrality over the extracted link graph: canonicalized
+    undirected host pairs → 10-round PageRank — extraction feeding graph
+    analytics end-to-end, entirely from raw HTML."""
+    from onto_text_tag_spark.operators.graph_metrics import pagerank
+    from onto_text_tag_spark.operators.weblinks import (
+        extract_links,
+        host_graph,
+    )
+
+    hg = host_graph(extract_links(_linked_docs(spark, sf_dir)))
+    und = hg.select(
+        F.least("src_host", "dst_host").alias("src"),
+        F.greatest("src_host", "dst_host").alias("dst"),
+    ).distinct()
+    return pagerank(und, iterations=10).select(
+        F.col("node").alias("host"), F.round("rank", 6).alias("rank")
+    )
+
+
+def sql_web_host_rank() -> str:
+    return f"""
+WITH RECURSIVE {_LINKED_PAGES_CTE},
+ hg AS (
+   SELECT src_host, dst_host FROM (
+     SELECT regexp_extract(src_url, '^https?://([^/:]+)', 1) AS src_host,
+            regexp_extract(dst_url, '^https?://([^/:]+)', 1) AS dst_host
+     FROM links
+   ) WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+ ),
+ e0 AS (
+   SELECT DISTINCT least(src_host, dst_host) AS src,
+                   greatest(src_host, dst_host) AS dst
+   FROM hg
+ ),
+ e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+ deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+ nodes AS (SELECT DISTINCT src AS node FROM e),
+ n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+ ranks(iter, node, rank) AS (
+   SELECT 0, node, 1.0/(SELECT n FROM n) FROM nodes
+   UNION ALL
+   SELECT r.iter+1, e.dst, 0.15/(SELECT n FROM n) + 0.85*sum(r.rank/d.deg)
+   FROM ranks r
+   JOIN e ON e.src = r.node
+   JOIN deg d ON d.src = r.node
+   WHERE r.iter < 10
+   GROUP BY r.iter+1, e.dst
+ )
+SELECT node AS host, round(rank, 6) AS rank FROM ranks WHERE iter = 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 
@@ -2344,6 +2502,9 @@ QUERIES = {
     "kg_descendants": q_kg_descendants,
     "kg_isa_depth": q_kg_isa_depth,
     "kg_isa_rollup": q_kg_isa_rollup,
+    "web_links": q_web_links,
+    "web_host_graph": q_web_host_graph,
+    "web_host_rank": q_web_host_rank,
     "canon_components": q_canon_components,
     "graph_components": q_graph_components,
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
@@ -2402,6 +2563,9 @@ ORACLES = {
     "kg_descendants": sql_kg_descendants(),
     "kg_isa_depth": sql_kg_isa_depth(),
     "kg_isa_rollup": sql_kg_isa_rollup(),
+    "web_links": sql_web_links(),
+    "web_host_graph": sql_web_host_graph(),
+    "web_host_rank": sql_web_host_rank(),
     "canon_components": sql_canon_components(),
     "graph_components": sql_graph_components(),
     "dedup_clusters_incremental": sql_dedup_clusters_incremental(),
