@@ -1388,6 +1388,77 @@ GROUP BY c.curie
 
 
 # ---------------------------------------------------------------------------
+# Training-data curation
+# ---------------------------------------------------------------------------
+
+_CURATION_FLAGS_CTE_TAIL = """
+flagged AS (
+  SELECT *,
+    (lang_pred = 'en' AND ws_tokens >= 20 AND stopword_ratio >= 0.01)
+      AS passed,
+    row_number() OVER (PARTITION BY fingerprint
+                       ORDER BY passed DESC, doc_id ASC) AS rk
+  FROM prof
+),
+reasons AS (
+  SELECT *, CASE WHEN lang_pred <> 'en' THEN 'lang'
+                 WHEN ws_tokens < 20 THEN 'too_short'
+                 WHEN stopword_ratio < 0.01 THEN 'low_quality'
+                 WHEN rk > 1 THEN 'duplicate'
+                 WHEN fingerprint % 10 >= 8 THEN 'sampled_out'
+                 ELSE 'kept' END AS reason
+  FROM flagged
+)
+"""
+
+
+def _curation_cte() -> str:
+    from onto_text_tag_spark.operators.textstats import text_profile_sql
+
+    return (
+        f"prof AS ({text_profile_sql('documents')}),"
+        f"{_CURATION_FLAGS_CTE_TAIL}"
+    )
+
+
+def q_curation_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated training corpus: language gate → quality gates →
+    exact dedup → deterministic hash sample, in ONE scan + one
+    digest-keyed shuffle (operators/curation.py — gate order and
+    survivor-only dedup semantics pinned there)."""
+    from onto_text_tag_spark.operators.curation import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir))
+
+
+def sql_curation_select() -> str:
+    return f"""
+WITH {_curation_cte()}
+SELECT doc_id, ws_tokens, re_tokens, n_chars, mean_word_len,
+       stopword_ratio, punct_ratio, lang_pred
+FROM reasons WHERE reason = 'kept'
+"""
+
+
+def q_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-reason audit per crawl batch: docs + surviving tokens per
+    FIRST-failing gate — the same plan as the selection, rolled up over
+    ~6 keys (map-side combinable)."""
+    from onto_text_tag_spark.operators.curation import curation_stats
+
+    return curation_stats(_docs(spark, sf_dir))
+
+
+def sql_curation_stats() -> str:
+    return f"""
+WITH {_curation_cte()}
+SELECT reason, count(*)::BIGINT AS n_docs,
+       sum(ws_tokens)::BIGINT AS ws_tokens
+FROM reasons GROUP BY reason
+"""
+
+
+# ---------------------------------------------------------------------------
 # Web link graph
 # ---------------------------------------------------------------------------
 
@@ -2502,6 +2573,8 @@ QUERIES = {
     "kg_descendants": q_kg_descendants,
     "kg_isa_depth": q_kg_isa_depth,
     "kg_isa_rollup": q_kg_isa_rollup,
+    "curation_select": q_curation_select,
+    "curation_stats": q_curation_stats,
     "web_links": q_web_links,
     "web_host_graph": q_web_host_graph,
     "web_host_rank": q_web_host_rank,
@@ -2563,6 +2636,8 @@ ORACLES = {
     "kg_descendants": sql_kg_descendants(),
     "kg_isa_depth": sql_kg_isa_depth(),
     "kg_isa_rollup": sql_kg_isa_rollup(),
+    "curation_select": sql_curation_select(),
+    "curation_stats": sql_curation_stats(),
     "web_links": sql_web_links(),
     "web_host_graph": sql_web_host_graph(),
     "web_host_rank": sql_web_host_rank(),

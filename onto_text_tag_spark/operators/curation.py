@@ -1,0 +1,117 @@
+"""Training-data curation: one-pass filter → dedup → sample selection.
+
+The composition a large-scale training-data pipeline runs over every
+crawl: language gate, quality gates (textstats heuristics), exact dedup
+(min-id representative per content digest), deterministic hash sampling
+to a target fraction — each document labeled with the FIRST gate that
+dropped it, so the same plan yields both the curated corpus and the
+drop-reason audit the pipeline's dashboards need.
+
+Shape at scale: everything is one corpus scan (tokens projected once and
+shared by every gate expression — all JVM-side builtins) plus exactly
+one shuffle, the digest-keyed window for duplicate ranking.  The
+drop-reason rollup is a map-side-combinable count over ~6 keys.  The
+sample gate hashes content (md5-derived, engine-portable) rather than
+using ``rand()`` — reruns and resumes select the identical subset, the
+determinism the resumability contract requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from onto_text_tag_spark.operators.dedup import content_digest
+from onto_text_tag_spark.operators.textstats import (
+    lang_id_col,
+    quality_cols,
+    token_count_cols,
+)
+
+REASONS = ("lang", "too_short", "low_quality", "duplicate",
+           "sampled_out", "kept")
+
+
+def curation_flags(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_ws_tokens: int = 20,
+    min_stopword_ratio: float = 0.01,
+    sample_mod: int = 10,
+    sample_keep: int = 8,
+) -> DataFrame:
+    """Per-document audit row: profile columns + ``reason`` ∈ REASONS.
+
+    Gate order (pinned; each doc reports its FIRST failure):
+    1. ``lang`` — predicted language ≠ ``lang``;
+    2. ``too_short`` — fewer than ``min_ws_tokens`` whitespace tokens;
+    3. ``low_quality`` — stopword ratio below ``min_stopword_ratio``;
+    4. ``duplicate`` — same content digest as a smaller-id doc that also
+       passed gates 1-3 (dedup ranks only among survivors: a duplicate
+       of a dropped doc is NOT dropped as a duplicate);
+    5. ``sampled_out`` — digest mod ``sample_mod`` ≥ ``sample_keep``
+       (keeps sample_keep/sample_mod of survivors, content-deterministic);
+    else ``kept``.
+    """
+    prof = documents.select(
+        F.col(id_col),
+        *token_count_cols(text_col),
+        *quality_cols(text_col),
+        lang_id_col(text_col).alias("lang_pred"),
+        content_digest(text_col).alias("digest"),
+    )
+    passed = (
+        (F.col("lang_pred") == lang)
+        & (F.col("ws_tokens") >= min_ws_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    )
+    # among gate-survivors sharing a digest, the min-id row ranks 1;
+    # failed rows sort after every survivor so they never steal rank 1
+    w = Window.partitionBy("digest").orderBy(
+        F.col("_passed").desc(), F.col(id_col).asc()
+    )
+    flagged = (
+        prof.withColumn("_passed", passed)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "reason",
+            F.when(F.col("lang_pred") != lang, F.lit("lang"))
+            .when(F.col("ws_tokens") < min_ws_tokens, F.lit("too_short"))
+            .when(
+                F.col("stopword_ratio") < min_stopword_ratio,
+                F.lit("low_quality"),
+            )
+            .when(F.col("_rk") > 1, F.lit("duplicate"))
+            .when(
+                F.pmod(F.col("digest"), F.lit(sample_mod)) >= sample_keep,
+                F.lit("sampled_out"),
+            )
+            .otherwise(F.lit("kept")),
+        )
+        .drop("_passed", "_rk")
+    )
+    return flagged
+
+
+def curate_corpus(documents: DataFrame, **kwargs) -> DataFrame:
+    """The curated corpus: ids + profile of every ``kept`` document."""
+    return (
+        curation_flags(documents, **kwargs)
+        .where(F.col("reason") == "kept")
+        .drop("reason", "digest")
+    )
+
+
+def curation_stats(documents: DataFrame, **kwargs) -> DataFrame:
+    """(reason, n_docs, ws_tokens) rollup — the audit the pipeline
+    publishes per crawl batch: how much was dropped, why, and how many
+    tokens survived."""
+    return (
+        curation_flags(documents, **kwargs)
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+        )
+    )
