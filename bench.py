@@ -33,6 +33,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", min(8, os.cpu_count() or 8)))
 BENCH_QUERIES = [
     "kg_mentions",
     "kg_cooccur",
+    "curation_select",
+    "web_links",
     "text_profile",
     "corpus_rollup",
     "dedup_exact",

@@ -1479,7 +1479,9 @@ def _linked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<p>"), F.col("text"),
         F.lit('</p><a href="https://host'), s((F.col("doc_id") * 2 + 1) % 7),
         F.lit('.example.com/d/'), s((F.col("doc_id") * 7 + 3) % 100),
-        F.lit('">doc '), s(F.col("doc_id")),
+        # anchor text = the page's first three tokens (gives the
+        # anchor-mention query real dictionary surfaces to link)
+        F.lit('">'), F.substring_index(F.col("text"), " ", 3),
         F.lit('</a><a href="/local/'), s(F.col("doc_id") % 13),
         F.lit('">self</a><a href="#top">top</a>'),
     )
@@ -1492,8 +1494,9 @@ pages AS (
            || doc_id::VARCHAR AS src_url,
          '<p>' || text || '</p><a href="https://host'
            || ((doc_id * 2 + 1) % 7)::VARCHAR || '.example.com/d/'
-           || ((doc_id * 7 + 3) % 100)::VARCHAR || '">doc '
-           || doc_id::VARCHAR || '</a><a href="/local/'
+           || ((doc_id * 7 + 3) % 100)::VARCHAR || '">'
+           || split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2)
+           || ' ' || split_part(text, ' ', 3) || '</a><a href="/local/'
            || (doc_id % 13)::VARCHAR
            || '">self</a><a href="#top">top</a>' AS html
   FROM documents
@@ -1560,6 +1563,51 @@ SELECT src_host, dst_host, count(*)::BIGINT AS weight FROM (
   FROM links
 ) WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
 GROUP BY src_host, dst_host
+"""
+
+
+def q_web_anchor_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text entity labels for TARGET pages — the web-graph twin of
+    the reference's mention emission: the text other pages use to link to
+    a url is a free, high-precision label for it, so tagging anchors with
+    the ontology dictionary yields (dst_url, curie) labels for pages
+    whose own content we may never have crawled.  Extraction (weblinks)
+    feeds the broadcast-automaton tagger (F2) over the anchor strings;
+    distinct pairs, since the same anchor repeated adds no information."""
+    from onto_text_tag_spark.operators.tagger import tag_documents
+    from onto_text_tag_spark.operators.weblinks import extract_links
+
+    links = extract_links(_linked_docs(spark, sf_dir))
+    m = tag_documents(
+        links.select("dst_url", "anchor"),
+        driver_dictionary_rows(),
+        text_col="anchor",
+        id_col="dst_url",
+    )
+    return m.select(F.col("url").alias("dst_url"), "curie").distinct()
+
+
+def sql_web_anchor_mentions() -> str:
+    return f"""
+WITH {_LINKED_PAGES_CTE},
+dict(curie, surface, kind) AS (VALUES {_sql_surface_rows()}),
+al AS (
+  SELECT dst_url, string_split(anchor, ' ') AS l FROM links
+),
+atoks AS (SELECT dst_url, unnest(l) AS tok FROM al),
+abigrams AS (
+  SELECT dst_url,
+         unnest(list_transform(range(1, len(l)),
+                               i -> l[i::int] || ' ' || l[(i+1)::int])) AS bg
+  FROM al
+)
+SELECT DISTINCT dst_url, curie FROM (
+  SELECT t.dst_url, d.curie
+  FROM atoks t JOIN dict d ON d.kind = 'uni' AND t.tok = d.surface
+  UNION ALL
+  SELECT b.dst_url, d.curie
+  FROM abigrams b JOIN dict d ON d.kind = 'bi' AND b.bg = d.surface
+)
 """
 
 
@@ -2578,6 +2626,7 @@ QUERIES = {
     "web_links": q_web_links,
     "web_host_graph": q_web_host_graph,
     "web_host_rank": q_web_host_rank,
+    "web_anchor_mentions": q_web_anchor_mentions,
     "canon_components": q_canon_components,
     "graph_components": q_graph_components,
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
@@ -2641,6 +2690,7 @@ ORACLES = {
     "web_links": sql_web_links(),
     "web_host_graph": sql_web_host_graph(),
     "web_host_rank": sql_web_host_rank(),
+    "web_anchor_mentions": sql_web_anchor_mentions(),
     "canon_components": sql_canon_components(),
     "graph_components": sql_graph_components(),
     "dedup_clusters_incremental": sql_dedup_clusters_incremental(),
