@@ -1566,6 +1566,52 @@ GROUP BY src_host, dst_host
 """
 
 
+def q_web_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the key url-level dedup and link-graph node
+    identity hang on (operators/weblinks.py:canonical_url: fragment
+    drop, scheme+host lowercase, default-port strip, tracking-param
+    removal; all JVM-side regexp).  Input: deterministically-messed urls
+    derived from doc_id (uppercase host, :443, utm/gclid params,
+    fragments) that the oracle reconstructs identically."""
+    from onto_text_tag_spark.operators.weblinks import canonical_url
+
+    d = _docs(spark, sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    messy = F.concat(
+        F.lit("HTTPS://Host"), s(F.col("doc_id") % 5),
+        F.lit(".EXAMPLE.com:443/Page/"), s(F.col("doc_id")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("?utm_source=feed&x="), s(F.col("doc_id") % 9)))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("?x="), s(F.col("doc_id") % 9),
+                       F.lit("&utm_campaign=c&y=2")))
+        .when(F.col("doc_id") % 4 == 2, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        canonical_url(messy).alias("canonical"),
+    )
+
+
+def sql_web_canonical_urls() -> str:
+    from onto_text_tag_spark.operators.weblinks import canonical_url_sql
+
+    messy = (
+        "'HTTPS://Host' || (doc_id % 5)::VARCHAR || '.EXAMPLE.com:443/Page/'"
+        " || doc_id::VARCHAR || "
+        "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&x='"
+        " || (doc_id % 9)::VARCHAR "
+        "WHEN doc_id % 4 = 1 THEN '?x=' || (doc_id % 9)::VARCHAR"
+        " || '&utm_campaign=c&y=2' "
+        "WHEN doc_id % 4 = 2 THEN '#frag' ELSE '' END"
+    )
+    return f"""
+SELECT doc_id, {canonical_url_sql(f"({messy})")} AS canonical
+FROM documents
+"""
+
+
 def q_web_anchor_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text entity labels for TARGET pages — the web-graph twin of
     the reference's mention emission: the text other pages use to link to
@@ -2627,6 +2673,7 @@ QUERIES = {
     "web_host_graph": q_web_host_graph,
     "web_host_rank": q_web_host_rank,
     "web_anchor_mentions": q_web_anchor_mentions,
+    "web_canonical_urls": q_web_canonical_urls,
     "canon_components": q_canon_components,
     "graph_components": q_graph_components,
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
@@ -2691,6 +2738,7 @@ ORACLES = {
     "web_host_graph": sql_web_host_graph(),
     "web_host_rank": sql_web_host_rank(),
     "web_anchor_mentions": sql_web_anchor_mentions(),
+    "web_canonical_urls": sql_web_canonical_urls(),
     "canon_components": sql_canon_components(),
     "graph_components": sql_graph_components(),
     "dedup_clusters_incremental": sql_dedup_clusters_incremental(),

@@ -84,6 +84,58 @@ def extract_links(
     )
 
 
+_TRACKING = "(?i)(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*"
+_SCHEME_HOST = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a url — the key url-level dedup and link-graph
+    node identity hang on.  Policy (pinned by tests, mirrored exactly by
+    ``canonical_url_sql``):
+
+    1. drop the fragment (``#...``);
+    2. lowercase scheme+host ONLY (path/query case is significant);
+    3. strip default ports (``:80`` http, ``:443`` https; others kept);
+    4. remove tracking parameters (``utm_*``, ``gclid``, ``fbclid``,
+       case-insensitive) and clean the separators they leave behind.
+
+    A value with no ``scheme://`` prefix passes through (minus fragment).
+    All JVM-side regexp — whole-stage codegen, no UDF.
+    """
+    u = F.regexp_replace(col.cast("string"), "#.*$", "")
+    prefix = F.regexp_extract(u, _SCHEME_HOST, 1)
+    rest = F.regexp_replace(u, _SCHEME_HOST, "")
+    lp = F.regexp_replace(
+        F.regexp_replace(F.lower(prefix), "^(https://[^/:]+):443$", "$1"),
+        "^(http://[^/:]+):80$",
+        "$1",
+    )
+    r = F.regexp_replace(rest, _TRACKING, "")
+    r = F.regexp_replace(r, "&&+", "&")
+    r = F.regexp_replace(r, "\\?&", "?")
+    r = F.regexp_replace(r, "[?&]+$", "")
+    return F.when(prefix == "", u).otherwise(F.concat(lp, r))
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB rendering of ``canonical_url`` over a SQL expression
+    (DuckDB replaces first-match-only by default → 'g'; backreference
+    syntax differs, semantics identical)."""
+    u = f"regexp_replace({expr}, '#.*$', '')"
+    pre = f"regexp_extract({u}, '{_SCHEME_HOST}', 1)"
+    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')"
+    lp = (
+        f"regexp_replace(regexp_replace(lower({pre}),"
+        f" '^(https://[^/:]+):443$', '\\1'),"
+        f" '^(http://[^/:]+):80$', '\\1')"
+    )
+    r = f"regexp_replace({rest}, '{_TRACKING}', '', 'g')"
+    r = f"regexp_replace({r}, '&&+', '&', 'g')"
+    r = f"regexp_replace({r}, '\\?&', '?', 'g')"
+    r = f"regexp_replace({r}, '[?&]+$', '', 'g')"
+    return f"(CASE WHEN {pre} = '' THEN {u} ELSE {lp} || {r} END)"
+
+
 def host_of(col: Column) -> Column:
     """Bare hostname of an absolute http(s) url ('' when not absolute)."""
     return F.regexp_extract(col, "^https?://([^/:]+)", 1)

@@ -2,6 +2,7 @@
 anchor-text stripping, host aggregation — all JVM-side (plan pinned)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from onto_text_tag_spark.operators.weblinks import (
     extract_links,
@@ -88,3 +89,55 @@ def test_extract_links_plan_stays_jvm_side(spark):
     docs = _docs(spark, [("https://a.com/1", '<a href="/x">x</a>')])
     plan = extract_links(docs)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_canonical_url_policy(spark):
+    from onto_text_tag_spark.operators.weblinks import canonical_url
+
+    cases = [
+        # fragment dropped; scheme+host lowered; PATH case preserved
+        ("HTTPS://WWW.Example.COM/Path/UP?x=1#frag",
+         "https://www.example.com/Path/UP?x=1"),
+        # default ports stripped, non-default kept
+        ("https://a.com:443/x", "https://a.com/x"),
+        ("http://a.com:80/x", "http://a.com/x"),
+        ("https://a.com:8443/x", "https://a.com:8443/x"),
+        # tracking params removed in every position, separators cleaned
+        ("https://a.com/p?utm_source=f&id=5", "https://a.com/p?id=5"),
+        ("https://a.com/p?id=5&UTM_campaign=c", "https://a.com/p?id=5"),
+        ("https://a.com/p?id=5&gclid=g&y=2", "https://a.com/p?id=5&y=2"),
+        ("https://a.com/p?utm_a=1&utm_b=2", "https://a.com/p"),
+        ("https://a.com/p?fbclid=z", "https://a.com/p"),
+        # no scheme: passthrough minus fragment
+        ("not a url#x", "not a url"),
+    ]
+    df = local_df(spark, [(u,) for u, _ in cases], "u string")
+    got = [r["c"] for r in
+           df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_canonical_url_sql_twin_matches(spark):
+    import duckdb
+
+    from onto_text_tag_spark.operators.weblinks import (
+        canonical_url,
+        canonical_url_sql,
+    )
+
+    urls = [
+        "HTTPS://A.com:443/P?utm_x=1&id=2#f",
+        "http://B.COM:80/q?gclid=1",
+        "https://c.com/r?a=1&utm_b=2&c=3",
+        "ftp://Mixed.Case/keep?utm_a=1",
+        "plain text",
+    ]
+    df = local_df(spark, [(u,) for u in urls], "u string")
+    spark_out = [r["c"] for r in
+                 df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    con = duckdb.connect()
+    vals = ", ".join(f"('{u}')" for u in urls)
+    duck_out = [r[0] for r in con.execute(
+        f"SELECT {canonical_url_sql('u')} FROM (VALUES {vals}) t(u)"
+    ).fetchall()]
+    assert spark_out == duck_out
