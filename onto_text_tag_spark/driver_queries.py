@@ -816,6 +816,48 @@ SELECT node, round(rank, 6) AS rank FROM ranks WHERE iter = 10
 """
 
 
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense nucleus of the co-occurrence graph: the k-core (k=4) —
+    nodes that keep degree ≥ 4 after iterative peeling (operators/
+    graph_metrics.py:k_core); the structure raw degree can't expose
+    because it counts neighbors that themselves get peeled."""
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+    from onto_text_tag_spark.operators.graph_metrics import k_core
+
+    m = _mentions(spark, sf_dir)
+    edges = cooccurrence_edges(m, doc_col="url", term_col="curie")
+    return k_core(edges, k=4)
+
+
+def sql_kg_kcore(k: int = 4, rounds: int = 6) -> str:
+    """Unrolled peel (fixed rounds ≥ the peel depth of every test sf;
+    converged rounds are no-ops, same device as the LPA oracle)."""
+    ctes = [
+        """e0 AS (
+   SELECT a.curie AS src, b.curie AS dst
+   FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie <> b.curie
+   GROUP BY a.curie, b.curie)"""
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"k{i} AS (SELECT src AS node FROM e{i} "
+            f"GROUP BY src HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"e{i + 1} AS (SELECT e.src, e.dst FROM e{i} e "
+            f"JOIN k{i} s ON e.src = s.node "
+            f"JOIN k{i} t ON e.dst = t.node)"
+        )
+    chain = ",\n ".join(ctes)
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ {chain}
+SELECT src AS node, count(*)::BIGINT AS deg
+FROM e{rounds} GROUP BY src
+"""
+
+
 def q_kg_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-normalized association strengths (jaccard / lift / PMI /
     NPMI) per co-occurrence edge (operators/cooccur.py:
@@ -2657,6 +2699,7 @@ QUERIES = {
     "kg_salience": q_kg_salience,
     "kg_class_embedding": q_kg_class_embedding,
     "kg_related": q_kg_related,
+    "kg_kcore": q_kg_kcore,
     "kg_class_neighbors": q_kg_class_neighbors,
     "kg_links": q_kg_links,
     "kg_nodes": q_kg_nodes,
@@ -2722,6 +2765,7 @@ ORACLES = {
     "kg_salience": sql_kg_salience(),
     "kg_class_embedding": sql_kg_class_embedding(),
     "kg_related": sql_kg_related(),
+    "kg_kcore": sql_kg_kcore(),
     "kg_class_neighbors": sql_kg_class_neighbors(),
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),

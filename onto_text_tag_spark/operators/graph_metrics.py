@@ -468,3 +468,48 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, deg) of the k-core: the maximal subgraph where every node
+    keeps degree ≥ k — the standard "dense nucleus" extractor (spam
+    neighborhoods, topical cores) the raw degree profile can't give,
+    because degree counts neighbors that themselves get peeled.
+
+    Iterative peel to fixpoint: drop nodes with degree < k, restrict
+    edges to survivors, repeat.  Each round is one degree aggregate
+    (map-side combined) plus two survivor semi-joins, all keyed on node
+    ids; the surviving-edge frame ``localCheckpoint``s per round to
+    truncate lineage.  Rounds are bounded by the peel depth (real graphs:
+    a handful), not the node count.  Input treated as undirected;
+    self-loops dropped.
+    """
+    e = edges.select(F.col("src"), F.col("dst")).where(F.col("src") != F.col("dst"))
+    e = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iterations):
+        if n_edges == 0:
+            break
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select(F.col("src").alias("node"))
+        pruned = (
+            e.join(keep, e["src"] == keep["node"], "left_semi")
+            .join(keep, F.col("dst") == keep["node"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_new = pruned.count()
+        e = pruned
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )

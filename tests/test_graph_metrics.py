@@ -381,3 +381,53 @@ def test_personalized_pagerank_multi_seed_and_missing_seed(edges):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     with pytest.raises(ValueError):
         pagerank(edges, seeds=["zzz"])
+
+
+def _python_kcore(pairs, k):
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(ns) for n, ns in adj.items() if ns}
+
+
+def test_k_core_triangle_with_tail(spark):
+    from onto_text_tag_spark.operators.graph_metrics import k_core
+    from onto_text_tag_spark.session import local_df
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    e = local_df(spark, pairs, "src string, dst string")
+    got2 = {r["node"]: r["deg"] for r in k_core(e, 2).collect()}
+    # tail d-e peels (e has deg 1, then d); triangle survives
+    assert got2 == {"a": 2, "b": 2, "c": 2}
+    got1 = {r["node"]: r["deg"] for r in k_core(e, 1).collect()}
+    assert got1 == _python_kcore(pairs, 1)
+    # k above max degree: empty core
+    assert k_core(e, 5).count() == 0
+
+
+def test_k_core_matches_python_twin_random(spark):
+    import random
+
+    from onto_text_tag_spark.operators.graph_metrics import k_core
+    from onto_text_tag_spark.session import local_df
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(30)]
+    pairs = list({
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(80)
+    })
+    e = local_df(spark, pairs, "src string, dst string")
+    for k in (2, 3, 4):
+        got = {r["node"]: r["deg"] for r in k_core(e, k).collect()}
+        assert got == _python_kcore(pairs, k), f"k={k}"
