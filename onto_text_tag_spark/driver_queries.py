@@ -1500,6 +1500,67 @@ FROM reasons GROUP BY reason
 """
 
 
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: word grams appearing in ≥ half
+    of a source's documents (operators/textstats.py:boilerplate_ngrams) —
+    the nav/footer/banner text no single-document heuristic can see."""
+    from onto_text_tag_spark.operators.textstats import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _docs(spark, sf_dir), group_col="source", k=1, min_frac=0.5
+    )
+
+
+def sql_text_boilerplate() -> str:
+    from onto_text_tag_spark.functions.hashing import word_shingles_sql
+
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         unnest({word_shingles_sql('text', 1)}) AS gram
+  FROM documents
+),
+df AS (
+  SELECT source, gram, count(*)::BIGINT AS doc_count
+  FROM toks GROUP BY source, gram
+),
+tot AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+        FROM documents GROUP BY source)
+SELECT f.source, gram, doc_count,
+       round(doc_count / n_docs::DOUBLE, 4) AS df_frac
+FROM df f JOIN tot t ON f.source = t.source
+WHERE doc_count >= 0.5 * n_docs
+"""
+
+
+def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing sample: deterministic per-language keep rates
+    (operators/curation.py:stratified_sample — hash-gated scan-local
+    filter, no shuffle; rerun/resume selects the identical subset and
+    raising a rate only ADDS documents)."""
+    from onto_text_tag_spark.operators.curation import stratified_sample
+
+    kept = stratified_sample(
+        _docs(spark, sf_dir),
+        {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1},
+        strata_col="lang",
+    )
+    return kept.select("doc_id", "lang")
+
+
+def sql_curation_mix() -> str:
+    from onto_text_tag_spark.functions.hashing import md5_long_sql
+
+    draw = md5_long_sql("(lang || ':' || doc_id::VARCHAR)")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {draw} % 10000 <
+      CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5
+                WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1
+                ELSE 0.0 END * 10000
+"""
+
+
 # ---------------------------------------------------------------------------
 # Web link graph
 # ---------------------------------------------------------------------------
@@ -2712,6 +2773,8 @@ QUERIES = {
     "kg_isa_rollup": q_kg_isa_rollup,
     "curation_select": q_curation_select,
     "curation_stats": q_curation_stats,
+    "curation_mix": q_curation_mix,
+    "text_boilerplate": q_text_boilerplate,
     "web_links": q_web_links,
     "web_host_graph": q_web_host_graph,
     "web_host_rank": q_web_host_rank,
@@ -2778,6 +2841,8 @@ ORACLES = {
     "kg_isa_rollup": sql_kg_isa_rollup(),
     "curation_select": sql_curation_select(),
     "curation_stats": sql_curation_stats(),
+    "curation_mix": sql_curation_mix(),
+    "text_boilerplate": sql_text_boilerplate(),
     "web_links": sql_web_links(),
     "web_host_graph": sql_web_host_graph(),
     "web_host_rank": sql_web_host_rank(),

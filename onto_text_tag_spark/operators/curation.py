@@ -115,3 +115,42 @@ def curation_stats(documents: DataFrame, **kwargs) -> DataFrame:
             F.sum("ws_tokens").alias("ws_tokens"),
         )
     )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_frac: float = 0.0,
+    mod: int = 10000,
+) -> DataFrame:
+    """Deterministic per-stratum subsampling — the data-mixing knob
+    (keep 100% of curated English, 30% of lower-resource strata, 5% of
+    code, ...).  A doc is kept iff
+    ``md5_long(stratum ':' id) mod 10000 < frac * 10000``: pure function
+    of (stratum, id), so reruns/resumes/two clusters select the same
+    subset (``rand()`` cannot), strata decorrelate (the id's hash draw
+    differs per stratum), and membership is monotone in ``frac`` — a
+    raised rate keeps every previously-kept doc, so mixing-weight bumps
+    are incremental, not a reshuffle.  No shuffle at all: the gate is a
+    scan-local filter.
+    """
+    pairs = [p for kv in fractions.items() for p in kv]
+    frac_map = F.create_map(*[F.lit(x) for x in pairs])
+    frac = F.coalesce(
+        frac_map[F.col(strata_col)], F.lit(float(default_frac))
+    )
+    from onto_text_tag_spark.functions.hashing import md5_long
+
+    draw = F.pmod(
+        md5_long(
+            F.concat(
+                F.col(strata_col).cast("string"),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            )
+        ),
+        F.lit(mod),
+    )
+    return documents.where(draw < frac * mod)

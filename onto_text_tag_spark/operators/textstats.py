@@ -202,3 +202,41 @@ SELECT {id_col},
    1, 15))::BIGINT AS fingerprint
 FROM {table}
 """
+
+
+def boilerplate_ngrams(documents: DataFrame, group_col: str = "source",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       k: int = 1, min_frac: float = 0.5) -> DataFrame:
+    """(group, gram, doc_count, df_frac): word k-grams appearing in at
+    least ``min_frac`` of a group's documents — corpus-level boilerplate
+    detection (nav text, cookie banners, footer templates repeat across
+    a host/source's pages; no single-document heuristic can see that).
+
+    The per-doc shingle set is already distinct (``word_shingles``), so
+    the doc-frequency aggregate is a plain count — no distinct-agg
+    state.  Two shuffles: (group, gram) counts with map-side combine,
+    and the group-sized totals broadcast back onto them.  The explode is
+    the big intermediate (docs × grams) but never materializes past the
+    partial aggregate.
+    """
+    from onto_text_tag_spark.functions.hashing import word_shingles
+
+    grams = documents.select(
+        F.col(group_col), F.col(id_col),
+        F.explode(word_shingles(text_col, k)).alias("gram"),
+    )
+    gram_df = grams.groupBy(group_col, "gram").agg(
+        F.count("*").cast("long").alias("doc_count")
+    )
+    totals = documents.groupBy(group_col).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    return (
+        gram_df.join(F.broadcast(totals), group_col)
+        .withColumn(
+            "df_frac",
+            F.round(F.col("doc_count") / F.col("n_docs"), 4),
+        )
+        .where(F.col("doc_count") >= F.lit(min_frac) * F.col("n_docs"))
+        .select(group_col, "gram", "doc_count", "df_frac")
+    )

@@ -100,3 +100,52 @@ def test_flags_plan_single_scan_jvm_side(spark):
     docs = _docs(spark, [(1, _EN_LONG)])
     plan = curation_flags(docs)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    from onto_text_tag_spark.operators.curation import stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    docs = local_df(spark, rows, "doc_id bigint, lang string")
+    # full / zero strata are exact
+    kept = stratified_sample(docs, {"a": 1.0, "b": 0.0}).collect()
+    assert sorted(r["doc_id"] for r in kept) == [i for i in range(200)
+                                                 if i % 2 == 0]
+    # half-rate: deterministic across runs, roughly half, monotone in frac
+    h1 = {r["doc_id"] for r in
+          stratified_sample(docs, {"a": 0.5, "b": 0.5}).collect()}
+    h2 = {r["doc_id"] for r in
+          stratified_sample(docs, {"a": 0.5, "b": 0.5}).collect()}
+    assert h1 == h2
+    assert 60 <= len(h1) <= 140
+    h3 = {r["doc_id"] for r in
+          stratified_sample(docs, {"a": 0.8, "b": 0.8}).collect()}
+    assert h1 <= h3  # raising the rate only adds docs
+    # unknown stratum falls to default_frac
+    extra = local_df(spark, [(999, "zz")], "doc_id bigint, lang string")
+    assert stratified_sample(extra, {"a": 1.0}).count() == 0
+    assert stratified_sample(extra, {"a": 1.0}, default_frac=1.0).count() == 1
+
+
+def test_boilerplate_ngrams_hand_values(spark):
+    from onto_text_tag_spark.operators.textstats import boilerplate_ngrams
+
+    docs = local_df(spark, [
+        (1, "h1", "cookie banner text about cats"),
+        (2, "h1", "cookie banner text about dogs"),
+        (3, "h1", "an article про birds"),
+        (4, "h2", "cookie banner text here"),
+    ], "doc_id bigint, source string, text string")
+    got = {
+        (r["source"], r["gram"]): (r["doc_count"], r["df_frac"])
+        for r in boilerplate_ngrams(
+            docs, k=2, min_frac=0.6, group_col="source"
+        ).collect()
+    }
+    # "cookie banner"/"banner text" in 2/3 h1 docs = 0.6667 >= 0.6;
+    # h2 is its own group (1/1); "text about" also 2/3 in h1
+    assert got[("h1", "cookie banner")] == (2, 0.6667)
+    assert got[("h1", "banner text")] == (2, 0.6667)
+    assert got[("h1", "text about")] == (2, 0.6667)
+    assert ("h1", "about cats") not in got   # 1/3 below threshold
+    assert got[("h2", "cookie banner")] == (1, 1.0)
