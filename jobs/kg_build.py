@@ -60,6 +60,13 @@ def main() -> None:
                     help="additionally write an edge_scores stage: "
                     "jaccard/lift/PMI/NPMI per co-occurrence edge, derived "
                     "from the doc_terms snapshot (no corpus re-read)")
+    ap.add_argument("--links", action="store_true",
+                    help="additionally write the page link graph from the "
+                    "corpus html: a 'links' stage (src_url, dst_url, "
+                    "anchor — operators/weblinks.py:extract_links, pure "
+                    "JVM-side regexp) and a 'host_graph' stage derived "
+                    "from its snapshot (no corpus re-read); requires a "
+                    "parquet corpus with an html column (not --warc)")
     ap.add_argument("--no-nodes", action="store_true",
                     help="skip materializing the nodes table (the edges "
                     "side — the triples stage — is always written)")
@@ -298,6 +305,31 @@ def main() -> None:
             lambda: association_scores_from_arrays(
                 doc_terms, min_weight=args.min_cooccur_weight
             ),
+            input_fingerprint=fp,
+        ))
+
+    if args.links:
+        # the other first-class graph a web corpus carries: the anchor
+        # link graph.  Extraction reads ONLY (url, html) — column
+        # pruning keeps html out of every other stage's scan — and the
+        # host rollup derives from the links snapshot, never the corpus.
+        if args.warc:
+            raise SystemExit("--links needs a parquet corpus (not --warc)")
+        from onto_text_tag_spark.operators.weblinks import (
+            extract_links,
+            host_graph,
+        )
+
+        if "html" not in corpus.columns:
+            raise SystemExit("--links needs an html column in the corpus")
+        links_df = timed("links", lambda: run_stage(
+            spark, args.output, "links",
+            lambda: extract_links(corpus, url_col=id_col, html_col="html"),
+            input_fingerprint=fp,
+        ))
+        timed("host_graph", lambda: run_stage(
+            spark, args.output, "host_graph",
+            lambda: host_graph(links_df),
             input_fingerprint=fp,
         ))
 

@@ -146,3 +146,34 @@ def test_kg_build_ntriples_export_roundtrips(job_tmp, corpus, spark):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, stage.collect())
     )
+
+
+def test_kg_build_links_stage(job_tmp, corpus, spark):
+    """--links writes the anchor link graph alongside the KG: every
+    synthetic page carries the two nav anchors (/home, /about), both
+    root-relative and resolved against the page's host."""
+    out_dir = os.path.join(job_tmp, "kg_links_out")
+    res = _spark_submit(
+        job_tmp, "--input", corpus, "--output", out_dir,
+        "--no-nodes", "--links",
+    )
+    assert "links" in res["stage_sec"] and "host_graph" in res["stage_sec"]
+    from onto_text_tag_spark.sinks import read_stage
+
+    links = read_stage(spark, out_dir, "links")
+    assert links.columns == ["src_url", "dst_url", "anchor"]
+    n_docs = 400
+    assert links.count() == 2 * n_docs
+    one = {r["dst_url"] for r in
+           links.where(links.src_url == "https://example.org/p/7").collect()}
+    assert one == {"https://example.org/home", "https://example.org/about"}
+    # nav links are intra-host -> the host rollup is present and empty
+    hg = read_stage(spark, out_dir, "host_graph")
+    assert hg.columns == ["src_host", "dst_host", "weight"]
+    assert hg.count() == 0
+    # resume: both stages skip
+    res2 = _spark_submit(
+        job_tmp, "--input", corpus, "--output", out_dir,
+        "--no-nodes", "--links",
+    )
+    assert res2["stage_sec"]["links"] < 1.0  # snapshot reopen only
