@@ -1813,6 +1813,67 @@ SELECT node AS host, round(rank, 6) AS rank FROM ranks WHERE iter = 10
 """
 
 
+def q_web_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub/authority split of the DIRECTED host link graph (operators/
+    graph_metrics.py:hits): aggregator hosts (high hub) vs reference
+    targets (high auth) — the structure a single centrality conflates."""
+    from onto_text_tag_spark.operators.graph_metrics import hits
+    from onto_text_tag_spark.operators.weblinks import (
+        extract_links,
+        host_graph,
+    )
+
+    hg = host_graph(extract_links(_linked_docs(spark, sf_dir)))
+    return hits(hg.select(F.col("src_host").alias("src"),
+                          F.col("dst_host").alias("dst"))).select(
+        "node", F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
+def sql_web_host_hits(rounds: int = 6) -> str:
+    ctes = [
+        """hg AS MATERIALIZED (
+   SELECT DISTINCT src_host, dst_host FROM (
+     SELECT regexp_extract(src_url, '^https?://([^/:]+)', 1) AS src_host,
+            regexp_extract(dst_url, '^https?://([^/:]+)', 1) AS dst_host
+     FROM links
+   ) WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+ )""",
+        "nodes AS MATERIALIZED (SELECT src_host AS node FROM hg "
+        "UNION SELECT dst_host FROM hg)",
+        "h0 AS (SELECT node, 1.0/(SELECT count(*) FROM nodes) AS hub "
+        "FROM nodes)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"ar{i} AS MATERIALIZED (SELECT dst_host AS node, sum(hub) AS raw "
+            f"FROM hg JOIN h{i} ON src_host = h{i}.node GROUP BY dst_host)"
+        )
+        ctes.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT n.node, coalesce(raw, 0)"
+            f"/coalesce((SELECT sum(raw) FROM ar{i}), 1) AS auth "
+            f"FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node)"
+        )
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT src_host AS node, sum(auth) AS raw "
+            f"FROM hg JOIN a{i + 1} ON dst_host = a{i + 1}.node "
+            f"GROUP BY src_host)"
+        )
+        ctes.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT n.node, coalesce(raw, 0)"
+            f"/coalesce((SELECT sum(raw) FROM hr{i}), 1) AS hub "
+            f"FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node)"
+        )
+    chain = ",\n ".join(ctes)
+    return f"""
+WITH {_LINKED_PAGES_CTE},
+ {chain}
+SELECT h.node, round(hub, 6) AS hub, round(auth, 6) AS auth
+FROM h{rounds} h JOIN a{rounds} a ON h.node = a.node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2780,6 +2841,7 @@ QUERIES = {
     "web_host_rank": q_web_host_rank,
     "web_anchor_mentions": q_web_anchor_mentions,
     "web_canonical_urls": q_web_canonical_urls,
+    "web_host_hits": q_web_host_hits,
     "canon_components": q_canon_components,
     "graph_components": q_graph_components,
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
@@ -2848,6 +2910,7 @@ ORACLES = {
     "web_host_rank": sql_web_host_rank(),
     "web_anchor_mentions": sql_web_anchor_mentions(),
     "web_canonical_urls": sql_web_canonical_urls(),
+    "web_host_hits": sql_web_host_hits(),
     "canon_components": sql_canon_components(),
     "graph_components": sql_graph_components(),
     "dedup_clusters_incremental": sql_dedup_clusters_incremental(),

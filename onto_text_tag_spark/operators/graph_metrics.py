@@ -513,3 +513,63 @@ def k_core(
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("deg")
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 6,
+) -> DataFrame:
+    """(node, hub, auth) after ``iterations`` rounds of HITS power
+    iteration over the DIRECTED edge set — the link-graph dual of
+    PageRank: a good hub points at good authorities, a good authority is
+    pointed at by good hubs.  On a host graph this separates directories/
+    aggregators (high hub) from reference targets (high auth), which one
+    centrality score conflates.
+
+    L1-normalized per half-step (keeps the oracle algebra exact in SQL;
+    the classic L2 variant only rescales, rankings are identical).  Same
+    physics as ``pagerank``: each half-step is one edge-keyed join + one
+    map-side-combined sum, ``localCheckpoint`` truncates lineage per
+    round; hub skew lands in partial aggregation, never one reducer.
+    Nodes with no in-edges get auth 0 (resp. hub 0 for no out-edges).
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    hubs = nodes.withColumn("hub", F.lit(1.0 / n))
+
+    def _half(scores, score_col, key_in, key_out, out_name):
+        raw = (
+            e.join(scores, e[key_in] == scores["node"])
+            .groupBy(F.col(key_out).alias("node"))
+            .agg(F.sum(score_col).alias("_raw"))
+        )
+        total = raw.agg(F.coalesce(F.sum("_raw"), F.lit(1.0))).collect()[0][0]
+        return (
+            nodes.join(raw, "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("_raw"), F.lit(0.0)) / F.lit(total)).alias(
+                    out_name
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    auths = None
+    for _ in range(iterations):
+        auths = _half(hubs, "hub", "src", "dst", "auth")
+        hubs = _half(auths, "auth", "dst", "src", "hub")
+    return hubs.join(auths, "node")

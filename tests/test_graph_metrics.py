@@ -431,3 +431,43 @@ def test_k_core_matches_python_twin_random(spark):
     for k in (2, 3, 4):
         got = {r["node"]: r["deg"] for r in k_core(e, k).collect()}
         assert got == _python_kcore(pairs, k), f"k={k}"
+
+
+def _numpy_hits(pairs, iterations=6):
+    es = sorted(set(pairs))
+    nodes = sorted({x for e in es for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(iterations):
+        a = np.zeros(n)
+        for s, d in es:
+            a[idx[d]] += h[idx[s]]
+        a /= a.sum() if a.sum() else 1.0
+        h = np.zeros(n)
+        for s, d in es:
+            h[idx[s]] += a[idx[d]]
+        h /= h.sum() if h.sum() else 1.0
+    return ({v: h[i] for v, i in idx.items()},
+            {v: a[i] for v, i in idx.items()})
+
+
+def test_hits_matches_numpy_twin(spark):
+    from onto_text_tag_spark.operators.graph_metrics import hits
+    from onto_text_tag_spark.session import local_df
+
+    # hub x points at 3 authorities; y points at 2 of them; b->c chain
+    pairs = [("x", "p"), ("x", "q"), ("x", "r"), ("y", "p"), ("y", "q"),
+             ("b", "c"), ("x", "p")]  # duplicate edge collapses
+    e = local_df(spark, pairs, "src string, dst string")
+    want_h, want_a = _numpy_hits(pairs)
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(e).collect()}
+    assert set(got) == set(want_h)
+    for v in want_h:
+        assert got[v][0] == pytest.approx(want_h[v], abs=1e-9)
+        assert got[v][1] == pytest.approx(want_a[v], abs=1e-9)
+    # pure sinks have hub 0; pure sources have auth 0
+    assert got["p"][0] == 0.0 and got["x"][1] == 0.0
+    # x out-links a superset of y's targets -> at least y's hub score
+    assert got["x"][0] > got["y"][0]
