@@ -352,6 +352,101 @@ def sql_kg_cooccur_bucketed() -> str:
     return sql_kg_cooccur()
 
 
+def q_kg_cooccur_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-scoped co-occurrence: term pairs within 5 tokens of
+    each other, weighted by distinct documents — the range-join
+    refinement of whole-document intersection (operators/cooccur.py:
+    windowed_cooccurrence_edges: banded (doc, ⌊pos/w⌋) EQUI join, never
+    a per-document cartesian)."""
+    from onto_text_tag_spark.operators.cooccur import (
+        windowed_cooccurrence_edges,
+    )
+    from onto_text_tag_spark.session import local_df
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.split(F.col("text"), " ").alias("l"),
+    )
+    toks = base.select(
+        "url", F.posexplode("l").alias("p0", "tok")
+    ).select("url", (F.col("p0") + 1).alias("pos"), "tok")
+    bgs = base.select(
+        "url",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(l) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(l) - 1), "
+                "i -> concat(element_at(l, i), ' ', element_at(l, i + 1))) "
+                "END"
+            )
+        ).alias("p0", "bg"),
+    ).select("url", (F.col("p0") + 1).alias("pos"), "bg")
+    dict_rows = [
+        (curie, s, "bi" if " " in s else "uni")
+        for curie, label, syns, _d, _p in DRIVER_ONTOLOGY
+        for s in [label, *syns]
+        if s not in STOPWORDS
+    ]
+    dic = local_df(spark, dict_rows, "curie string, surface string, kind string")
+    uni = toks.join(
+        F.broadcast(dic.where(F.col("kind") == "uni")),
+        toks["tok"] == F.col("surface"),
+    ).select("url", "curie", "pos")
+    bi = bgs.join(
+        F.broadcast(dic.where(F.col("kind") == "bi")),
+        bgs["bg"] == F.col("surface"),
+    ).select("url", "curie", "pos")
+    return windowed_cooccurrence_edges(
+        uni.unionByName(bi), window=5, doc_col="url",
+        term_col="curie", pos_col="pos",
+    )
+
+
+def sql_kg_cooccur_window() -> str:
+    return f"""
+WITH dict(curie, surface, kind) AS (VALUES {_sql_surface_rows()}),
+docs AS (
+  SELECT doc_id::VARCHAR AS doc_id, string_split(text, ' ') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+  FROM docs
+),
+bigrams AS (
+  SELECT doc_id, unnest(bl) AS bg, generate_subscripts(bl, 1) AS pos
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, len(l)),
+                          i -> l[i::int] || ' ' || l[(i+1)::int]) AS bl
+    FROM docs
+  )
+),
+pos_rows AS MATERIALIZED (
+  SELECT DISTINCT doc_id, curie, pos FROM (
+    SELECT t.doc_id, d.curie, t.pos
+    FROM toks t JOIN dict d ON d.kind = 'uni' AND t.tok = d.surface
+    UNION ALL
+    SELECT b.doc_id, d.curie, b.pos
+    FROM bigrams b JOIN dict d ON d.kind = 'bi' AND b.bg = d.surface
+  )
+),
+close AS (
+  SELECT a.doc_id,
+         least(a.curie, b.curie) AS src,
+         greatest(a.curie, b.curie) AS dst
+  FROM pos_rows a JOIN pos_rows b
+    ON a.doc_id = b.doc_id
+   AND b.pos - a.pos BETWEEN 0 AND 5
+   AND (a.pos < b.pos OR a.curie < b.curie)
+   AND a.curie <> b.curie
+)
+SELECT src, dst, count(DISTINCT doc_id)::BIGINT AS weight
+FROM close GROUP BY src, dst
+"""
+
+
 def q_kg_top_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 co-occurrence partners per term — the ranked association
     list behind the reference's per-term association view (the chord
@@ -2809,6 +2904,7 @@ QUERIES = {
     "kg_cooccur_incremental": q_kg_cooccur_incremental,
     "kg_cooccur_retract": q_kg_cooccur_retract,
     "kg_cooccur_dict_delta": q_kg_cooccur_dict_delta,
+    "kg_cooccur_window": q_kg_cooccur_window,
     "kg_chord": q_kg_chord,
     "kg_degree": q_kg_degree,
     "kg_triangles": q_kg_triangles,
@@ -2878,6 +2974,7 @@ ORACLES = {
     "kg_cooccur_incremental": sql_kg_cooccur_incremental(),
     "kg_cooccur_retract": sql_kg_cooccur_retract(),
     "kg_cooccur_dict_delta": sql_kg_cooccur_dict_delta(),
+    "kg_cooccur_window": sql_kg_cooccur_window(),
     "kg_chord": sql_kg_chord(),
     "kg_degree": sql_kg_degree(),
     "kg_triangles": sql_kg_triangles(),

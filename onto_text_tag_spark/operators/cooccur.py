@@ -391,3 +391,68 @@ def term_index_salted(mentions: DataFrame, doc_col: str = "url",
         )
         .withColumn("doc_count", F.size("docs").cast("long"))
     )
+
+
+def windowed_cooccurrence_edges(
+    positions: DataFrame,
+    window: int,
+    doc_col: str = "url",
+    term_col: str = "curie",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """(src, dst, weight) for term pairs co-occurring within ``window``
+    positions of each other — proximity-scoped co-occurrence, the
+    refinement of the reference's whole-document intersection
+    (hv_generate.py:49-51) that separates "mentioned in the same page"
+    from "mentioned in the same breath".  ``weight`` counts DISTINCT
+    documents containing at least one close pair; ``src < dst``
+    canonical, self-pairs excluded — the same contract as
+    ``cooccurrence_edges``.
+
+    This is a RANGE join (|pos_a − pos_b| ≤ w), which Spark would
+    otherwise execute as a per-document cartesian with a post-filter.
+    The banded form makes it an EQUI join: each occurrence registers in
+    bucket ⌊pos/w⌋ on the build side; the probe side expands to its own
+    and its preceding bucket (every position-ordered pair within w spans
+    at most one bucket boundary, so exactly one of the two probes hits —
+    no dedup pass needed).  Shuffle keys are (doc, bucket): partitions
+    stay corpus-sized and skew-free even when a document is long, since
+    long documents split across their position buckets.
+    """
+    base = positions.select(
+        F.col(doc_col).alias("_doc"),
+        F.col(term_col).alias("_term"),
+        F.col(pos_col).cast("long").alias("_pos"),
+    ).distinct()
+    w = int(window)
+    build = base.select(
+        "_doc", F.col("_term").alias("_term_l"), F.col("_pos").alias("_pos_l"),
+        (F.col("_pos") / w).cast("long").alias("_bucket"),
+    )
+    probe = base.select(
+        "_doc", F.col("_term").alias("_term_r"), F.col("_pos").alias("_pos_r"),
+        F.explode(
+            F.array((F.col("_pos") / w).cast("long") - 1,
+                    (F.col("_pos") / w).cast("long"))
+        ).alias("_bucket"),
+    )
+    close = (
+        build.join(probe, ["_doc", "_bucket"])
+        .where(
+            (F.col("_pos_r") - F.col("_pos_l")).between(0, w)
+            & (
+                (F.col("_pos_l") < F.col("_pos_r"))
+                | (F.col("_term_l") < F.col("_term_r"))
+            )
+            & (F.col("_term_l") != F.col("_term_r"))
+        )
+    )
+    return (
+        close.select(
+            "_doc",
+            F.least("_term_l", "_term_r").alias("src"),
+            F.greatest("_term_l", "_term_r").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.countDistinct("_doc").alias("weight"))
+    )

@@ -329,3 +329,64 @@ def test_association_scores_full_cooccurrence_npmi_is_one(spark):
     assert (r.src, r.dst, r.weight) == ("A", "B", 2)
     assert r.jaccard == 1.0 and r.lift == 1.0
     assert r.pmi == 0.0 and r.npmi == 1.0
+
+
+def _brute_windowed(rows, w):
+    from collections import defaultdict
+    bydoc = defaultdict(set)
+    for d, t, p in rows:
+        bydoc[d].add((t, p))
+    docs_per_pair = defaultdict(set)
+    for d, occ in bydoc.items():
+        occ = sorted(occ, key=lambda x: (x[1], x[0]))
+        for i in range(len(occ)):
+            for j in range(len(occ)):
+                (ta, pa), (tb, pb) = occ[i], occ[j]
+                if ta != tb and 0 <= pb - pa <= w:
+                    docs_per_pair[(min(ta, tb), max(ta, tb))].add(d)
+    return {k: len(v) for k, v in docs_per_pair.items()}
+
+
+def test_windowed_cooccurrence_matches_brute_force(spark):
+    import random
+
+    from onto_text_tag_spark.operators.cooccur import (
+        windowed_cooccurrence_edges,
+    )
+    from onto_text_tag_spark.session import local_df
+
+    rng = random.Random(11)
+    rows = [
+        (f"d{rng.randrange(6)}", f"T{rng.randrange(8)}", rng.randrange(40))
+        for _ in range(150)
+    ]
+    df = local_df(spark, rows, "url string, curie string, pos bigint")
+    for w in (1, 5, 7, 40):
+        got = {
+            (r["src"], r["dst"]): r["weight"]
+            for r in windowed_cooccurrence_edges(df, w).collect()
+        }
+        assert got == _brute_windowed(rows, w), f"window={w}"
+
+
+def test_windowed_cooccurrence_bucket_boundaries_and_plan(spark):
+    from onto_text_tag_spark.operators.cooccur import (
+        windowed_cooccurrence_edges,
+    )
+    from onto_text_tag_spark.session import local_df
+
+    # distance exactly w (kept) and w+1 (dropped), across bucket edges
+    rows = [("d", "A", 0), ("d", "B", 5), ("d", "C", 6), ("e", "A", 4),
+            ("e", "B", 9)]
+    df = local_df(spark, rows, "url string, curie string, pos bigint")
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in windowed_cooccurrence_edges(df, 5).collect()
+    }
+    assert got == {("A", "B"): 2, ("B", "C"): 1}  # A-C at 6 > 5 dropped
+    # the range join runs as an EQUI join on (doc, bucket) — never a
+    # cartesian/nested-loop fallback
+    plan = windowed_cooccurrence_edges(df, 5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
