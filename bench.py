@@ -1636,6 +1636,21 @@ def run_graph_bench(cores: int = 8) -> dict:
         repeats=1,
     )
 
+    # k-core peel at k = p50+ (real peel depth on the u² tail) and a
+    # 6-round HITS on the raw directed rows: the two newest metrics at
+    # the same million-edge scale as the rest of the table.
+    from onto_text_tag_spark.operators.graph_metrics import hits, k_core
+
+    kc_k = 8
+    kc_sec, kc_sig = _timed(lambda: k_core(e, k=kc_k), repeats=1)
+    hits_sec, hits_sig = _timed(
+        lambda: hits(e, iterations=6).select(
+            "node", F.round("hub", 8).alias("hub"),
+            F.round("auth", 8).alias("auth"),
+        ),
+        repeats=1,
+    )
+
     n_pairs = pairs.count()
     deg.unpersist()
     pairs.unpersist()
@@ -1658,7 +1673,12 @@ def run_graph_bench(cores: int = 8) -> dict:
             "pagerank_5_rounds": pr_sec,
             "label_propagation_4_rounds": lpa_sec,
             f"adamic_adar_cap{aa_cap}": aa_sec,
+            f"k_core_k{kc_k}": kc_sec,
+            "hits_6_rounds": hits_sec,
         },
+        "k_core_k": kc_k,
+        "k_core_nodes": kc_sig[0],
+        "hits_nodes": hits_sig[0],
         "triangle_nodes": tri_deg_sig[0],
         "components_sig": cc_sig[0],
         "pagerank_nodes": pr_sig[0],
@@ -2176,6 +2196,11 @@ def main() -> None:
                 f"| adamic_adar, bridge cap 64 "
                 f"({rep['adamic_adar_candidates']} candidate pairs) "
                 f"| {t['adamic_adar_cap64']} |\n"
+                f"| k_core, k={rep['k_core_k']} "
+                f"({rep['k_core_nodes']} core nodes) "
+                f"| {t['k_core_k' + str(rep['k_core_k'])]} |\n"
+                f"| hits, 6 rounds ({rep['hits_nodes']} nodes) "
+                f"| {t['hits_6_rounds']} |\n"
                 f"\nWedge candidates Σ C(outdeg, 2): "
                 f"{rep['wedges_id_oriented']} id-oriented vs "
                 f"{rep['wedges_degree_oriented']} degree-oriented "

@@ -1981,6 +1981,65 @@ def sql_text_profile() -> str:
     return text_profile_sql("documents")
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding passage windows (50 tokens, 10 overlap) — the unit
+    embedding/retrieval indexes and context-packing consume (operators/
+    textstats.py:chunk_documents; pure row-parallel JVM expressions)."""
+    from onto_text_tag_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=50, overlap=10)
+
+
+def sql_text_chunks() -> str:
+    return """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS l
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(l), 1) + 1, 40),
+           s -> struct_pack(
+             start_tok := s,
+             n_tokens := len(list_slice(l, s::int, s::int + 49)),
+             chunk := array_to_string(list_slice(l, s::int, s::int + 49),
+                                      ' '))) AS cs
+  FROM docs
+),
+x AS (
+  SELECT doc_id, unnest(cs) AS c,
+         generate_subscripts(cs, 1) - 1 AS chunk_id
+  FROM ch
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       c['start_tok']::BIGINT AS start_tok,
+       c['n_tokens']::BIGINT AS n_tokens,
+       c['chunk'] AS chunk
+FROM x
+"""
+
+
+def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source page-length quantiles — the drift monitor a curation
+    pipeline publishes per crawl (operators/textstats.py:group_quantiles;
+    exact interpolated percentile here so the oracle replays it — the
+    100 TB form flips ``approx=True`` for the mergeable t-digest)."""
+    from onto_text_tag_spark.operators.textstats import group_quantiles
+
+    return group_quantiles(_docs(spark, sf_dir), "source", "n_chars")
+
+
+def sql_corpus_quantiles() -> str:
+    return """
+SELECT source,
+       round(quantile_cont(n_chars::DOUBLE, 0.25), 4) AS q25,
+       round(quantile_cont(n_chars::DOUBLE, 0.5), 4) AS q50,
+       round(quantile_cont(n_chars::DOUBLE, 0.9), 4) AS q90
+FROM documents GROUP BY source
+"""
+
+
 def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition rollup — per (source, lang), per source, and
     grand total in ONE pass (`ROLLUP` = grouping sets, a single shuffle
@@ -2943,6 +3002,8 @@ QUERIES = {
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
     "text_profile": q_text_profile,
     "corpus_rollup": q_corpus_rollup,
+    "corpus_quantiles": q_corpus_quantiles,
+    "text_chunks": q_text_chunks,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -3013,6 +3074,8 @@ ORACLES = {
     "dedup_clusters_incremental": sql_dedup_clusters_incremental(),
     "text_profile": sql_text_profile(),
     "corpus_rollup": sql_corpus_rollup(),
+    "corpus_quantiles": sql_corpus_quantiles(),
+    "text_chunks": sql_text_chunks(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash_sig": sql_dedup_minhash_sig(),
     "dedup_lsh_pairs": sql_dedup_lsh_pairs(),

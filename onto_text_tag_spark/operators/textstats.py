@@ -240,3 +240,66 @@ def boilerplate_ngrams(documents: DataFrame, group_col: str = "source",
         .where(F.col("doc_count") >= F.lit(min_frac) * F.col("n_docs"))
         .select(group_col, "gram", "doc_count", "df_frac")
     )
+
+
+def chunk_documents(documents: DataFrame, chunk_tokens: int = 50,
+                    overlap: int = 10, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, chunk_id, start_tok, n_tokens, chunk) sliding token windows —
+    the passage unit embedding/retrieval pipelines index, and the
+    training-sample unit context-length packing starts from.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens (1-based
+    ``start_tok``), each spanning ``chunk_tokens`` tokens (the final
+    chunk may be shorter; every token lands in ≥1 chunk).  Entirely
+    JVM-side: one ``sequence`` + ``transform`` + ``posexplode`` over the
+    token array — no UDF, no shuffle; the operator is embarrassingly
+    row-parallel and scales with the scan.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    l = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    chunks = (
+        f"transform(sequence(1, greatest(size({l}), 1), {step}), "
+        f"s -> struct(s AS start_tok, "
+        f"array_join(slice({l}, s, {chunk_tokens}), ' ') AS chunk, "
+        f"size(slice({l}, s, {chunk_tokens})) AS n_tokens))"
+    )
+    return (
+        documents.select(
+            F.col(id_col),
+            F.posexplode(F.expr(chunks)).alias("chunk_id", "c"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.start_tok").cast("long").alias("start_tok"),
+            F.col("c.n_tokens").cast("long").alias("n_tokens"),
+            F.col("c.chunk").alias("chunk"),
+        )
+    )
+
+
+def group_quantiles(df: DataFrame, group_col: str, value_col: str,
+                    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+                    approx: bool = False) -> DataFrame:
+    """Per-group value quantiles — the drift monitor a curation pipeline
+    publishes per crawl/source (is this host suddenly sending shorter
+    pages?).
+
+    ``approx=False`` uses exact interpolated ``percentile`` (sorts each
+    group — fine for group-sized data, and the form the SQL oracle can
+    replay exactly).  ``approx=True`` switches to ``percentile_approx``
+    (t-digest sketch, single pass, mergeable map-side) — the 100 TB
+    form; same schema, values within sketch error.
+    """
+    fn = "percentile_approx" if approx else "percentile"
+    arr = ", ".join(str(q) for q in qs)
+    agg = F.expr(f"{fn}({value_col}, array({arr}))")
+    out = df.groupBy(group_col).agg(agg.alias("_qs"))
+    cols = [F.col(group_col)] + [
+        F.round(F.col("_qs")[i], 4).alias(f"q{int(q * 100)}")
+        for i, q in enumerate(qs)
+    ]
+    return out.select(*cols)

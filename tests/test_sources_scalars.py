@@ -169,3 +169,43 @@ def test_p10_string_assembly(spark):
     ).first()
     assert row["date"] == "12/4/2021"
     assert row["authors"] == "West, Brown, Michie"
+
+
+def test_chunk_documents_windows(spark):
+    from onto_text_tag_spark.operators.textstats import chunk_documents
+    from onto_text_tag_spark.session import local_df
+
+    text = " ".join(f"t{i}" for i in range(1, 13))  # 12 tokens
+    docs = local_df(spark, [(1, text), (2, "a b")],
+                    "doc_id bigint, text string")
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tokens"],
+         r["chunk"])
+        for r in chunk_documents(docs, chunk_tokens=5, overlap=2).collect()
+    )
+    # doc 1: starts 1,4,7,10 (step 3); last chunk short
+    assert rows == [
+        (1, 0, 1, 5, "t1 t2 t3 t4 t5"),
+        (1, 1, 4, 5, "t4 t5 t6 t7 t8"),
+        (1, 2, 7, 5, "t7 t8 t9 t10 t11"),
+        (1, 3, 10, 3, "t10 t11 t12"),
+        (2, 0, 1, 2, "a b"),
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=5, overlap=5)
+
+
+def test_group_quantiles_exact_and_approx_schema(spark):
+    from onto_text_tag_spark.operators.textstats import group_quantiles
+    from onto_text_tag_spark.session import local_df
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4]] + [("b", 10.0)]
+    df = local_df(spark, rows, "g string, x double")
+    got = {r["g"]: (r["q25"], r["q50"], r["q90"])
+           for r in group_quantiles(df, "g", "x").collect()}
+    assert got["a"] == (1.75, 2.5, 3.7)
+    assert got["b"] == (10.0, 10.0, 10.0)
+    ap = group_quantiles(df, "g", "x", approx=True)
+    assert ap.columns == ["g", "q25", "q50", "q90"]
+    assert ap.count() == 2
