@@ -1810,6 +1810,83 @@ FROM documents
 """
 
 
+def q_web_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl recency dedup: multiple captures of the same page (url
+    variants differing only in tracking params/fragments, re-crawled at
+    different times) collapse to the newest capture per CANONICAL url —
+    the selection every crawl-consuming pipeline runs before anything
+    else.  canonical_url (weblinks) keys the group; one window over it
+    picks the max-timestamp capture with a deterministic doc_id
+    tie-break; n_captures reports the collapse factor.  Harness: 4
+    messy variants per logical page and a timestamp derived from doc_id,
+    both reconstructed identically by the oracle."""
+    from onto_text_tag_spark.operators.weblinks import canonical_url
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    page = (F.col("doc_id") / 4).cast("long")
+    messy = F.concat(
+        F.lit("https://host"), s(page % 5), F.lit(".example.com/page/"),
+        s(page),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("#frag"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?gclid=g"))
+        .otherwise(F.lit("")),
+    )
+    ts = (F.col("doc_id") * 37) % 101
+    caps = d.select(
+        "doc_id",
+        canonical_url(messy).alias("canonical"),
+        ts.alias("ts"),
+    )
+    w = Window.partitionBy("canonical").orderBy(
+        F.col("ts").desc(), F.col("doc_id").desc()
+    )
+    return (
+        caps.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "n_captures",
+            F.count("*").over(Window.partitionBy("canonical")),
+        )
+        .where(F.col("_rk") == 1)
+        .select(
+            "canonical", F.col("doc_id").alias("kept_doc_id"),
+            F.col("ts").cast("long").alias("ts"),
+            F.col("n_captures").cast("long").alias("n_captures"),
+        )
+    )
+
+
+def sql_web_latest_capture() -> str:
+    from onto_text_tag_spark.operators.weblinks import canonical_url_sql
+
+    messy = (
+        "'https://host' || ((doc_id // 4) % 5)::VARCHAR"
+        " || '.example.com/page/' || (doc_id // 4)::VARCHAR || "
+        "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' "
+        "WHEN doc_id % 4 = 1 THEN '#frag' "
+        "WHEN doc_id % 4 = 2 THEN '?gclid=g' ELSE '' END"
+    )
+    return f"""
+WITH caps AS (
+  SELECT doc_id, {canonical_url_sql(f"({messy})")} AS canonical,
+         (doc_id * 37) % 101 AS ts
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY canonical
+                            ORDER BY ts DESC, doc_id DESC) AS rk,
+         count(*) OVER (PARTITION BY canonical) AS n_captures
+  FROM caps
+)
+SELECT canonical, doc_id AS kept_doc_id, ts::BIGINT AS ts,
+       n_captures::BIGINT AS n_captures
+FROM ranked WHERE rk = 1
+"""
+
+
 def q_web_anchor_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text entity labels for TARGET pages — the web-graph twin of
     the reference's mention emission: the text other pages use to link to
@@ -2997,6 +3074,7 @@ QUERIES = {
     "web_anchor_mentions": q_web_anchor_mentions,
     "web_canonical_urls": q_web_canonical_urls,
     "web_host_hits": q_web_host_hits,
+    "web_latest_capture": q_web_latest_capture,
     "canon_components": q_canon_components,
     "graph_components": q_graph_components,
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
@@ -3069,6 +3147,7 @@ ORACLES = {
     "web_anchor_mentions": sql_web_anchor_mentions(),
     "web_canonical_urls": sql_web_canonical_urls(),
     "web_host_hits": sql_web_host_hits(),
+    "web_latest_capture": sql_web_latest_capture(),
     "canon_components": sql_canon_components(),
     "graph_components": sql_graph_components(),
     "dedup_clusters_incremental": sql_dedup_clusters_incremental(),
