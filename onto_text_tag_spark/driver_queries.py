@@ -911,6 +911,46 @@ SELECT node, round(rank, 6) AS rank FROM ranks WHERE iter = 10
 """
 
 
+def q_kg_neg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative samples over the co-occurrence graph —
+    the non-edge pool KG-embedding training and link-prediction
+    evaluation consume (operators/graph_metrics.py:negative_edges:
+    LCG-indexed partner draws, rerun- and cluster-size-stable, no
+    rand())."""
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+    from onto_text_tag_spark.operators.graph_metrics import negative_edges
+
+    m = _mentions(spark, sf_dir)
+    edges = cooccurrence_edges(m, doc_col="url", term_col="curie")
+    return negative_edges(edges, k=3, seed=13)
+
+
+def sql_kg_neg_edges() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ und AS MATERIALIZED (
+   SELECT a.curie AS src, b.curie AS dst
+   FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie
+   GROUP BY a.curie, b.curie),
+ nodes AS (SELECT src AS node FROM und UNION SELECT dst FROM und),
+ idx AS MATERIALIZED (
+   SELECT node, row_number() OVER (ORDER BY node) - 1 AS i FROM nodes),
+ n AS (SELECT count(*) AS n FROM idx),
+ cand AS (
+   SELECT x.node AS a, x.i, j.j,
+          (x.i * 1103515245 + j.j * 12345 + 13) % (SELECT n FROM n) AS p
+   FROM idx x, (SELECT unnest(range(1, 4)) AS j) j),
+ pairs AS (
+   SELECT DISTINCT least(c.a, p.node) AS src, greatest(c.a, p.node) AS dst
+   FROM cand c JOIN idx p ON p.i = c.p
+   WHERE c.p <> c.i)
+SELECT src, dst FROM pairs q
+WHERE NOT EXISTS (SELECT 1 FROM und u
+                  WHERE u.src = q.src AND u.dst = q.dst)
+"""
+
+
 def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense nucleus of the co-occurrence graph: the k-core (k=4) —
     nodes that keep degree ≥ 4 after iterative peeling (operators/
@@ -3054,6 +3094,7 @@ QUERIES = {
     "kg_class_embedding": q_kg_class_embedding,
     "kg_related": q_kg_related,
     "kg_kcore": q_kg_kcore,
+    "kg_neg_edges": q_kg_neg_edges,
     "kg_class_neighbors": q_kg_class_neighbors,
     "kg_links": q_kg_links,
     "kg_nodes": q_kg_nodes,
@@ -3127,6 +3168,7 @@ ORACLES = {
     "kg_class_embedding": sql_kg_class_embedding(),
     "kg_related": sql_kg_related(),
     "kg_kcore": sql_kg_kcore(),
+    "kg_neg_edges": sql_kg_neg_edges(),
     "kg_class_neighbors": sql_kg_class_neighbors(),
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),

@@ -573,3 +573,69 @@ def hits(
         auths = _half(hubs, "hub", "src", "dst", "auth")
         hubs = _half(auths, "auth", "dst", "src", "hub")
     return hubs.join(auths, "node")
+
+
+def negative_edges(
+    edges: DataFrame,
+    k: int = 3,
+    seed: int = 13,
+) -> DataFrame:
+    """(src, dst) NON-edges: ≤ k deterministic negative samples per node
+    — the training counterpart of the positive triple set (KG-embedding
+    objectives like TransE/DistMult train one negative per positive;
+    link-prediction evaluation needs a fixed negative pool).
+
+    Draws must be (a) uniform-ish, (b) reproducible across reruns and
+    cluster sizes, (c) cheap.  ``rand()`` fails (b); driver-side
+    sampling fails (c).  Here nodes get dense ranks (one sort-shuffle),
+    and node i proposes partners at index ``(i·1103515245 + j·12345 +
+    seed) mod n`` for j = 1..k — an LCG step, fully deterministic, no
+    extra shuffle beyond the rank and the index equi-join back to node
+    ids.  Canonicalized ``src < dst``, de-duplicated, and anti-joined
+    against the real edge set (mirror-insensitive).  Output ≤ n·k rows.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("src").alias("node"))
+        .unionByName(und.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    w = Window.orderBy("node")
+    idx = nodes.select(
+        "node", (F.row_number().over(w) - 1).alias("i")
+    )
+    n = idx.count()
+    cand = (
+        idx.select(
+            F.col("node").alias("a"),
+            F.col("i"),
+            F.explode(F.expr(f"sequence(1, {int(k)})")).alias("j"),
+        )
+        .withColumn(
+            "p",
+            F.pmod(
+                F.col("i").cast("long") * F.lit(1103515245).cast("long")
+                + F.col("j").cast("long") * F.lit(12345).cast("long")
+                + F.lit(int(seed)).cast("long"),
+                F.lit(n).cast("long"),
+            ),
+        )
+        .where(F.col("p") != F.col("i"))
+    )
+    partner = idx.select(F.col("node").alias("b"), F.col("i").alias("p"))
+    pairs = (
+        cand.join(partner, "p")
+        .select(
+            F.least("a", "b").alias("src"),
+            F.greatest("a", "b").alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.join(und, ["src", "dst"], "left_anti")

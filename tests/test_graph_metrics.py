@@ -471,3 +471,26 @@ def test_hits_matches_numpy_twin(spark):
     assert got["p"][0] == 0.0 and got["x"][1] == 0.0
     # x out-links a superset of y's targets -> at least y's hub score
     assert got["x"][0] > got["y"][0]
+
+
+def test_negative_edges_are_nonedges_and_deterministic(spark):
+    from onto_text_tag_spark.operators.graph_metrics import negative_edges
+    from onto_text_tag_spark.session import local_df
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("e", "a")]
+    e = local_df(spark, pairs, "src string, dst string")
+    neg1 = {(r["src"], r["dst"]) for r in negative_edges(e, k=4).collect()}
+    neg2 = {(r["src"], r["dst"]) for r in negative_edges(e, k=4).collect()}
+    assert neg1 == neg2 and neg1  # deterministic, non-empty
+    real = {tuple(sorted(p)) for p in pairs}
+    for s, d in neg1:
+        assert s < d
+        assert (s, d) not in real
+    # different seed -> (possibly) different pool, still disjoint from real
+    neg3 = {(r["src"], r["dst"])
+            for r in negative_edges(e, k=4, seed=99).collect()}
+    for s, d in neg3:
+        assert (s, d) not in real
+    # k=1 pool is a subset-sized draw: at most one per node
+    n1 = negative_edges(e, k=1).count()
+    assert 0 < n1 <= 5
