@@ -575,6 +575,40 @@ def hits(
     return hubs.join(auths, "node")
 
 
+def _dense_ranks(nodes: DataFrame) -> DataFrame:
+    """(node, i): dense 0-based lexicographic ranks WITHOUT a global
+    single-partition window.  Range-repartition on the key (global order
+    preserved across partitions), rank within each partition, then add
+    the partition's cumulative offset — offsets come from one
+    partition-count-sized aggregate, broadcast back.  Exactly equal to
+    ``row_number() OVER (ORDER BY node) - 1`` at any parallelism."""
+    parts = max(nodes.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = nodes.repartitionByRange(parts, F.col("node")).select(
+        "node", F.spark_partition_id().alias("_pid")
+    )
+    local = ranged.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy("node")
+        ),
+    )
+    counts = (
+        local.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
+    )
+    offset = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offset[row["_pid"]] = acc
+        acc += row["_c"]
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offset.items() for x in pid_off]
+    )
+    return local.select(
+        "node",
+        (F.col("_r") - 1 + off_map[F.col("_pid")]).cast("long").alias("i"),
+    )
+
+
 def negative_edges(
     edges: DataFrame,
     k: int = 3,
@@ -587,12 +621,16 @@ def negative_edges(
 
     Draws must be (a) uniform-ish, (b) reproducible across reruns and
     cluster sizes, (c) cheap.  ``rand()`` fails (b); driver-side
-    sampling fails (c).  Here nodes get dense ranks (one sort-shuffle),
-    and node i proposes partners at index ``(i·1103515245 + j·12345 +
-    seed) mod n`` for j = 1..k — an LCG step, fully deterministic, no
-    extra shuffle beyond the rank and the index equi-join back to node
-    ids.  Canonicalized ``src < dst``, de-duplicated, and anti-joined
-    against the real edge set (mirror-insensitive).  Output ≤ n·k rows.
+    sampling fails (c).  Here nodes get dense lexicographic ranks —
+    computed as a RANGE-partitioned sort plus per-partition offsets
+    (partition row counts are partition-count-sized, collected once),
+    never a global single-partition window, so the rank step scales
+    with the sort and is identical at every parallelism.  Node i then
+    proposes partners at index ``(i·1103515245 + j·12345 + seed) mod n``
+    for j = 1..k — an LCG step, fully deterministic, no extra shuffle
+    beyond the rank and the index equi-join back to node ids.
+    Canonicalized ``src < dst``, de-duplicated, and anti-joined against
+    the real edge set (mirror-insensitive).  Output ≤ n·k rows.
     """
     und = (
         edges.select(
@@ -607,10 +645,7 @@ def negative_edges(
         .unionByName(und.select(F.col("dst").alias("node")))
         .distinct()
     )
-    w = Window.orderBy("node")
-    idx = nodes.select(
-        "node", (F.row_number().over(w) - 1).alias("i")
-    )
+    idx = _dense_ranks(nodes).localCheckpoint(eager=True)
     n = idx.count()
     cand = (
         idx.select(

@@ -494,3 +494,20 @@ def test_negative_edges_are_nonedges_and_deterministic(spark):
     # k=1 pool is a subset-sized draw: at most one per node
     n1 = negative_edges(e, k=1).count()
     assert 0 < n1 <= 5
+
+
+def test_dense_ranks_equal_global_sort(spark):
+    import random
+
+    from onto_text_tag_spark.operators.graph_metrics import _dense_ranks
+    from onto_text_tag_spark.session import local_df
+
+    rng = random.Random(3)
+    names = [f"n{rng.randrange(10_000)}" for _ in range(500)]
+    uniq = sorted(set(names))
+    nodes = local_df(spark, [(x,) for x in set(names)], "node string")
+    got = {r["node"]: r["i"] for r in _dense_ranks(nodes).collect()}
+    assert got == {x: i for i, x in enumerate(uniq)}
+    # plan has no partition-less window (the single-partition funnel)
+    plan = _dense_ranks(nodes)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
