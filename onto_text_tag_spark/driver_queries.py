@@ -361,6 +361,19 @@ def q_kg_cooccur_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from onto_text_tag_spark.operators.cooccur import (
         windowed_cooccurrence_edges,
     )
+
+    return windowed_cooccurrence_edges(
+        _position_mentions(spark, sf_dir), window=5, doc_col="url",
+        term_col="curie", pos_col="pos",
+    )
+
+
+def _position_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, curie, pos) mention occurrences with 1-based token
+    positions — the position-aware tagging relation the proximity and
+    context queries share (uni surfaces match tokens, bi surfaces match
+    bigrams at their first token's index; the SQL oracles replay the
+    identical expansion)."""
     from onto_text_tag_spark.session import local_df
 
     d = _docs(spark, sf_dir)
@@ -397,10 +410,61 @@ def q_kg_cooccur_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(dic.where(F.col("kind") == "bi")),
         bgs["bg"] == F.col("surface"),
     ).select("url", "curie", "pos")
-    return windowed_cooccurrence_edges(
-        uni.unionByName(bi), window=5, doc_col="url",
-        term_col="curie", pos_col="pos",
+    return uni.unionByName(bi)
+
+
+def q_kg_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±5-token context snippet per mention occurrence — the (surface,
+    context) training pair for learned entity linking, and the KWIC
+    review view (operators/linker.py:mention_contexts; JVM list algebra
+    over the doc-keyed join of the position-aware mention stream back to
+    the corpus)."""
+    from onto_text_tag_spark.operators.linker import mention_contexts
+
+    pos = _position_mentions(spark, sf_dir).distinct()
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
     )
+    return mention_contexts(
+        docs, pos, window=5, id_col="url",
+    )
+
+
+def sql_kg_mention_contexts() -> str:
+    return f"""
+WITH dict(curie, surface, kind) AS (VALUES {_sql_surface_rows()}),
+docs AS (
+  SELECT doc_id::VARCHAR AS doc_id, string_split(text, ' ') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+  FROM docs
+),
+bigrams AS (
+  SELECT doc_id, unnest(bl) AS bg, generate_subscripts(bl, 1) AS pos
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, len(l)),
+                          i -> l[i::int] || ' ' || l[(i+1)::int]) AS bl
+    FROM docs
+  )
+),
+pos_rows AS (
+  SELECT DISTINCT doc_id, curie, pos FROM (
+    SELECT t.doc_id, d.curie, t.pos
+    FROM toks t JOIN dict d ON d.kind = 'uni' AND t.tok = d.surface
+    UNION ALL
+    SELECT b.doc_id, d.curie, b.pos
+    FROM bigrams b JOIN dict d ON d.kind = 'bi' AND b.bg = d.surface
+  )
+)
+SELECT p.doc_id AS url, p.curie, p.pos::BIGINT AS pos,
+       array_to_string(
+         list_slice(dd.l, greatest(p.pos - 5, 1)::int,
+                    least(p.pos + 5, len(dd.l))::int), ' ') AS context
+FROM pos_rows p JOIN docs dd ON dd.doc_id = p.doc_id
+"""
 
 
 def sql_kg_cooccur_window() -> str:
@@ -3081,6 +3145,7 @@ QUERIES = {
     "kg_cooccur_retract": q_kg_cooccur_retract,
     "kg_cooccur_dict_delta": q_kg_cooccur_dict_delta,
     "kg_cooccur_window": q_kg_cooccur_window,
+    "kg_mention_contexts": q_kg_mention_contexts,
     "kg_chord": q_kg_chord,
     "kg_degree": q_kg_degree,
     "kg_triangles": q_kg_triangles,
@@ -3155,6 +3220,7 @@ ORACLES = {
     "kg_cooccur_retract": sql_kg_cooccur_retract(),
     "kg_cooccur_dict_delta": sql_kg_cooccur_dict_delta(),
     "kg_cooccur_window": sql_kg_cooccur_window(),
+    "kg_mention_contexts": sql_kg_mention_contexts(),
     "kg_chord": sql_kg_chord(),
     "kg_degree": sql_kg_degree(),
     "kg_triangles": sql_kg_triangles(),

@@ -178,3 +178,50 @@ def entity_salience(
         F.round("salience", 6).alias("salience"),
         F.row_number().over(win).cast("long").alias("rank"),
     )
+
+
+def mention_contexts(
+    documents: DataFrame,
+    positions: DataFrame,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos_col: str = "pos",
+    term_col: str = "curie",
+) -> DataFrame:
+    """(id, curie, pos, context) — the ±``window``-token snippet around
+    each mention occurrence: the (surface, context) pair every learned
+    entity-linking / disambiguation model trains on, and the KWIC view
+    an annotation UI shows.
+
+    ``positions`` carries 1-based token positions (as emitted by the
+    position-aware tagging path).  The context slice is pure JVM list
+    algebra on the re-tokenized document — one equi-join of positions
+    back to the corpus (both sides doc-keyed, no skew beyond document
+    length), then ``slice`` bounded at both ends.  At 100 TB the join is
+    mention-stream × corpus on the id key — co-partitioned for free when
+    mentions were derived from the same scan, bucketed tables otherwise.
+    """
+    toks = documents.select(
+        F.col(id_col), F.expr(
+            f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+        ).alias("_l"),
+    )
+    p = positions.select(
+        F.col(id_col), F.col(term_col).alias("curie"),
+        F.col(pos_col).cast("long").alias("pos"),
+    )
+    start = F.greatest(F.col("pos") - window, F.lit(1))
+    length = (
+        F.least(F.col("pos") + F.lit(window), F.size("_l").cast("long"))
+        - start + 1
+    )
+    return (
+        p.join(toks, id_col)
+        .select(
+            id_col, "curie", "pos",
+            F.array_join(
+                F.slice("_l", start, length), " "
+            ).alias("context"),
+        )
+    )

@@ -102,3 +102,29 @@ def test_entity_salience_hand_values(spark):
     # d3: B tf2·idf(2/3)≈0.811 vs C tf1·idf(3)≈1.099 -> C ranks first
     assert got[("d3", "C")][3] == 1
     assert got[("d3", "B")][3] == 2
+
+
+def test_mention_contexts_window_bounds(spark):
+    from onto_text_tag_spark.operators.linker import mention_contexts
+    from onto_text_tag_spark.session import local_df
+
+    docs = local_df(
+        spark,
+        [(1, "a b c d e f g h i j"), (2, "x y")],
+        "doc_id bigint, text string",
+    )
+    pos = local_df(
+        spark,
+        [(1, "T1", 1), (1, "T2", 5), (1, "T3", 10), (2, "T4", 2)],
+        "doc_id bigint, curie string, pos bigint",
+    )
+    got = {
+        (r["doc_id"], r["curie"]): r["context"]
+        for r in mention_contexts(docs, pos, window=2).collect()
+    }
+    assert got == {
+        (1, "T1"): "a b c",          # left-clamped
+        (1, "T2"): "c d e f g",      # full ±2
+        (1, "T3"): "h i j",          # right-clamped
+        (2, "T4"): "x y",            # both-clamped
+    }
