@@ -1015,6 +1015,58 @@ WHERE NOT EXISTS (SELECT 1 FROM und u
 """
 
 
+def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the co-occurrence graph —
+    the DeepWalk/node2vec "sentences" graph-embedding training consumes
+    (operators/graph_metrics.py:random_walks: md5-hash draws, identical
+    at any parallelism; the oracle replays every step)."""
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+    from onto_text_tag_spark.operators.graph_metrics import random_walks
+
+    m = _mentions(spark, sf_dir)
+    edges = cooccurrence_edges(m, doc_col="url", term_col="curie")
+    return random_walks(edges, walk_length=4, walks_per_node=2, seed=7)
+
+
+def sql_kg_walks(walk_length: int = 4, walks_per_node: int = 2,
+                 seed: int = 7) -> str:
+    from onto_text_tag_spark.functions.hashing import md5_long_sql
+
+    ctes = [
+        """e0 AS (
+   SELECT a.curie AS src, b.curie AS dst
+   FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie
+   GROUP BY a.curie, b.curie)""",
+        "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "nb AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r FROM e)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS deg "
+        "FROM e GROUP BY src)",
+        f"s0 AS MATERIALIZED (SELECT src || '#' || w.w::VARCHAR || "
+        f"'@{seed}' AS walk_id, src AS node FROM deg, "
+        f"(SELECT unnest(range(0, {walks_per_node})) AS w) w)",
+    ]
+    for t in range(1, walk_length + 1):
+        draw = md5_long_sql(f"(c.walk_id || ':{t}')")
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT c.walk_id, nb.dst AS node "
+            f"FROM s{t - 1} c "
+            f"JOIN deg d ON d.src = c.node "
+            f"JOIN nb ON nb.src = c.node AND nb.r = {draw} % d.deg)"
+        )
+    steps = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {t} AS step, node FROM s{t}"
+        for t in range(walk_length + 1)
+    )
+    chain = ",\n ".join(ctes)
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ {chain}
+{steps}
+"""
+
+
 def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense nucleus of the co-occurrence graph: the k-core (k=4) —
     nodes that keep degree ≥ 4 after iterative peeling (operators/
@@ -3160,6 +3212,7 @@ QUERIES = {
     "kg_related": q_kg_related,
     "kg_kcore": q_kg_kcore,
     "kg_neg_edges": q_kg_neg_edges,
+    "kg_walks": q_kg_walks,
     "kg_class_neighbors": q_kg_class_neighbors,
     "kg_links": q_kg_links,
     "kg_nodes": q_kg_nodes,
@@ -3235,6 +3288,7 @@ ORACLES = {
     "kg_related": sql_kg_related(),
     "kg_kcore": sql_kg_kcore(),
     "kg_neg_edges": sql_kg_neg_edges(),
+    "kg_walks": sql_kg_walks(),
     "kg_class_neighbors": sql_kg_class_neighbors(),
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),

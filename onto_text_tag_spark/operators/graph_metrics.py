@@ -674,3 +674,80 @@ def negative_edges(
         .distinct()
     )
     return pairs.join(und, ["src", "dst"], "left_anti")
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """(walk_id, step, node) — fixed-length random walks from every
+    node, the training corpus DeepWalk/node2vec-style graph embeddings
+    consume (each walk is a "sentence" over node tokens).
+
+    Determinism contract (same draws at any parallelism, rerun, or
+    cluster size — ``rand()`` gives none of this): the step-t draw is
+    ``md5(walk_id ':' t) mod degree(cur)``, an engine-portable hash the
+    SQL oracle replays bit-for-bit.  Neighbors get per-source dense
+    ranks once (window partitioned by src — partitioned, so hub fan-out
+    spreads across tasks); each step is then one (cur) → (cur, idx)
+    equi-join pair, lineage-truncated.  Undirected mirroring guarantees
+    every node has ≥1 neighbor, so walks never strand.
+    """
+    from onto_text_tag_spark.functions.hashing import md5_long
+
+    e = edges.select(F.col("src").cast("string").alias("src"),
+                     F.col("dst").cast("string").alias("dst"))
+    e = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nb = e.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("src").orderBy("dst")
+        ) - 1,
+    ).localCheckpoint(eager=True)
+    deg = nb.groupBy("src").agg(F.count("*").alias("deg"))
+
+    starts = (
+        deg.select("src")
+        .select(
+            F.col("src").alias("node"),
+            F.explode(
+                F.expr(f"sequence(0, {int(walks_per_node) - 1})")
+            ).alias("w"),
+        )
+        .select(
+            F.concat(F.col("node"), F.lit("#"), F.col("w").cast("string"),
+                     F.lit("@"), F.lit(str(int(seed)))).alias("walk_id"),
+            F.col("node"),
+        )
+    )
+    out = starts.select("walk_id", F.lit(0).alias("step"), "node")
+    cur = starts
+    for t in range(1, int(walk_length) + 1):
+        draw = F.pmod(
+            md5_long(F.concat(F.col("walk_id"), F.lit(f":{t}"))),
+            F.col("deg"),
+        )
+        nxt = (
+            cur.join(deg, cur["node"] == deg["src"])
+            .select("walk_id", F.col("node").alias("_cur"),
+                    draw.alias("_idx"))
+            .join(
+                nb,
+                (F.col("_cur") == nb["src"]) & (F.col("_idx") == nb["r"]),
+            )
+            .select("walk_id", F.col("dst").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            nxt.select("walk_id", F.lit(t).alias("step"), "node")
+        )
+        cur = nxt
+    return out

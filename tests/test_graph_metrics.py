@@ -511,3 +511,42 @@ def test_dense_ranks_equal_global_sort(spark):
     # plan has no partition-less window (the single-partition funnel)
     plan = _dense_ranks(nodes)._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan
+
+
+def test_random_walks_deterministic_and_edge_respecting(spark):
+    from onto_text_tag_spark.operators.graph_metrics import random_walks
+    from onto_text_tag_spark.session import local_df
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("e", "a")]
+    e = local_df(spark, pairs, "src string, dst string")
+    w1 = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(e, walk_length=4, walks_per_node=2).collect()
+    )
+    w2 = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(e, walk_length=4, walks_per_node=2).collect()
+    )
+    assert w1 == w2 and w1
+    # every walk: 5 steps (0..4), starts at its node, consecutive steps
+    # are graph edges
+    adj = set()
+    for s, d in pairs:
+        adj.add((s, d))
+        adj.add((d, s))
+    bywalk = {}
+    for wid, step, node in w1:
+        bywalk.setdefault(wid, {})[step] = node
+    assert len(bywalk) == 10  # 5 nodes × 2 walks
+    for wid, steps in bywalk.items():
+        assert sorted(steps) == [0, 1, 2, 3, 4]
+        assert steps[0] == wid.split("#")[0]
+        for t in range(4):
+            assert (steps[t], steps[t + 1]) in adj, (wid, t)
+    # a different seed changes at least one walk
+    w3 = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(e, walk_length=4, walks_per_node=2,
+                              seed=99).collect()
+    )
+    assert [x[2] for x in w3] != [x[2] for x in w1] or w3 != w1
