@@ -1015,6 +1015,65 @@ WHERE NOT EXISTS (SELECT 1 FROM und u
 """
 
 
+def q_kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structural dashboard of the co-occurrence graph: node and
+    edge counts, density, degree profile, total co-mention weight — the
+    per-build summary a KG pipeline publishes next to its lineage
+    manifest."""
+    from onto_text_tag_spark.operators.cooccur import cooccurrence_edges
+
+    m = _mentions(spark, sf_dir)
+    e = cooccurrence_edges(m, doc_col="url", term_col="curie")
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    totals = e.agg(
+        F.count("*").alias("n_edges"),
+        F.sum("weight").cast("long").alias("total_weight"),
+    )
+    dstats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("deg").cast("long").alias("max_degree"),
+        F.round(F.avg("deg"), 4).alias("avg_degree"),
+    )
+    return totals.crossJoin(dstats).select(
+        "n_nodes", "n_edges",
+        F.round(
+            F.col("n_edges")
+            / (F.col("n_nodes") * (F.col("n_nodes") - 1) / 2.0),
+            4,
+        ).alias("density"),
+        "avg_degree", "max_degree", "total_weight",
+    )
+
+
+def sql_kg_graph_stats() -> str:
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT doc_id, curie FROM mention_rows),
+ e AS MATERIALIZED (
+   SELECT a.curie AS src, b.curie AS dst, count(*) AS weight
+   FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.curie < b.curie
+   GROUP BY a.curie, b.curie),
+ deg AS (
+   SELECT node, count(*) AS deg FROM (
+     SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+   ) GROUP BY node),
+ t AS (SELECT count(*)::BIGINT AS n_edges,
+              sum(weight)::BIGINT AS total_weight FROM e),
+ d AS (SELECT count(*)::BIGINT AS n_nodes,
+              max(deg)::BIGINT AS max_degree,
+              round(avg(deg), 4) AS avg_degree FROM deg)
+SELECT n_nodes, n_edges,
+       round(n_edges / (n_nodes * (n_nodes - 1) / 2.0), 4) AS density,
+       avg_degree, max_degree, total_weight
+FROM t, d
+"""
+
+
 def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random-walk corpus over the co-occurrence graph —
     the DeepWalk/node2vec "sentences" graph-embedding training consumes
@@ -3213,6 +3272,7 @@ QUERIES = {
     "kg_kcore": q_kg_kcore,
     "kg_neg_edges": q_kg_neg_edges,
     "kg_walks": q_kg_walks,
+    "kg_graph_stats": q_kg_graph_stats,
     "kg_class_neighbors": q_kg_class_neighbors,
     "kg_links": q_kg_links,
     "kg_nodes": q_kg_nodes,
@@ -3289,6 +3349,7 @@ ORACLES = {
     "kg_kcore": sql_kg_kcore(),
     "kg_neg_edges": sql_kg_neg_edges(),
     "kg_walks": sql_kg_walks(),
+    "kg_graph_stats": sql_kg_graph_stats(),
     "kg_class_neighbors": sql_kg_class_neighbors(),
     "kg_links": sql_kg_links(),
     "kg_nodes": sql_kg_nodes(),
