@@ -2312,6 +2312,44 @@ FROM x
 """
 
 
+def q_text_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing: chunks stream into 200-token training
+    bins per source in deterministic order (operators/curation.py:
+    pack_sequences — next-fit via one partitioned window, no global
+    sort; true first-fit is inherently sequential)."""
+    from onto_text_tag_spark.operators.curation import pack_sequences
+    from onto_text_tag_spark.operators.textstats import chunk_documents
+
+    d = _docs(spark, sf_dir)
+    chunks = chunk_documents(d, chunk_tokens=50, overlap=10).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return pack_sequences(
+        chunks, budget=200, group_col="source",
+        order_cols=("doc_id", "chunk_id"),
+    )
+
+
+def sql_text_packing() -> str:
+    return f"""
+WITH chunks AS ({sql_text_chunks()}),
+j AS (
+  SELECT d.source, c.doc_id, c.chunk_id, c.n_tokens
+  FROM chunks c JOIN documents d ON d.doc_id = c.doc_id
+),
+cum AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY source ORDER BY doc_id, chunk_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM j
+)
+SELECT source, (c - n_tokens) // 200 AS bin, doc_id, chunk_id,
+       n_tokens::BIGINT AS n_tokens,
+       (c - ((c - n_tokens) // 200) * 200)::BIGINT AS bin_fill
+FROM cum
+"""
+
+
 def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source page-length quantiles — the drift monitor a curation
     pipeline publishes per crawl (operators/textstats.py:group_quantiles;
@@ -3301,6 +3339,7 @@ QUERIES = {
     "corpus_rollup": q_corpus_rollup,
     "corpus_quantiles": q_corpus_quantiles,
     "text_chunks": q_text_chunks,
+    "text_packing": q_text_packing,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -3378,6 +3417,7 @@ ORACLES = {
     "corpus_rollup": sql_corpus_rollup(),
     "corpus_quantiles": sql_corpus_quantiles(),
     "text_chunks": sql_text_chunks(),
+    "text_packing": sql_text_packing(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash_sig": sql_dedup_minhash_sig(),
     "dedup_lsh_pairs": sql_dedup_lsh_pairs(),

@@ -154,3 +154,42 @@ def stratified_sample(
         F.lit(mod),
     )
     return documents.where(draw < frac * mod)
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    order_cols: tuple = ("doc_id", "chunk_id"),
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(group, bin, *order_cols, n_tokens, bin_fill) — streaming
+    sequence packing: assign chunks to fixed-token-budget training bins
+    in deterministic order, the context-length packing step between
+    chunking and batch assembly.
+
+    Streaming (next-fit) packing, not first-fit: a chunk goes to the
+    current bin until the budget would overflow, then opens the next —
+    expressible as ONE window per group (running token sum ordered by
+    ``order_cols``; bin = ⌊(cumsum − tokens) / budget⌋), where true
+    first-fit is inherently sequential.  Waste vs first-fit is bounded
+    by one chunk per bin and the order is content-deterministic, so
+    reruns pack identically.  ``bin_fill`` is the bin's running fill
+    after this chunk (audit: fill ≤ budget + max_chunk − 1).  Groups
+    partition the window — no global sort, scales with the group count.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    b = F.floor((cum - F.col(tokens_col)) / budget).cast("long")
+    out_cols = [F.col(group_col), b.alias("bin")]
+    out_cols += [F.col(c) for c in order_cols]
+    out_cols += [
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        (cum - b * budget).cast("long").alias("bin_fill"),
+    ]
+    return chunks.select(*out_cols)

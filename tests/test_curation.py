@@ -149,3 +149,32 @@ def test_boilerplate_ngrams_hand_values(spark):
     assert got[("h1", "text about")] == (2, 0.6667)
     assert ("h1", "about cats") not in got   # 1/3 below threshold
     assert got[("h2", "cookie banner")] == (1, 1.0)
+
+
+def test_pack_sequences_streaming_bins(spark):
+    from onto_text_tag_spark.operators.curation import pack_sequences
+
+    rows = [
+        ("g", 1, 0, 40), ("g", 1, 1, 40), ("g", 2, 0, 30),
+        ("g", 3, 0, 100), ("h", 9, 0, 10),
+    ]
+    chunks = local_df(
+        spark, rows,
+        "source string, doc_id bigint, chunk_id bigint, n_tokens bigint",
+    )
+    got = {
+        (r["source"], r["doc_id"], r["chunk_id"]): (r["bin"], r["bin_fill"])
+        for r in pack_sequences(chunks, budget=100).collect()
+    }
+    # g cumsums: 40, 80, 110, 210 -> bins floor((c-t)/100): 0,0,0,1
+    assert got[("g", 1, 0)] == (0, 40)
+    assert got[("g", 1, 1)] == (0, 80)
+    assert got[("g", 2, 0)] == (0, 110)   # straddles: fill 110 = budget+10
+    assert got[("g", 3, 0)] == (1, 110)
+    assert got[("h", 9, 0)] == (0, 10)
+    # deterministic rerun
+    again = {
+        (r["source"], r["doc_id"], r["chunk_id"]): (r["bin"], r["bin_fill"])
+        for r in pack_sequences(chunks, budget=100).collect()
+    }
+    assert got == again
