@@ -1871,6 +1871,33 @@ WHERE {draw} % 10000 <
 """
 
 
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    at-rest compression vector stores apply (operators/similarity.py:
+    quantize_embeddings; rounded per-vector scale is part of the
+    contract so the oracle reproduces the arrays bit-for-bit)."""
+    from onto_text_tag_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+
+
+def sql_emb_quantize() -> str:
+    return """
+SELECT vec_id,
+       round(list_max(list_transform(embedding,
+             v -> abs(v::DOUBLE))) / 127.0, 6) AS scale,
+       CASE WHEN list_max(list_transform(embedding,
+                 v -> abs(v::DOUBLE))) = 0.0
+            THEN list_transform(embedding, v -> 0::INT)
+            ELSE list_transform(embedding,
+                 v -> round(v::DOUBLE /
+                      round(list_max(list_transform(embedding,
+                            u -> abs(u::DOUBLE))) / 127.0, 6))::INT)
+       END AS qvec
+FROM embeddings
+"""
+
+
 # ---------------------------------------------------------------------------
 # Web link graph
 # ---------------------------------------------------------------------------
@@ -3351,6 +3378,7 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_trained": q_sim_ivf_trained,
     "emb_neardup": q_emb_neardup,
+    "emb_quantize": q_emb_quantize,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "pricing_summary": q_pricing_summary,
@@ -3428,6 +3456,7 @@ ORACLES = {
     "sim_lsh_topk": sql_sim_lsh_topk(),
     "sim_ivf_topk": sql_sim_ivf_topk(),
     "emb_neardup": sql_emb_neardup(),
+    "emb_quantize": sql_emb_quantize(),
     "events_tumbling": sql_events_tumbling(),
     "events_sessionize": sql_events_sessionize(),
     "pricing_summary": sql_pricing_summary(),

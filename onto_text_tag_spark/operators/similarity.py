@@ -456,3 +456,40 @@ def class_centroids(
         ).alias("centroid"),
         F.max("_n").alias("n_docs"),
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, scale, qvec) — symmetric per-vector int8 quantization:
+    ``scale = round(max|x| / 127, 6)``, ``q_i = round(x_i / scale)`` ∈
+    [-127, 127].  At 100 TB the embedding column IS the table (a 64-dim
+    float32 vector is 256 B/row); int8 cuts it 4× with ~0.5% cosine
+    error, which is why serving/ANN stores quantize at rest.  The
+    rounded scale is part of the contract (the SQL twin reproduces the
+    arrays bit-for-bit); all-zero vectors quantize to zeros with scale
+    0.  Pure JVM ``transform`` — row-parallel, no UDF, no shuffle.
+    """
+    x = F.col(vec_col)
+    maxabs = F.array_max(F.expr(
+        f"transform({vec_col}, v -> abs(cast(v as double)))"
+    ))
+    scale = F.round(maxabs / 127.0, 6)
+    qvec = F.when(maxabs == 0.0, F.expr(
+        f"transform({vec_col}, v -> cast(0 as int))"
+    )).otherwise(
+        F.expr(
+            f"transform({vec_col}, "
+            f"v -> cast(round(cast(v as double) / _scale) as int))"
+        )
+    )
+    return (
+        embeddings.withColumn("_scale", scale)
+        .select(
+            F.col(id_col),
+            F.col("_scale").alias("scale"),
+            qvec.alias("qvec"),
+        )
+    )

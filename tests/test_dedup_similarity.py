@@ -728,3 +728,33 @@ def test_class_centroids_hand_values(spark):
         "A": (2, [0.5, 1.0]),        # mean of d1, d2 (d2 counted once)
         "B": (2, [2.5, 2.0]),        # mean of d1, d3
     }
+
+
+def test_quantize_embeddings_fidelity_and_zero_vector(spark):
+    import math
+
+    from onto_text_tag_spark.operators.similarity import quantize_embeddings
+    from onto_text_tag_spark.session import local_df
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.125]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [1e-4, -2e-4, 3e-4, 0.0]),
+    ]
+    df = local_df(spark, rows, "vec_id bigint, embedding array<double>")
+    got = {r["vec_id"]: (r["scale"], r["qvec"])
+           for r in quantize_embeddings(df).collect()}
+    # max-magnitude component maps to ±127
+    assert got[1][1][1] == -127
+    assert min(min(q for _s, q in got.values() if q)) >= -127
+    assert max(max(q for _s, q in got.values() if q)) <= 127
+    # zero vector: scale 0, all-zero qvec (no divide-by-zero)
+    assert got[2] == (0.0, [0, 0, 0, 0])
+    # dequantized cosine ≈ 1 for a non-degenerate vector
+    s, q = got[1]
+    deq = [qi * s for qi in q]
+    orig = rows[0][1]
+    dot = sum(a * b for a, b in zip(deq, orig))
+    cos = dot / (math.sqrt(sum(a * a for a in deq))
+                 * math.sqrt(sum(b * b for b in orig)))
+    assert cos > 0.999
