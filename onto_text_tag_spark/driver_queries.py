@@ -2706,6 +2706,53 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
+def q_sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over the int8-QUANTIZED vectors (dequantize = q·scale
+    then the exact kernel): the compressed-domain search a 4×-smaller
+    vector store serves — same plan as ``sim_topk``, demonstrating that
+    ranking survives quantization (and pinning exactly how the scores
+    move)."""
+    from onto_text_tag_spark.operators.similarity import (
+        cosine_topk,
+        quantize_embeddings,
+    )
+
+    qt = quantize_embeddings(_parallel(_read(spark, sf_dir, "embeddings")))
+    deq = qt.select(
+        "vec_id",
+        F.expr("transform(qvec, v -> cast(v as double) * scale)").alias(
+            "embedding"
+        ),
+    )
+    queries = deq.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(deq, queries, k=_TOPK)
+
+
+def sql_sim_topk_quantized() -> str:
+    return f"""
+WITH qt AS ({sql_emb_quantize()}),
+ deq AS (
+   SELECT vec_id, list_transform(qvec, v -> v * scale) AS embedding
+   FROM qt
+ ),
+ q AS (SELECT vec_id AS query_id, embedding FROM deq
+       WHERE vec_id < {_N_QUERIES}),
+ scored AS (
+   SELECT q.query_id, c.vec_id AS cand_id, {_COS_SQL} AS score
+   FROM deq c, q WHERE c.vec_id != q.query_id
+ ),
+ ranked AS (
+   SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, cand_id ASC) AS rank
+   FROM scored
+ )
+SELECT query_id, cand_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
 def _planes_sql_signature(alias: str) -> str:
     planes = hyperplane_matrix(_NUM_PLANES, _DIM)
     bits = []
@@ -3379,6 +3426,7 @@ QUERIES = {
     "sim_ivf_trained": q_sim_ivf_trained,
     "emb_neardup": q_emb_neardup,
     "emb_quantize": q_emb_quantize,
+    "sim_topk_quantized": q_sim_topk_quantized,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "pricing_summary": q_pricing_summary,
@@ -3457,6 +3505,7 @@ ORACLES = {
     "sim_ivf_topk": sql_sim_ivf_topk(),
     "emb_neardup": sql_emb_neardup(),
     "emb_quantize": sql_emb_quantize(),
+    "sim_topk_quantized": sql_sim_topk_quantized(),
     "events_tumbling": sql_events_tumbling(),
     "events_sessionize": sql_events_sessionize(),
     "pricing_summary": sql_pricing_summary(),
