@@ -1126,6 +1126,45 @@ WITH {_MENTIONS_CTE},
 """
 
 
+def q_kg_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the walk corpus: (center, context)
+    node pairs within 2 steps on the same walk, count-weighted — the
+    exact input word2vec-style embedding training consumes, derived
+    entirely from the deterministic walk relation (one walk-keyed
+    self-join; walks are short, so the per-walk blow-up is the fixed
+    window, never quadratic in graph size)."""
+    walks = q_kg_walks(spark, sf_dir)
+    a = walks.alias("a")
+    b = walks.alias("b")
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("b.step") > F.col("a.step"))
+            & (F.col("b.step") - F.col("a.step") <= 2)
+            & (F.col("a.node") != F.col("b.node"))
+        )
+        .select(
+            F.least("a.node", "b.node").alias("src"),
+            F.greatest("a.node", "b.node").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
+def sql_kg_walk_pairs() -> str:
+    inner = sql_kg_walks().strip()
+    return f"""
+WITH walks AS ({inner})
+SELECT least(a.node, b.node) AS src,
+       greatest(a.node, b.node) AS dst,
+       count(*)::BIGINT AS weight
+FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+WHERE b.step > a.step AND b.step - a.step <= 2 AND a.node <> b.node
+GROUP BY 1, 2
+"""
+
+
 def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense nucleus of the co-occurrence graph: the k-core (k=4) —
     nodes that keep degree ≥ 4 after iterative peeling (operators/
@@ -3384,6 +3423,7 @@ QUERIES = {
     "kg_kcore": q_kg_kcore,
     "kg_neg_edges": q_kg_neg_edges,
     "kg_walks": q_kg_walks,
+    "kg_walk_pairs": q_kg_walk_pairs,
     "kg_graph_stats": q_kg_graph_stats,
     "kg_class_neighbors": q_kg_class_neighbors,
     "kg_links": q_kg_links,
@@ -3464,6 +3504,7 @@ ORACLES = {
     "kg_kcore": sql_kg_kcore(),
     "kg_neg_edges": sql_kg_neg_edges(),
     "kg_walks": sql_kg_walks(),
+    "kg_walk_pairs": sql_kg_walk_pairs(),
     "kg_graph_stats": sql_kg_graph_stats(),
     "kg_class_neighbors": sql_kg_class_neighbors(),
     "kg_links": sql_kg_links(),
