@@ -209,3 +209,43 @@ def test_group_quantiles_exact_and_approx_schema(spark):
     ap = group_quantiles(df, "g", "x", approx=True)
     assert ap.columns == ["g", "q25", "q50", "q90"]
     assert ap.count() == 2
+
+
+def test_jsonl_roundtrip_and_corrupt_records(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.corpus import documents_df
+    from onto_text_tag_spark.sources.jsonl import (
+        read_document_jsonl,
+        write_document_jsonl,
+    )
+
+    docs = documents_df(spark, n_docs=30)
+    path = str(tmp_path / "docs_jsonl")
+    write_document_jsonl(docs, path)
+    # Spark disallows corrupt-only queries straight off raw JSON —
+    # cache the parsed result first (the documented pattern)
+    back = read_document_jsonl(spark, path).cache()
+    back.count()
+    assert back.where(F.col("_corrupt_record").isNotNull()).count() == 0
+    a = {r["url"]: (bytes(r["html"]), r["text"], r["lang"],
+                    str(r["warc_ts"]))
+         for r in docs.collect()}
+    b = {r["url"]: (bytes(r["html"]), r["text"], r["lang"],
+                    str(r["warc_ts"]))
+         for r in back.collect()}
+    assert a == b  # html bytes + metadata round-trip exactly
+
+    # plant a corrupt vendor shard: PERMISSIVE surfaces the line,
+    # DROPMALFORMED drops it (a fresh file — appending in place would
+    # trip the Hadoop CRC sidecar, which is its own kind of audit)
+    with open(f"{path}/vendor-extra.json", "w") as fh:
+        fh.write('{"url": "https://bad", "html_b64": NOT_JSON}\n')
+    back.unpersist()  # same-plan cache would otherwise serve stale rows
+    perm = read_document_jsonl(spark, path).cache()
+    perm.count()
+    assert perm.where(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert perm.count() == 31
+    dropped = read_document_jsonl(spark, path, mode="DROPMALFORMED")
+    assert dropped.count() == 30
+    assert "_corrupt_record" not in dropped.columns
