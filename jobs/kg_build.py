@@ -70,6 +70,11 @@ def main() -> None:
     ap.add_argument("--no-nodes", action="store_true",
                     help="skip materializing the nodes table (the edges "
                     "side — the triples stage — is always written)")
+    ap.add_argument("--jsonl", action="store_true",
+                    help="--input is JSONL document shards "
+                    "(sources/jsonl.py vendor interchange; malformed "
+                    "lines drop, never kill the build) instead of a "
+                    "documents parquet")
     ap.add_argument("--warc", action="store_true",
                     help="--input is a WARC archive glob (*.warc[.gz], the "
                     "Common Crawl interchange) instead of a documents "
@@ -120,7 +125,10 @@ def main() -> None:
             spark.read.format("binaryFile").load(args.input) \
                 .select("path").limit(10).count()
         else:
-            spark.read.parquet(args.input).limit(1000).count()
+            if args.jsonl:
+                spark.read.text(args.input).limit(1000).count()
+            else:
+                spark.read.parquet(args.input).limit(1000).count()
 
     t0 = time.time()
 
@@ -156,7 +164,16 @@ def main() -> None:
                 .select("path", "content"))
         id_col = "url"
     else:
-        corpus = spark.read.parquet(args.input)
+        if args.jsonl:
+            from onto_text_tag_spark.sources.jsonl import (
+                read_document_jsonl,
+            )
+
+            corpus = read_document_jsonl(
+                spark, args.input, mode="DROPMALFORMED"
+            )
+        else:
+            corpus = spark.read.parquet(args.input)
         if args.from_html:
             # P1 fuses into the tagging batch (tag_documents
             # html_col=...): one Arrow crossing, text never

@@ -177,3 +177,25 @@ def test_kg_build_links_stage(job_tmp, corpus, spark):
         "--no-nodes", "--links",
     )
     assert res2["stage_sec"]["links"] < 1.0  # snapshot reopen only
+
+
+def test_kg_build_jsonl_input_identical(job_tmp, corpus, spark):
+    """The JSONL interchange path produces the identical KG as the
+    parquet path over the same documents."""
+    from onto_text_tag_spark.sources.jsonl import write_document_jsonl
+
+    jl = os.path.join(job_tmp, "corpus_jsonl")
+    write_document_jsonl(spark.read.parquet(corpus), jl)
+    out_p = os.path.join(job_tmp, "kg_from_parquet")
+    out_j = os.path.join(job_tmp, "kg_from_jsonl")
+    res_p = _spark_submit(job_tmp, "--input", corpus, "--output", out_p,
+                          "--no-nodes")
+    res_j = _spark_submit(job_tmp, "--input", jl, "--output", out_j,
+                          "--no-nodes", "--jsonl")
+    assert res_j["n_mentions"] == res_p["n_mentions"]
+    assert res_j["n_triples"] == res_p["n_triples"]
+    from onto_text_tag_spark.sinks import read_stage
+
+    tp = read_stage(spark, out_p, "triples")
+    tj = read_stage(spark, out_j, "triples")
+    assert sorted(map(tuple, tp.collect())) == sorted(map(tuple, tj.collect()))
