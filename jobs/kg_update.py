@@ -84,6 +84,11 @@ def main() -> None:
                     "grown stage holding more than N_FILES part-files "
                     "into right-sized files (jobs/kg_compact.py inline; "
                     "content-identical, fingerprint kept)")
+    ap.add_argument("--links", action="store_true",
+                    help="also absorb the batch's anchor link graph: "
+                    "links stage file-appends, host graph merges by "
+                    "pair-keyed weight sum (plans/kg_absorb.py:"
+                    "absorb_links; same exactly-once protocol)")
     args = ap.parse_args()
     if not args.input and not args.retract:
         ap.error("one of --input / --retract is required")
@@ -123,6 +128,14 @@ def main() -> None:
             batch_fp=fingerprint_parquet_inputs([args.input]),
             lang=args.lang,
         )
+        if args.links:
+            from onto_text_tag_spark.plans.kg_absorb import absorb_links
+
+            stats["links"] = absorb_links(
+                spark, args.kg, spark.read.parquet(args.input),
+                batch_fp=fingerprint_parquet_inputs([args.input])
+                + ":links",
+            )
     else:
         stats = {"status": "committed"}  # retract-only update
     if args.retract:

@@ -882,3 +882,105 @@ def compact_stage(
             },
         },
     )
+
+
+def absorb_links(
+    spark: SparkSession,
+    kg_root: str,
+    docs: DataFrame,
+    batch_fp: str,
+) -> dict:
+    """Commit one crawl batch's ANCHOR LINK GRAPH into ``kg_root`` —
+    the web-graph twin of ``absorb_batch``, same exactly-once algebra:
+
+    * per-url idempotence: only urls not already in the links stage
+      contribute (a re-delivered page cannot double its edges);
+    * the links stage file-APPENDS (row-level facts, append-only);
+    * the host graph is a pair-keyed weight SUM, additive across
+      disjoint url sets, so it merges exactly like the co-occurrence
+      edges (one host-pair-keyed shuffle, ≪ corpus);
+    * epoch fingerprints in the links snapshot log make a replayed
+      batch a committed no-op; the interrupted-swap recovery protocol
+      is shared with the co-occurrence stage.
+
+    Stages are lazily bootstrapped on roots built before ``--links``.
+    """
+    from onto_text_tag_spark.operators.weblinks import (
+        extract_links,
+        host_graph,
+    )
+
+    t0 = time.time()
+    tag = hashlib.md5(("links:" + batch_fp).encode()).hexdigest()[:12]
+    live_hosts = os.path.join(kg_root, "host_graph", "data")
+
+    try:
+        read_manifest(kg_root, "links")
+    except OSError:
+        write_stage(
+            spark.createDataFrame(
+                [], "src_url string, dst_url string, anchor string"
+            ).repartition(1),
+            kg_root, "links", input_fingerprint="init",
+        )
+        write_stage(
+            spark.createDataFrame(
+                [], "src_host string, dst_host string, weight bigint"
+            ).repartition(1),
+            kg_root, "host_graph", input_fingerprint="init",
+        )
+
+    if any(
+        s.get("metrics", {}).get("batch_fingerprint") == batch_fp
+        for s in snapshot_log(kg_root, "links")
+    ):
+        return {
+            "status": "noop_already_committed",
+            "n_links_total": read_manifest(kg_root, "links")["total_rows"],
+            "sec": round(time.time() - t0, 2),
+        }
+
+    _recover_swap(live_hosts)
+
+    id_col = "url" if "url" in docs.columns else "doc_id"
+    seen = read_stage(spark, kg_root, "links").select(
+        F.col("src_url").alias(id_col)
+    ).distinct()
+    new_docs = docs.join(seen, id_col, "left_anti")
+
+    staging = os.path.join(kg_root, "_staging", tag)
+    delta_links = run_stage(
+        spark, staging, "links_delta",
+        lambda: extract_links(new_docs, url_col=id_col, html_col="html"),
+        input_fingerprint=batch_fp,
+    )
+    old_hosts = spark.read.parquet(live_hosts)
+    run_stage(
+        spark, staging, "merged_hosts",
+        lambda: (
+            old_hosts.unionByName(host_graph(delta_links))
+            .groupBy("src_host", "dst_host")
+            .agg(F.sum("weight").cast("long").alias("weight"))
+        ),
+        input_fingerprint=batch_fp,
+    )
+    n_new_links = read_manifest(staging, "links_delta")["total_rows"]
+
+    _append_batch_files(
+        os.path.join(staging, "links_delta", "data"),
+        os.path.join(kg_root, "links", "data"), tag)
+    _swap_subtree(os.path.join(staging, "merged_hosts", "data"), live_hosts)
+    metrics = {"batch_fingerprint": batch_fp, "batch_links": n_new_links}
+    for stage in ("links", "host_graph"):
+        prev = read_manifest(kg_root, stage)["input_fingerprint"]
+        combined = hashlib.md5(f"{prev}+{batch_fp}".encode()).hexdigest()
+        commit_stage(kg_root, stage,
+                     input_fingerprint=combined, metrics=metrics)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    return {
+        "status": "committed",
+        "n_new_links": n_new_links,
+        "n_links_total": read_manifest(kg_root, "links")["total_rows"],
+        "sec": round(time.time() - t0, 2),
+    }

@@ -294,3 +294,64 @@ def test_refresh_nodes_tracks_absorbs_and_retractions(spark, tmp_path):
         .select("id", "label", "ont"),
     ).collect()))
     assert snap() == want2
+
+
+def test_absorb_links_incremental_equals_batch(spark, tmp_path):
+    """Link-graph absorb: two crawl batches == one batch extraction over
+    the union; replays and re-delivered urls are no-ops."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.weblinks import (
+        extract_links,
+        host_graph,
+    )
+    from onto_text_tag_spark.plans.kg_absorb import absorb_links
+    from onto_text_tag_spark.session import local_df
+    from onto_text_tag_spark.sinks import read_stage
+
+    def page(host, i, targets):
+        anchors = "".join(
+            f'<a href="https://{t}/x">{t}</a>' for t in targets
+        )
+        return (f"https://{host}/p/{i}",
+                f"<html><body>{anchors}</body></html>".encode())
+
+    schema = "url string, html binary"
+    b1 = local_df(spark, [
+        page("a.com", 1, ["b.com", "c.com"]),
+        page("b.com", 1, ["c.com"]),
+    ], schema)
+    b2 = local_df(spark, [
+        page("a.com", 2, ["b.com"]),
+        # re-delivered url from batch 1 with DIFFERENT links: must not
+        # double or alter its already-committed edges
+        page("a.com", 1, ["zzz.com"]),
+    ], schema)
+    root = str(tmp_path / "kg_links_root")
+
+    s1 = absorb_links(spark, root, b1, batch_fp="b1")
+    assert s1["status"] == "committed" and s1["n_new_links"] == 3
+    # replay: committed no-op
+    assert absorb_links(spark, root, b1, batch_fp="b1")["status"] == \
+        "noop_already_committed"
+
+    s2 = absorb_links(spark, root, b2, batch_fp="b2")
+    assert s2["status"] == "committed" and s2["n_new_links"] == 1
+
+    union_new = b1.unionByName(
+        b2.where(F.col("url") == "https://a.com/p/2")
+    )
+    want_links = sorted(map(tuple, extract_links(union_new).collect()))
+    got_links = sorted(map(tuple, read_stage(spark, root, "links")
+                           .collect()))
+    assert got_links == want_links
+    want_hosts = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in host_graph(extract_links(union_new)).collect()
+    }
+    got_hosts = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in read_stage(spark, root, "host_graph").collect()
+    }
+    assert got_hosts == want_hosts
+    assert got_hosts[("a.com", "b.com")] == 2  # merged across batches
