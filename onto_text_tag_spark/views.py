@@ -40,7 +40,9 @@ def register_kg_views(
     projection of the live triples as ``(src, dst, weight)``.
     Registered when the stage exists: ``isa_closure``, ``nodes``
     (absorb-bootstrapped roots gain ``nodes`` after the first
-    ``refresh_nodes``; re-run this function to pick it up).
+    ``refresh_nodes``; re-run this function to pick it up), and the
+    link-graph pair ``links`` / ``host_graph`` (written by
+    ``kg_build --links`` or ``absorb_links``).
 
     Views are session-scoped and cheap to (re-)register; call again
     after maintenance commits to rebind to the current snapshots.
@@ -65,7 +67,7 @@ def register_kg_views(
             "weight",
         )
     )
-    for stage in ("isa_closure", "nodes"):
+    for stage in ("isa_closure", "nodes", "links", "host_graph"):
         if _stage_exists(kg_root, stage):
             registered[stage] = read_stage(spark, kg_root, stage)
 

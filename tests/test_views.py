@@ -119,3 +119,33 @@ def test_dedup_views(spark, tmp_path):
     assert spark.sql(
         "SELECT count(*) AS n FROM dedup_deduped"
     ).first()["n"] == read_deduped(spark, root).count() == 25
+
+
+def test_link_graph_views(spark, kg_root):
+    from onto_text_tag_spark.plans.kg_absorb import absorb_links
+    from onto_text_tag_spark.session import local_df
+    from onto_text_tag_spark.views import register_kg_views
+
+    docs = local_df(spark, [
+        ("https://a.com/1",
+         b'<a href="https://b.com/x">b</a><a href="https://c.com/y">c</a>'),
+        ("https://b.com/1", b'<a href="https://c.com/z">c</a>'),
+    ], "url string, html binary")
+    absorb_links(spark, kg_root, docs, batch_fp="views-links")
+    views = register_kg_views(spark, kg_root)
+    assert views["links"] == "kg_links" and \
+        views["host_graph"] == "kg_host_graph"
+    got = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in spark.sql(
+            "SELECT * FROM kg_host_graph ORDER BY src_host, dst_host"
+        ).collect()
+    }
+    assert got == {("a.com", "b.com"): 1, ("a.com", "c.com"): 1,
+                   ("b.com", "c.com"): 1}
+    # backlink count straight off the links view
+    n = spark.sql(
+        "SELECT count(*) AS n FROM kg_links "
+        "WHERE dst_url LIKE 'https://c.com%'"
+    ).collect()[0]["n"]
+    assert n == 2
