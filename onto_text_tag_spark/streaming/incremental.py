@@ -172,6 +172,7 @@ def start_kg_update_sink(
     checkpoint_path: str,
     lang: str | None = "en",
     compact_every: int | None = None,
+    links: bool = False,
 ):
     """Continuous crawl ingestion: absorb every micro-batch of pages
     into a KG snapshot root via the staged idempotent commit protocol
@@ -192,9 +193,15 @@ def start_kg_update_sink(
     after every Nth COMMITTED epoch the append-grown stages are
     rewritten into right-sized files (``compact_stage`` — content
     identical, fingerprint kept).  Replayed epochs hit the absorb
-    no-op and skip compaction entirely, so replays stay pure no-ops."""
+    no-op and skip compaction entirely, so replays stay pure no-ops.
+
+    ``links=True`` additionally absorbs each epoch's anchor link graph
+    (``absorb_links``: link facts append, host weights merge) under its
+    own epoch-keyed fingerprint — same exactly-once algebra, so the
+    link store tracks the KG store epoch for epoch."""
     from onto_text_tag_spark.plans.kg_absorb import (
         absorb_batch,
+        absorb_links,
         compact_stage,
     )
 
@@ -203,6 +210,11 @@ def start_kg_update_sink(
             batch_df.sparkSession, kg_root, batch_df, dictionary_rows,
             batch_fp=f"stream-epoch-{epoch_id}", lang=lang,
         )
+        if links:
+            absorb_links(
+                batch_df.sparkSession, kg_root, batch_df,
+                batch_fp=f"stream-epoch-{epoch_id}:links",
+            )
         if (
             compact_every
             and result["status"] == "committed"

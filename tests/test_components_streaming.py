@@ -335,3 +335,49 @@ def test_merge_components_equals_full_cc(spark):
         got = {(r["node"], r["comp"]) for r in merged.collect()}
         want = {(r["node"], r["comp"]) for r in full.collect()}
         assert got == want, f"cut={cut}"
+
+
+def test_streaming_kg_sink_absorbs_links(spark, tmp_path):
+    """links=True: the sink also maintains the anchor link graph, epoch
+    for epoch — stream-built links stage == batch extraction over the
+    union corpus."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.corpus import (
+        distributed_documents_df,
+        mini_ontology,
+    )
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.operators.weblinks import extract_links
+    from onto_text_tag_spark.plans.kg_absorb import init_kg_root
+    from onto_text_tag_spark.sinks import read_stage
+    from onto_text_tag_spark.streaming.incremental import (
+        read_document_stream,
+        start_kg_update_sink,
+    )
+
+    onto = mini_ontology()
+    kg_root = str(tmp_path / "kgroot")
+    init_kg_root(spark, kg_root, onto)
+    docs = distributed_documents_df(spark, 60, seed=9, partitions=2)
+    docs.cache().count()
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    docs.where(F.crc32("url") % 2 == 0).write.parquet(src)
+
+    q = start_kg_update_sink(
+        read_document_stream(spark, src), kg_root,
+        build_dictionary_rows(onto), ckpt, links=True,
+    )
+    try:
+        q.processAllAvailable()
+        docs.where(F.crc32("url") % 2 == 1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, read_stage(spark, kg_root, "links").collect()))
+    want = sorted(map(tuple, extract_links(docs).collect()))
+    assert got == want and got
+    # synth nav links are intra-host: the host rollup is present, empty
+    assert read_stage(spark, kg_root, "host_graph").count() == 0
