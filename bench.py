@@ -1781,6 +1781,118 @@ def run_dict_size_bench() -> dict:
     }
 
 
+def run_joined_tagging_bench(cores: int = 8) -> dict:
+    """Broadcast automaton vs shuffle-join tagging at a large dictionary
+    (operators/tagger.py:tag_documents_joined) — the J1 strategy
+    crossover evidence.
+
+    Corpus and dictionary are generated DISTRIBUTED and deterministic
+    (xxhash64 of (id, position) — physical-only randomness), sharing one
+    token space so hit rates are realistic.  Both paths compute the
+    (url, curie) mention-count relation; outputs are asserted
+    hash-identical before any timing is reported.  The joined path is
+    measured with the pure-JVM 'contain' resolver and with the exact
+    'greedy' resolver (applyInPandas over candidates only).
+    """
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.tagger import (
+        tag_documents,
+        tag_documents_joined,
+    )
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_JOINED_DOCS", "100000"))
+    dict_n = int(os.environ.get("SPARK_GRAFT_JOINED_DICT", "1000000"))
+    vocab, toks = 200_000, 150
+
+    spark = _session(cores)
+    try:
+        docs = spark.range(n_docs).select(
+            F.col("id").cast("string").alias("url"),
+            F.expr(
+                f"array_join(transform(sequence(1, {toks}),"
+                f" i -> concat('w', pmod(xxhash64(id, i), {vocab}))), ' ')"
+            ).alias("text"),
+        )
+        docs.write.mode("overwrite").parquet("/tmp/bench_joined_docs")
+        docs = spark.read.parquet("/tmp/bench_joined_docs")
+
+        dict_df = (
+            spark.range(dict_n)
+            .select(
+                F.when(
+                    F.pmod(F.xxhash64("id"), F.lit(100)) < 65,
+                    F.concat(F.lit("w"),
+                             F.pmod(F.xxhash64("id", F.lit(1)),
+                                    F.lit(vocab))),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("w"),
+                        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(vocab)),
+                        F.lit(" w"),
+                        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(vocab)),
+                    )
+                )
+                .alias("surface"),
+                F.concat(F.lit("T:"), F.col("id")).alias("id"),
+                F.lit("t").alias("name"),
+                F.lit("T").alias("ont"),
+            )
+            .dropDuplicates(["surface"])
+        )
+        dict_df.write.mode("overwrite").parquet("/tmp/bench_joined_dict")
+        dict_df = spark.read.parquet("/tmp/bench_joined_dict")
+        n_surfaces = dict_df.count()
+
+        def counts_hash(df):
+            agg = df.groupBy("url", "curie").count()
+            row = agg.select(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64("url", "curie", "count")).alias("h"),
+            ).collect()[0]
+            return row["n"], row["h"]
+
+        t0 = time.perf_counter()
+        rows = [r.asDict() for r in
+                dict_df.select("surface", "id", "name", "ont").collect()]
+        collect_sec = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        bc_n, bc_h = counts_hash(tag_documents(docs, rows))
+        broadcast_sec = round(time.perf_counter() - t0, 2)
+
+        timings = {}
+        for resolve in ("contain", "greedy"):
+            t0 = time.perf_counter()
+            jn, jh = counts_hash(
+                tag_documents_joined(docs, dict_df, resolve=resolve))
+            timings[resolve] = round(time.perf_counter() - t0, 2)
+            assert (jn, jh) == (bc_n, bc_h), (
+                f"joined[{resolve}] != broadcast: "
+                f"{(jn, jh)} vs {(bc_n, bc_h)}")
+
+        return {
+            "job": "tag_documents (broadcast automaton) vs "
+                   "tag_documents_joined (shuffle join) at a "
+                   "beyond-broadcast dictionary",
+            "cores": cores,
+            "docs": n_docs,
+            "tokens_per_doc": toks,
+            "dict_surfaces": n_surfaces,
+            "mention_groups": bc_n,
+            "dict_collect_sec": collect_sec,
+            "broadcast_sec": broadcast_sec,
+            "joined_contain_sec": timings["contain"],
+            "joined_greedy_sec": timings["greedy"],
+            "outputs_hash_equal": True,
+            "host_capacity_units_per_sec": {
+                str(k): v for k, v in _host_capacity().items()
+            },
+        }
+    finally:
+        spark.stop()
+
+
 SKEW_DOCS = int(os.environ.get("SPARK_GRAFT_SKEW_DOCS", "200000"))
 SKEW_VOCAB = int(os.environ.get("SPARK_GRAFT_SKEW_VOCAB", "10000"))
 SKEW_TERMS_PER_DOC = int(os.environ.get("SPARK_GRAFT_SKEW_TPD", "12"))
@@ -2235,6 +2347,31 @@ def main() -> None:
                 )
             fh.write(
                 f"\nHost capacity probe: "
+                f"{json.dumps(rep['host_capacity_units_per_sec'])}\n"
+            )
+        print(json.dumps(rep))
+        return
+    if "--bench-joined-tagging" in sys.argv:
+        rep = run_joined_tagging_bench(
+            cores=int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", "8")))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Joined-tagging run — {rep['job']}, "
+                f"{rep['docs']} docs × {rep['tokens_per_doc']} tokens, "
+                f"{rep['dict_surfaces']}-surface dictionary, "
+                f"local[{rep['cores']}]\n\n"
+                f"| path | sec |\n|---|---|\n"
+                f"| broadcast automaton (collect {rep['dict_collect_sec']} s"
+                f" + tag) | {rep['broadcast_sec']} |\n"
+                f"| shuffle join, contain resolver (pure JVM) "
+                f"| {rep['joined_contain_sec']} |\n"
+                f"| shuffle join, greedy resolver (exact W1) "
+                f"| {rep['joined_greedy_sec']} |\n"
+                f"\n{rep['mention_groups']} (url, curie) groups; all "
+                f"three outputs asserted hash-identical before timing "
+                f"was reported.\n\n"
+                f"Host capacity probe: "
                 f"{json.dumps(rep['host_capacity_units_per_sec'])}\n"
             )
         print(json.dumps(rep))

@@ -150,6 +150,49 @@ def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_documents(docs, driver_dictionary_rows(), id_col="doc_id")
 
 
+# Language routing (kg_mentions_lang): the testdata corpus carries a
+# per-document ``lang``; each driver-ontology class is assigned one
+# language label set (round-robin by position — deterministic and
+# re-derivable in the SQL oracle), modeling OLS-style multilingual
+# ontologies where each language ships its own surface forms.
+_DRIVER_LANGS = ("en", "zh", "es", "de", "fr")
+
+
+def driver_lang_of(curie: str) -> str:
+    idx = [c for c, *_ in DRIVER_ONTOLOGY].index(curie)
+    return _DRIVER_LANGS[idx % len(_DRIVER_LANGS)]
+
+
+def driver_dictionary_rows_by_lang() -> dict[str, list[dict]]:
+    """Per-language dictionaries: the driver_dictionary_rows surface
+    algebra (stopword filter, plural, A5 collision policy) applied to
+    each language's class subset independently."""
+    from onto_text_tag_spark.functions.pluralize import plural
+
+    out: dict[str, list[dict]] = {lang: [] for lang in _DRIVER_LANGS}
+    per_lang: dict[str, dict[str, tuple]] = {l: {} for l in _DRIVER_LANGS}
+    for curie, label, syns, _defn, _parent in DRIVER_ONTOLOGY:
+        lang = driver_lang_of(curie)
+        ont = curie.split(":", 1)[0]
+        by_surface = per_lang[lang]
+        for base in [label, *syns]:
+            if base.strip().lower() in STOPWORDS:
+                continue
+            for raw in (base, plural(base)):
+                surface = raw.strip().lower()
+                if surface in STOPWORDS:
+                    continue
+                prev = by_surface.get(surface)
+                if prev is None or curie > prev[0]:
+                    by_surface[surface] = (curie, label, ont)
+    for lang, by_surface in per_lang.items():
+        out[lang] = [
+            {"surface": s_, "id": c, "name": n, "ont": o}
+            for s_, (c, n, o) in sorted(by_surface.items())
+        ]
+    return out
+
+
 # --- SQL fragments shared by several oracles --------------------------------
 
 def _sql_surface_rows() -> str:
@@ -281,6 +324,75 @@ WITH {_MENTIONS_CTE}
 SELECT doc_id, curie, count(*) AS n_mentions
 FROM mention_rows GROUP BY doc_id, curie
 """
+
+
+def q_kg_mentions_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-routed tagging: each document matched against the label
+    set of ITS language (one broadcast automaton family, batch-local
+    routing — operators/tagger.py:tag_documents_by_lang)."""
+    from onto_text_tag_spark.operators.tagger import tag_documents_by_lang
+
+    docs = _docs(spark, sf_dir)
+    m = tag_documents_by_lang(
+        docs, driver_dictionary_rows_by_lang(), id_col="doc_id"
+    )
+    return m.groupBy(
+        F.col("url").alias("doc_id"), "lang", "curie"
+    ).agg(F.count("*").alias("n_mentions"))
+
+
+def sql_kg_mentions_lang() -> str:
+    rows = []
+    for curie, label, syns, _defn, _parent in DRIVER_ONTOLOGY:
+        lang = driver_lang_of(curie)
+        for s in [label, *syns]:
+            if s in STOPWORDS:
+                continue
+            kind = "bi" if " " in s else "uni"
+            rows.append(f"('{lang}', '{curie}', '{s}', '{kind}')")
+    return f"""
+WITH dict(lang, curie, surface, kind) AS (VALUES {", ".join(rows)}),
+docs AS (
+  SELECT doc_id::VARCHAR AS doc_id, lang, string_split(text, ' ') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, lang, unnest(l) AS tok FROM docs
+),
+bigrams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(l)),
+                               i -> l[i::int] || ' ' || l[(i+1)::int])) AS bg
+  FROM docs
+),
+mention_rows AS (
+  SELECT t.doc_id, t.lang, d.curie
+  FROM toks t JOIN dict d
+    ON d.kind = 'uni' AND d.lang = t.lang AND t.tok = d.surface
+  UNION ALL
+  SELECT b.doc_id, b.lang, d.curie
+  FROM bigrams b JOIN dict d
+    ON d.kind = 'bi' AND d.lang = b.lang AND b.bg = d.surface
+)
+SELECT doc_id, lang, curie, count(*) AS n_mentions
+FROM mention_rows GROUP BY doc_id, lang, curie
+"""
+
+
+def q_kg_mentions_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same mention counts as ``kg_mentions``, via the SHUFFLE-JOIN
+    tagging path (operators/tagger.py:tag_documents_joined) — the J1
+    entity-linking strategy for dictionaries beyond broadcast scale.
+    Shares kg_mentions' oracle: the physical strategy must not change
+    the values."""
+    from onto_text_tag_spark.operators.tagger import tag_documents_joined
+
+    docs = _docs(spark, sf_dir)
+    m = tag_documents_joined(docs, driver_dictionary(spark), id_col="doc_id")
+    return (
+        m.groupBy(F.col("url").alias("doc_id"), "curie")
+        .agg(F.count("*").alias("n_mentions"))
+    )
 
 
 def q_kg_mention_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1666,6 +1778,42 @@ FROM mention_rows GROUP BY curie
 """
 
 
+def q_kg_term_df_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch per term (operators/cooccur.py:
+    term_df_sketch): approximate document frequency whose estimate is a
+    pure function of the k smallest portable hashes — bit-reproducible
+    by the SQL oracle, unlike engine-private HLL sketches."""
+    from onto_text_tag_spark.operators.cooccur import term_df_sketch
+
+    m = _mentions(spark, sf_dir)
+    return term_df_sketch(m, doc_col="url", term_col="curie", k=16)
+
+
+def sql_kg_term_df_sketch() -> str:
+    from onto_text_tag_spark.functions.hashing import md5_long_sql
+
+    k = 16
+    return f"""
+WITH {_MENTIONS_CTE},
+ dt AS (SELECT DISTINCT curie, {md5_long_sql('doc_id')} AS h FROM mention_rows),
+ ranked AS (
+   SELECT curie, h, row_number() OVER (PARTITION BY curie ORDER BY h) AS rn
+   FROM dt
+ ),
+ agg AS (
+   SELECT curie, count(*) AS n,
+          max(CASE WHEN rn <= {k} THEN h END) AS kth
+   FROM ranked GROUP BY curie
+ )
+SELECT curie,
+       CASE WHEN n < {k} THEN n::BIGINT
+            ELSE floor({k - 1} * 1152921504606846976.0 / kth::DOUBLE)::BIGINT
+       END AS df_est,
+       least(n, {k})::BIGINT AS sketch_size
+FROM agg
+"""
+
+
 def q_kg_isa_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto = driver_ontology_df(spark)
     edges = onto.where(F.col("parent_curie").isNotNull()).select(
@@ -1846,6 +1994,87 @@ WITH {_curation_cte()}
 SELECT reason, count(*)::BIGINT AS n_docs,
        sum(ws_tokens)::BIGINT AS ws_tokens
 FROM reasons GROUP BY reason
+"""
+
+
+_DECONTAM_BENCH = ["hash join", "table scan", "stream batch", "vector spark"]
+
+
+def q_curation_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination gate (operators/curation.py:
+    decontaminate): flag documents containing any benchmark bigram —
+    broadcast-literal set overlap, one corpus scan, no shuffle."""
+    from onto_text_tag_spark.operators.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(docs, _DECONTAM_BENCH, n=2).select(
+        "doc_id", "contaminated", "n_contaminated_grams"
+    )
+
+
+def sql_curation_decontam() -> str:
+    grams = ", ".join(f"'{g}'" for g in sorted(_DECONTAM_BENCH))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l)),
+                       i -> l[i::int] || ' ' || l[(i+1)::int])) AS gs
+  FROM docs
+)
+SELECT doc_id,
+       len(list_intersect(gs, [{grams}])) > 0 AS contaminated,
+       len(list_intersect(gs, [{grams}]))::BIGINT AS n_contaminated_grams
+FROM grams
+"""
+
+
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/curation.py:redact_pii) over
+    deterministically constructed PII-bearing text (the driver corpus is
+    synthetic and PII-free, so the query plants emails/phones/IPs from
+    doc_id exactly as the SQL twin does — same device as the web_* query
+    family's constructed pages)."""
+    from onto_text_tag_spark.operators.curation import redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id"),
+            F.lit("@spam.example.com or +1 555 0"), F.col("doc_id"),
+            F.lit(" at 10.0."), (F.col("doc_id") % 256),
+            F.lit(".7 "), F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+    return redact_pii(docs).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"
+    )
+
+
+def sql_text_redact() -> str:
+    from onto_text_tag_spark.operators.curation import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _repl in PII_PATTERNS}
+    e, i, p = pats["email"], pats["ipv4"], pats["phone"]
+    return f"""
+WITH pii AS (
+  SELECT doc_id,
+         'contact user' || doc_id || '@spam.example.com or +1 555 0'
+           || doc_id || ' at 10.0.' || (doc_id % 256) || '.7 '
+           || substr(text, 1, 40) AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{e}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, '{i}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(text, '{p}'))::BIGINT AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{e}', '<EMAIL>', 'g'),
+           '{i}', '<IP>', 'g'),
+           '{p}', '<PHONE>', 'g') AS text_redacted
+FROM pii
 """
 
 
@@ -2980,6 +3209,60 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling time-RANGE window: per event type, daily totals with a
+    7-day trailing sum and a previous-day delta — the trend surface a
+    crawl/ingest monitor reads.  Scale shape: the corpus-sized scan
+    collapses to one daily partial aggregate first (map-side combined);
+    the RANGE window then runs over the tiny (type, day) series, so the
+    sort the window needs is edge-sized, not event-sized."""
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    ).withColumn("day_s", F.col("day").cast("timestamp").cast("long"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day_s")
+        .rangeBetween(-6 * 86400, 0)
+    )
+    wlag = Window.partitionBy("event_type").orderBy("day_s")
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w7).alias("n_7d"),
+        F.sum("value_cents").over(w7).alias("value_cents_7d"),
+        (
+            F.col("n_events")
+            - F.coalesce(F.lag("n_events").over(wlag), F.lit(0))
+        ).alias("delta_prev_day"),
+    )
+
+
+def sql_events_rolling() -> str:
+    return """
+WITH daily AS (
+  -- ::TIMESTAMP: DuckDB's date_trunc('day') yields DATE, Spark's a
+  -- timestamp — align the types so the value hashes agree
+  SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+         count(*) AS n_events,
+         sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n_events,
+       sum(n_events) OVER w7::BIGINT AS n_7d,
+       sum(value_cents) OVER w7::BIGINT AS value_cents_7d,
+       (n_events - coalesce(lag(n_events) OVER wl, 0))::BIGINT AS delta_prev_day
+FROM daily
+WINDOW w7 AS (PARTITION BY event_type ORDER BY epoch(day)
+              RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW),
+       wl AS (PARTITION BY event_type ORDER BY epoch(day))
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3399,6 +3682,8 @@ FROM documents WHERE doc_id % 3 = 2
 QUERIES = {
     "kg_dictionary": q_kg_dictionary,
     "kg_mentions": q_kg_mentions,
+    "kg_mentions_lang": q_kg_mentions_lang,
+    "kg_mentions_joined": q_kg_mentions_joined,
     "kg_mention_triples": q_kg_mention_triples,
     "kg_cooccur": q_kg_cooccur,
     "kg_cooccur_bucketed": q_kg_cooccur_bucketed,
@@ -3431,12 +3716,15 @@ QUERIES = {
     "kg_node_table": q_kg_node_table,
     "kg_term_index": q_kg_term_index,
     "kg_term_index_salted": q_kg_term_index_salted,
+    "kg_term_df_sketch": q_kg_term_df_sketch,
     "kg_isa_closure": q_kg_isa_closure,
     "kg_descendants": q_kg_descendants,
     "kg_isa_depth": q_kg_isa_depth,
     "kg_isa_rollup": q_kg_isa_rollup,
     "curation_select": q_curation_select,
     "curation_stats": q_curation_stats,
+    "curation_decontam": q_curation_decontam,
+    "text_redact": q_text_redact,
     "curation_mix": q_curation_mix,
     "text_boilerplate": q_text_boilerplate,
     "web_links": q_web_links,
@@ -3469,6 +3757,7 @@ QUERIES = {
     "sim_topk_quantized": q_sim_topk_quantized,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
+    "events_rolling": q_events_rolling,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "nation_revenue": q_nation_revenue,
@@ -3480,6 +3769,8 @@ QUERIES = {
 ORACLES = {
     "kg_dictionary": sql_kg_dictionary(),
     "kg_mentions": sql_kg_mentions(),
+    "kg_mentions_lang": sql_kg_mentions_lang(),
+    "kg_mentions_joined": sql_kg_mentions(),
     "kg_mention_triples": sql_kg_mention_triples(),
     "kg_cooccur": sql_kg_cooccur(),
     "kg_cooccur_bucketed": sql_kg_cooccur_bucketed(),
@@ -3512,12 +3803,15 @@ ORACLES = {
     "kg_node_table": sql_kg_node_table(),
     "kg_term_index": sql_kg_term_index(),
     "kg_term_index_salted": sql_kg_term_index_salted(),
+    "kg_term_df_sketch": sql_kg_term_df_sketch(),
     "kg_isa_closure": sql_kg_isa_closure(),
     "kg_descendants": sql_kg_descendants(),
     "kg_isa_depth": sql_kg_isa_depth(),
     "kg_isa_rollup": sql_kg_isa_rollup(),
     "curation_select": sql_curation_select(),
     "curation_stats": sql_curation_stats(),
+    "curation_decontam": sql_curation_decontam(),
+    "text_redact": sql_text_redact(),
     "curation_mix": sql_curation_mix(),
     "text_boilerplate": sql_text_boilerplate(),
     "web_links": sql_web_links(),
@@ -3549,6 +3843,7 @@ ORACLES = {
     "sim_topk_quantized": sql_sim_topk_quantized(),
     "events_tumbling": sql_events_tumbling(),
     "events_sessionize": sql_events_sessionize(),
+    "events_rolling": sql_events_rolling(),
     "pricing_summary": sql_pricing_summary(),
     "top_orders": sql_top_orders(),
     "nation_revenue": sql_nation_revenue(),

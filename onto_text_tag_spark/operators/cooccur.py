@@ -393,6 +393,60 @@ def term_index_salted(mentions: DataFrame, doc_col: str = "url",
     )
 
 
+def term_df_sketch(mentions: DataFrame, doc_col: str = "url",
+                   term_col: str = "curie", k: int = 64,
+                   salt_buckets: int = 32) -> DataFrame:
+    """Approximate per-term document frequency via a KMV (k-minimum-
+    values) distinct sketch — the mergeable-sketch scale path for term
+    statistics at 10^12 docs, where exact ``countDistinct`` per head
+    term funnels every occurrence through one reducer.
+
+    Why KMV and not HyperLogLog: Spark's ``approx_count_distinct`` HLL
+    is engine-private — no other system reproduces its estimates, so the
+    value would be untestable against an independent oracle.  KMV over
+    the engine's portable ``md5_long`` hash is *bit-reproducible in
+    ANSI SQL*: the estimate is ``(k-1) * 2^60 / kth_smallest_hash``
+    (hash space is 60-bit), i.e. a pure function of the k smallest
+    hashes.  Standard error ≈ 1/√(k−2).
+
+    Merge shape (the property that makes it a sketch): the k smallest
+    of a union = the k smallest of the concatenated per-part k-smallest
+    lists.  Stage 1 computes bounded partials per ``(term, hash-salt)``
+    group — the head term's rows spread over ``salt_buckets`` reducers —
+    stage 2 merges ≤ ``salt_buckets`` arrays of ≤ k values per term.
+    Salt is a pure function of the doc hash, so the union is already
+    distinct.  Terms with fewer than k distinct docs report exactly.
+
+    Output: ``(term, df_est, sketch_size)`` — ``df_est`` exact when
+    ``sketch_size < k``.
+    """
+    from onto_text_tag_spark.functions.hashing import md5_long
+
+    hashed = mentions.select(
+        F.col(term_col),
+        md5_long(F.col(doc_col).cast("string")).alias("_h"),
+    )
+    partial = (
+        hashed
+        .withColumn("_salt", F.pmod(F.col("_h"), F.lit(salt_buckets)))
+        .groupBy(term_col, "_salt")
+        .agg(F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias("_ks"))
+    )
+    merged = partial.groupBy(term_col).agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("_ks"))), 1, k)
+        .alias("_ks")
+    )
+    kth = F.element_at("_ks", k).cast("double")
+    est = F.when(
+        F.size("_ks") < k, F.size("_ks").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(2 ** 60)) / kth)
+    return merged.select(
+        F.col(term_col),
+        F.floor(est).cast("long").alias("df_est"),
+        F.size("_ks").cast("long").alias("sketch_size"),
+    )
+
+
 def windowed_cooccurrence_edges(
     positions: DataFrame,
     window: int,

@@ -193,3 +193,101 @@ def pack_sequences(
         (cum - b * budget).cast("long").alias("bin_fill"),
     ]
     return chunks.select(*out_cols)
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark_ngrams: list[str],
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag documents whose token stream
+    contains any n-gram from an evaluation set — the contamination gate
+    every training-data pipeline must run before a model ships (eval
+    examples leaking into pretraining data invalidate the benchmark).
+
+    Shape at scale: the benchmark n-gram set is SMALL (a few 10^5 grams
+    for a full eval suite) and the corpus is not — so the set ships as
+    a broadcast literal / broadcast join and detection is one corpus
+    scan with a JVM set-overlap per row (``arrays_overlap`` against the
+    doc's distinct n-gram array), no shuffle, no Python.  Output adds
+    ``contaminated`` (bool) and ``n_contaminated_grams`` (how many
+    distinct benchmark grams the doc contains — triage signal:
+    1 gram ≈ idiom collision, 20 grams ≈ verbatim eval copy).
+
+    ``benchmark_ngrams``: lowercase space-joined token n-grams, all the
+    same ``n`` (mixed sizes: call once per size and OR the flags).
+    """
+    grams = sorted({g.strip().lower() for g in benchmark_ngrams if g.strip()})
+    bench = F.array(*[F.lit(g) for g in grams])
+    # if-guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
+    # explicit empty-array branch, not a clamped bound
+    doc_grams = F.expr(
+        f"if(size(_toks) >= {n},"
+        f" array_distinct(transform("
+        f"  sequence(1, size(_toks) - {n - 1}),"
+        f"  i -> concat_ws(' ', slice(_toks, i, {n})))),"
+        f" array())"
+    )
+    hits = F.expr("size(array_intersect(_doc_grams, _bench))")
+    return (
+        documents
+        .withColumn(
+            "_toks",
+            F.expr(f"filter(split(lower({text_col}), '[^a-z0-9_]+'),"
+                   f" t -> t != '')"),
+        )
+        .withColumn("_doc_grams", doc_grams)
+        .withColumn("_bench", bench)
+        .withColumn("n_contaminated_grams",
+                    hits.cast("long"))
+        .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+        .drop("_toks", "_doc_grams", "_bench")
+    )
+
+
+# PII redaction patterns — shared verbatim by the Spark path and the SQL
+# twin (Java regex and RE2 agree on this subset: no backrefs, no
+# lookaround).  Order matters: emails first so the phone pattern cannot
+# eat digits out of an address' local part.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(
+    documents: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """PII scrubbing: replace emails / IPv4 addresses / phone-shaped
+    digit runs with typed placeholder tokens — the redaction pass a
+    web-corpus training pipeline runs before anything persists to the
+    training store.
+
+    One corpus scan, a chain of JVM ``regexp_replace`` expressions
+    inside whole-stage codegen — no UDF, no shuffle; per-pattern hit
+    counts (pre-replacement) come from the same scan so the audit and
+    the redaction share one pass.  The pattern list is deliberately
+    conservative/deterministic (regex, not ML NER) so the SQL twin can
+    reproduce the output byte-for-byte; a learned NER redactor would
+    slot in as a mapInPandas stage like the tagger.
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        # function form with lit patterns — the SQL-literal parser must
+        # not reinterpret backslashes (\b, \d) in the regex
+        counts.append(
+            F.coalesce(
+                F.size(F.regexp_extract_all(
+                    F.col(text_col), F.lit(pat), F.lit(0))),
+                F.lit(0),
+            ).cast("long").alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, F.lit(pat), F.lit(repl))
+    return documents.select(
+        "*", *counts
+    ).withColumn(out_col, redacted)

@@ -178,3 +178,60 @@ def test_pack_sequences_streaming_bins(spark):
         for r in pack_sequences(chunks, budget=100).collect()
     }
     assert got == again
+
+
+def test_decontaminate_hand_values(spark):
+    from onto_text_tag_spark.operators.curation import decontaminate
+    from onto_text_tag_spark.session import local_df
+
+    docs = local_df(
+        spark,
+        [
+            ("d1", "the quick hash join runs a table scan now"),
+            ("d2", "hash and join appear apart table then scan"),
+            ("d3", "HASH JOIN uppercase, with punctuation!"),
+            ("d4", ""),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r.doc_id: (r.contaminated, r.n_contaminated_grams)
+        for r in decontaminate(
+            docs, ["hash join", "table scan", "never here"]
+        ).collect()
+    }
+    assert out == {
+        "d1": (True, 2),   # both grams present
+        "d2": (False, 0),  # tokens present but never adjacent
+        "d3": (True, 1),   # case/punctuation-insensitive tokenization
+        "d4": (False, 0),
+    }
+    plan = decontaminate(docs, ["hash join"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "InPandas" not in plan
+
+
+def test_redact_pii_hand_values(spark):
+    from onto_text_tag_spark.operators.curation import redact_pii
+    from onto_text_tag_spark.session import local_df
+
+    docs = local_df(
+        spark,
+        [
+            ("d1", "mail bob.smith+x@corp.example.co.uk or call "
+                   "+44 20 7946 0958 host 192.168.0.1 done"),
+            ("d2", "clean text with numbers 42 and 7 only"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(docs).collect()}
+    d1 = rows["d1"]
+    assert (d1.n_email, d1.n_ipv4, d1.n_phone) == (1, 1, 1)
+    assert d1.text_redacted == (
+        "mail <EMAIL> or call <PHONE> host <IP> done"
+    )
+    d2 = rows["d2"]
+    assert (d2.n_email, d2.n_ipv4, d2.n_phone) == (0, 0, 0)
+    assert d2.text_redacted == d2.text
+    plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "InPandas" not in plan

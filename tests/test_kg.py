@@ -390,3 +390,37 @@ def test_windowed_cooccurrence_bucket_boundaries_and_plan(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_term_df_sketch_exact_merge_and_accuracy(spark, kg):
+    """KMV sketch pins: (1) terms with < k distinct docs report EXACTLY;
+    (2) merge invariance — the two-phase salted computation is
+    bucket-count independent (the defining sketch property: k smallest
+    of a union == k smallest of concatenated per-part k-smallest);
+    (3) estimates for terms over k stay within the 3-sigma KMV bound."""
+    import math
+
+    from onto_text_tag_spark.operators.cooccur import term_df_sketch
+
+    k = 32
+    exact = {
+        r["curie"]: r["n"]
+        for r in kg.mentions.groupBy("curie")
+        .agg(F.countDistinct("url").alias("n")).collect()
+    }
+    a = term_df_sketch(kg.mentions, k=k, salt_buckets=1).collect()
+    b = {
+        r["curie"]: (r["df_est"], r["sketch_size"])
+        for r in term_df_sketch(kg.mentions, k=k, salt_buckets=8).collect()
+    }
+    assert len(a) == len(exact)
+    three_sigma = 3.0 / math.sqrt(k - 2)
+    for r in a:
+        assert b[r["curie"]] == (r["df_est"], r["sketch_size"])  # merge inv.
+        n = exact[r["curie"]]
+        if n < k:
+            assert (r["df_est"], r["sketch_size"]) == (n, n)
+        else:
+            assert r["sketch_size"] == k
+            assert abs(r["df_est"] - n) <= max(2, three_sigma * n), (
+                r["curie"], r["df_est"], n)

@@ -47,6 +47,12 @@ BNLJ_ALLOWED = {
     "kg_salience",     # same 1-row broadcast-scalar shape (N for idf)
     "kg_class_neighbors",  # all-pairs cosine over the ontology-bounded
                            # class-centroid table (both sides tiny)
+    "kg_graph_stats",  # 1-ROW broadcast scalar (graph-level totals)
+                       # crossed onto the one-row summary assembly —
+                       # the kg_assoc shape at even smaller scale
+    "sim_topk_quantized",  # brute-force cosine baseline over the
+                           # quantized store: tiny probe set x corpus,
+                           # same intent as sim_topk
 }
 
 

@@ -262,3 +262,133 @@ def test_matcher_equivalence_on_real_reference_dictionary():
         text = synth_row(i, seed=11, min_sents=5, max_sents=25,
                          filler_prob=0.7)["text"]
         assert sorted(tm.find(text)) == sorted(ac.find(text))
+
+
+def test_lang_routed_tagging(spark):
+    """tag_documents_by_lang routes each document to ITS language's
+    automaton: same text, different lang -> different mention sets; an
+    unrouted lang emits nothing unless default_lang is given."""
+    from onto_text_tag_spark.operators.tagger import tag_documents_by_lang
+    from onto_text_tag_spark.session import local_df
+
+    dicts = {
+        "en": [{"surface": "nicotine", "id": "EN:1", "name": "nicotine", "ont": "EN"}],
+        "de": [{"surface": "craving", "id": "DE:1", "name": "craving", "ont": "DE"}],
+    }
+    docs = local_df(
+        spark,
+        [
+            ("u1", "en", "nicotine craving study"),
+            ("u2", "de", "nicotine craving study"),
+            ("u3", "fr", "nicotine craving study"),
+        ],
+        "url string, lang string, text string",
+    )
+    out = tag_documents_by_lang(docs, dicts)
+    rows = {(r.url, r.curie, r.lang) for r in out.collect()}
+    assert rows == {("u1", "EN:1", "en"), ("u2", "DE:1", "de")}
+
+    with_default = tag_documents_by_lang(docs, dicts, default_lang="en")
+    rows = {(r.url, r.curie, r.lang) for r in with_default.collect()}
+    assert ("u3", "EN:1", "fr") in rows and len(rows) == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tag_documents_by_lang(docs, dicts, default_lang="xx")
+
+
+def test_lang_routed_single_broadcast_and_no_shuffle(spark):
+    """The whole automaton family ships as ONE broadcast, and the plan
+    stays a single MapInPandas with no Exchange (embarrassingly parallel,
+    like the single-dictionary path)."""
+    from onto_text_tag_spark.operators.tagger import tag_documents_by_lang
+    from onto_text_tag_spark.session import local_df
+
+    dicts = {
+        "en": [{"surface": "spark", "id": "X:1", "name": "spark", "ont": "X"}],
+        "de": [{"surface": "spark", "id": "Y:1", "name": "spark", "ont": "Y"}],
+    }
+    docs = local_df(
+        spark, [("u1", "en", "spark"), ("u2", "de", "spark")],
+        "url string, lang string, text string",
+    )
+    out = tag_documents_by_lang(docs, dicts)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert {(r.url, r.curie) for r in out.collect()} == {
+        ("u1", "X:1"), ("u2", "Y:1")
+    }
+
+
+def test_joined_tagging_matches_broadcast_on_driver_corpus(spark):
+    """The shuffle-join path (dictionary beyond broadcast scale) emits
+    exactly the broadcast automaton's (url, curie) mention multiset on
+    the driver-corpus shape (single-space word text)."""
+    from onto_text_tag_spark.driver_queries import (
+        driver_dictionary,
+        driver_dictionary_rows,
+    )
+    from onto_text_tag_spark.operators.tagger import tag_documents_joined
+    from onto_text_tag_spark.session import local_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    broadcast = (
+        tag_documents(docs, driver_dictionary_rows(), id_col="doc_id")
+        .groupBy("url", "curie").count()
+    )
+    joined = (
+        tag_documents_joined(docs, driver_dictionary(spark), id_col="doc_id")
+        .groupBy("url", "curie").count()
+    )
+    a = {tuple(r) for r in broadcast.collect()}
+    b = {tuple(r) for r in joined.collect()}
+    assert a == b and len(a) > 50
+
+
+def test_joined_tagging_overlap_policies(spark):
+    """W1 over the join path: greedy == automaton policy (char-length
+    desc, position asc); 'contain' prunes nested candidates JVM-side;
+    'none' keeps every candidate."""
+    from onto_text_tag_spark.operators.tagger import tag_documents_joined
+    from onto_text_tag_spark.session import local_df
+
+    dict_df = local_df(
+        spark,
+        [
+            ("join", "X:1", "join", "X"),
+            ("hash join", "Y:1", "hash join", "Y"),
+            ("ab cd", "A:1", "ab cd", "A"),
+            ("cd efghij", "B:1", "cd efghij", "B"),
+        ],
+        "surface string, id string, name string, ont string",
+    )
+    docs = local_df(
+        spark,
+        [("u1", "the hash join runs"), ("u2", "ab cd efghij"),
+         ("u3", ""), ("u4", "join")],  # short docs: no bigram crash
+        "url string, text string",
+    )
+    greedy = {
+        (r.url, r.curie)
+        for r in tag_documents_joined(docs, dict_df).collect()
+    }
+    # u1: "hash join" nests "join" -> Y only; u2: partial overlap chain,
+    # "cd efghij" (9 chars) beats "ab cd" (5 chars) -> B only.
+    assert greedy == {("u1", "Y:1"), ("u2", "B:1"), ("u4", "X:1")}
+
+    contain = tag_documents_joined(docs, dict_df, resolve="contain")
+    plan = contain._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "ArrowEvalPython" not in plan
+    got = {(r.url, r.curie) for r in contain.collect()}
+    # containment pruning keeps BOTH sides of the partial overlap on u2
+    assert got == {("u1", "Y:1"), ("u2", "A:1"), ("u2", "B:1"), ("u4", "X:1")}
+
+    everything = {
+        (r.url, r.curie)
+        for r in tag_documents_joined(docs, dict_df, resolve="none").collect()
+    }
+    assert everything == {
+        ("u1", "X:1"), ("u1", "Y:1"), ("u2", "A:1"), ("u2", "B:1"),
+        ("u4", "X:1"),
+    }
