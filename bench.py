@@ -1862,14 +1862,23 @@ def run_joined_tagging_bench(cores: int = 8) -> dict:
         broadcast_sec = round(time.perf_counter() - t0, 2)
 
         timings = {}
-        for resolve in ("contain", "greedy"):
-            t0 = time.perf_counter()
-            jn, jh = counts_hash(
-                tag_documents_joined(docs, dict_df, resolve=resolve))
-            timings[resolve] = round(time.perf_counter() - t0, 2)
-            assert (jn, jh) == (bc_n, bc_h), (
-                f"joined[{resolve}] != broadcast: "
-                f"{(jn, jh)} vs {(bc_n, bc_h)}")
+        t0 = time.perf_counter()
+        gn, gh = counts_hash(
+            tag_documents_joined(docs, dict_df, resolve="greedy"))
+        timings["greedy"] = round(time.perf_counter() - t0, 2)
+        # the greedy resolver implements the automaton's exact W1
+        # policy — bit-equality is the correctness gate of this bench
+        assert (gn, gh) == (bc_n, bc_h), (
+            f"joined[greedy] != broadcast: {(gn, gh)} vs {(bc_n, bc_h)}")
+
+        t0 = time.perf_counter()
+        cn, ch = counts_hash(
+            tag_documents_joined(docs, dict_df, resolve="contain"))
+        timings["contain"] = round(time.perf_counter() - t0, 2)
+        # 'contain' equals greedy only when every overlap is a
+        # containment; at ~1M random surfaces partial-overlap chains
+        # exist, so report its (tiny) divergence instead of asserting
+        contain_matches = bool((cn, ch) == (bc_n, bc_h))
 
         return {
             "job": "tag_documents (broadcast automaton) vs "
@@ -1884,7 +1893,9 @@ def run_joined_tagging_bench(cores: int = 8) -> dict:
             "broadcast_sec": broadcast_sec,
             "joined_contain_sec": timings["contain"],
             "joined_greedy_sec": timings["greedy"],
-            "outputs_hash_equal": True,
+            "greedy_hash_equal": True,
+            "contain_hash_equal": contain_matches,
+            "contain_groups": cn,
             "host_capacity_units_per_sec": {
                 str(k): v for k, v in _host_capacity().items()
             },
@@ -2368,9 +2379,10 @@ def main() -> None:
                 f"| {rep['joined_contain_sec']} |\n"
                 f"| shuffle join, greedy resolver (exact W1) "
                 f"| {rep['joined_greedy_sec']} |\n"
-                f"\n{rep['mention_groups']} (url, curie) groups; all "
-                f"three outputs asserted hash-identical before timing "
-                f"was reported.\n\n"
+                f"\n{rep['mention_groups']} (url, curie) groups; greedy "
+                f"output asserted hash-identical to the automaton before "
+                f"timing was reported; contain "
+                f"{'matches too' if rep['contain_hash_equal'] else 'diverges (keeps both sides of partial-overlap chains, ' + str(rep['contain_groups']) + ' groups)'}.\n\n"
                 f"Host capacity probe: "
                 f"{json.dumps(rep['host_capacity_units_per_sec'])}\n"
             )

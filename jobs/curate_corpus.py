@@ -57,6 +57,20 @@ def main() -> None:
                     help="per-stratum keep rates over the curated stage, "
                     "e.g. 'en=0.9,de=0.5'; strata column is --mix-col")
     ap.add_argument("--mix-col", default="lang")
+    ap.add_argument("--decontam", default=None,
+                    help="comma-separated benchmark n-grams; documents "
+                    "containing any are gated out with reason "
+                    "'contaminated' (before dedup: a contaminated page "
+                    "never becomes a duplicate-survivor)")
+    ap.add_argument("--decontam-file", default=None,
+                    help="file with one benchmark n-gram per line "
+                    "(combined with --decontam)")
+    ap.add_argument("--decontam-n", type=int, default=2,
+                    help="token n-gram size of the benchmark set")
+    ap.add_argument("--redact", action="store_true",
+                    help="add a 'redacted' stage: curated docs with "
+                    "emails/IPs/phone runs replaced by typed "
+                    "placeholders + per-pattern audit counts")
     ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args()
 
@@ -81,9 +95,17 @@ def main() -> None:
 
     t0 = time.time()
     docs = spark.read.parquet(args.input)
+    bench_grams: list[str] = []
+    if args.decontam:
+        bench_grams += [g.strip() for g in args.decontam.split(",")
+                        if g.strip()]
+    if args.decontam_file:
+        with open(args.decontam_file) as fh:
+            bench_grams += [ln.strip() for ln in fh if ln.strip()]
     gate_knobs = (
         args.lang, args.min_ws_tokens, args.min_stopword_ratio,
         args.sample_mod, args.sample_keep, args.id_col, args.text_col,
+        tuple(sorted(set(bench_grams))), args.decontam_n,
     )
     fp = (
         fingerprint_parquet_inputs([args.input])
@@ -106,6 +128,8 @@ def main() -> None:
             lang=args.lang, min_ws_tokens=args.min_ws_tokens,
             min_stopword_ratio=args.min_stopword_ratio,
             sample_mod=args.sample_mod, sample_keep=args.sample_keep,
+            benchmark_ngrams=bench_grams or None,
+            decontam_n=args.decontam_n,
         ),
         input_fingerprint=fp,
     ))
@@ -153,6 +177,22 @@ def main() -> None:
             input_fingerprint=mix_fp,
         ))
         report["n_mix"] = read_manifest(args.output, "mix")["total_rows"]
+
+    if args.redact:
+        from onto_text_tag_spark.operators.curation import redact_pii
+        from onto_text_tag_spark.sinks import read_stage as _read_stage
+
+        redact_fp = fp + ":redact=1"
+        timed("redacted", lambda: run_stage(
+            spark, args.output, "redacted",
+            lambda: redact_pii(
+                _read_stage(spark, args.output, "curated"),
+                text_col=args.text_col,
+            ).drop(args.text_col),
+            input_fingerprint=redact_fp,
+        ))
+        report["n_redacted"] = read_manifest(
+            args.output, "redacted")["total_rows"]
 
     dt = time.time() - t0
     report.update({

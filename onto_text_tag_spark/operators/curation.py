@@ -27,8 +27,30 @@ from onto_text_tag_spark.operators.textstats import (
     token_count_cols,
 )
 
-REASONS = ("lang", "too_short", "low_quality", "duplicate",
-           "sampled_out", "kept")
+REASONS = ("lang", "too_short", "low_quality", "contaminated",
+           "duplicate", "sampled_out", "kept")
+
+
+def _contamination_count(text_col: str, grams: list[str], n: int):
+    """Column: how many of ``grams`` (distinct word n-grams, all size n)
+    occur in ``text_col`` — one nested JVM expression, shareable by any
+    single-scan gate stack."""
+    gram_list = ", ".join(
+        "'" + g.replace("'", "\\'") + "'" for g in sorted(set(grams))
+    )
+    toks = f"filter(split(lower({text_col}), '[^a-z0-9_]+'), t -> t != '')"
+    # if-guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
+    # explicit empty-array branch, not a clamped bound
+    doc_grams = (
+        f"if(size({toks}) >= {n},"
+        f" array_distinct(transform("
+        f"  sequence(1, size({toks}) - {n - 1}),"
+        f"  i -> concat_ws(' ', slice({toks}, i, {n})))),"
+        f" array())"
+    )
+    return F.expr(
+        f"size(array_intersect({doc_grams}, array({gram_list})))"
+    ).cast("long")
 
 
 def curation_flags(
@@ -40,6 +62,8 @@ def curation_flags(
     min_stopword_ratio: float = 0.01,
     sample_mod: int = 10,
     sample_keep: int = 8,
+    benchmark_ngrams: list[str] | None = None,
+    decontam_n: int = 2,
 ) -> DataFrame:
     """Per-document audit row: profile columns + ``reason`` ∈ REASONS.
 
@@ -47,24 +71,40 @@ def curation_flags(
     1. ``lang`` — predicted language ≠ ``lang``;
     2. ``too_short`` — fewer than ``min_ws_tokens`` whitespace tokens;
     3. ``low_quality`` — stopword ratio below ``min_stopword_ratio``;
-    4. ``duplicate`` — same content digest as a smaller-id doc that also
-       passed gates 1-3 (dedup ranks only among survivors: a duplicate
-       of a dropped doc is NOT dropped as a duplicate);
-    5. ``sampled_out`` — digest mod ``sample_mod`` ≥ ``sample_keep``
+    4. ``contaminated`` — contains a benchmark ``decontam_n``-gram (only
+       when ``benchmark_ngrams`` is given; same single-scan expression
+       as ``decontaminate``);
+    5. ``duplicate`` — same content digest as a smaller-id doc that also
+       passed gates 1-4 (dedup ranks only among survivors: a duplicate
+       of a dropped doc is NOT dropped as a duplicate, and a
+       contaminated document never occupies a survivor slot);
+    6. ``sampled_out`` — digest mod ``sample_mod`` ≥ ``sample_keep``
        (keeps sample_keep/sample_mod of survivors, content-deterministic);
     else ``kept``.
     """
-    prof = documents.select(
+    cols = [
         F.col(id_col),
         *token_count_cols(text_col),
         *quality_cols(text_col),
         lang_id_col(text_col).alias("lang_pred"),
         content_digest(text_col).alias("digest"),
-    )
+    ]
+    if benchmark_ngrams:
+        grams = sorted(
+            {g.strip().lower() for g in benchmark_ngrams if g.strip()}
+        )
+        cols.append(
+            (_contamination_count(text_col, grams, decontam_n) > 0)
+            .alias("contaminated")
+        )
+    else:
+        cols.append(F.lit(False).alias("contaminated"))
+    prof = documents.select(*cols)
     passed = (
         (F.col("lang_pred") == lang)
         & (F.col("ws_tokens") >= min_ws_tokens)
         & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & ~F.col("contaminated")
     )
     # among gate-survivors sharing a digest, the min-id row ranks 1;
     # failed rows sort after every survivor so they never steal rank 1
@@ -82,6 +122,7 @@ def curation_flags(
                 F.col("stopword_ratio") < min_stopword_ratio,
                 F.lit("low_quality"),
             )
+            .when(F.col("contaminated"), F.lit("contaminated"))
             .when(F.col("_rk") > 1, F.lit("duplicate"))
             .when(
                 F.pmod(F.col("digest"), F.lit(sample_mod)) >= sample_keep,
@@ -99,7 +140,7 @@ def curate_corpus(documents: DataFrame, **kwargs) -> DataFrame:
     return (
         curation_flags(documents, **kwargs)
         .where(F.col("reason") == "kept")
-        .drop("reason", "digest")
+        .drop("reason", "digest", "contaminated")
     )
 
 
@@ -219,30 +260,13 @@ def decontaminate(
     same ``n`` (mixed sizes: call once per size and OR the flags).
     """
     grams = sorted({g.strip().lower() for g in benchmark_ngrams if g.strip()})
-    bench = F.array(*[F.lit(g) for g in grams])
-    # if-guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
-    # explicit empty-array branch, not a clamped bound
-    doc_grams = F.expr(
-        f"if(size(_toks) >= {n},"
-        f" array_distinct(transform("
-        f"  sequence(1, size(_toks) - {n - 1}),"
-        f"  i -> concat_ws(' ', slice(_toks, i, {n})))),"
-        f" array())"
-    )
-    hits = F.expr("size(array_intersect(_doc_grams, _bench))")
     return (
         documents
         .withColumn(
-            "_toks",
-            F.expr(f"filter(split(lower({text_col}), '[^a-z0-9_]+'),"
-                   f" t -> t != '')"),
+            "n_contaminated_grams",
+            _contamination_count(text_col, grams, n),
         )
-        .withColumn("_doc_grams", doc_grams)
-        .withColumn("_bench", bench)
-        .withColumn("n_contaminated_grams",
-                    hits.cast("long"))
         .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
-        .drop("_toks", "_doc_grams", "_bench")
     )
 
 

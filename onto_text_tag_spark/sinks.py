@@ -26,11 +26,15 @@ snapshot write:
                        lineage manifest under a monotonically
                        increasing ``snapshot_id``;
                        ``read_manifest(snapshot_id=...)`` time-travels
-                       over the committed metadata.  Data files of
-                       superseded snapshots are not retained (plain
-                       overwrite = commit + immediate expire-snapshots),
-                       so time-travel here covers lineage + metrics,
-                       not data — on Iceberg the same log carries both.
+                       over the committed metadata, and — because every
+                       commit records its full data-file list (Iceberg
+                       manifest analog) — ``read_stage(snapshot_id=...)``
+                       time-travels over the DATA of append-grown stages
+                       (absorb commits), whose earlier files are
+                       immutable.  Overwritten stages expire their old
+                       files (plain overwrite = commit + immediate
+                       expire-snapshots) and historical reads of them
+                       raise.
 
 Iceberg provides this natively (snapshots + manifests); its runtime jar
 is not present in this sandbox, so the same contract is implemented on
@@ -163,7 +167,7 @@ def _finalize_stage(
 
     part_rows: dict[tuple, int] = {}
     size_bytes = 0
-    n_files = 0
+    file_list: list[str] = []
     for dirpath, _dirs, files in os.walk(data_path):
         rel = os.path.relpath(dirpath, data_path)
         key = tuple(
@@ -174,10 +178,14 @@ def _finalize_stage(
         for f in files:
             if f.endswith(".parquet"):
                 fp = os.path.join(dirpath, f)
-                n_files += 1
+                file_list.append(
+                    f if rel == "." else os.path.join(rel, f)
+                )
                 size_bytes += os.path.getsize(fp)
                 nrows = pq.ParquetFile(fp).metadata.num_rows
                 part_rows[key] = part_rows.get(key, 0) + nrows
+    file_list.sort()
+    n_files = len(file_list)
     if partition_by:
         part_counts = [
             {**dict(zip(partition_by, key)), "rows": rows}
@@ -202,6 +210,10 @@ def _finalize_stage(
         "partitions": part_counts,
         "total_rows": sum(p["rows"] for p in part_counts),
         "n_files": n_files,
+        # full data-file list (Iceberg manifest analog): snapshots of
+        # APPEND-grown stages reference immutable earlier files, so the
+        # log's historical file lists support time-travel data reads
+        "files": file_list,
         "size_bytes": size_bytes,
         "metrics": metrics or {},
         "schema": schema_json,
@@ -230,9 +242,41 @@ def stage_is_current(root: str, stage: str, input_fingerprint: str = "") -> bool
     return recorded == input_fingerprint
 
 
-def read_stage(spark: SparkSession, root: str, stage: str) -> DataFrame:
+def read_stage(
+    spark: SparkSession, root: str, stage: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Current stage data, or — with ``snapshot_id`` — the stage AS OF
+    an earlier commit (Iceberg time-travel analog).
+
+    Historical reads resolve the file list the requested snapshot's
+    manifest recorded (every commit stores its full data-file list, the
+    Iceberg manifest analog).  They work for APPEND-grown stages — the
+    absorb/commit_stage path, where earlier files are immutable — and
+    raise for overwritten stages whose files are gone (plain overwrite
+    = commit + immediate expire-snapshots, as documented above).
+    """
     data_path, _m, _s = _stage_paths(root, stage)
-    return spark.read.parquet(data_path)
+    if snapshot_id is None:
+        return spark.read.parquet(data_path)
+    manifest = read_manifest(root, stage, snapshot_id=snapshot_id)
+    files = manifest.get("files")
+    if files is None:
+        raise KeyError(
+            f"stage {stage!r} snapshot {snapshot_id} predates file-list "
+            "manifests; no time-travel data read possible"
+        )
+    paths = [os.path.join(data_path, f) for f in files]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"stage {stage!r} snapshot {snapshot_id} is expired: "
+            f"{len(missing)} of its {len(paths)} data files were "
+            "rewritten by a later overwrite/compaction "
+            f"(first missing: {missing[0]})"
+        )
+    reader = spark.read.option("basePath", data_path)
+    return reader.parquet(*paths)
 
 
 def read_manifest(

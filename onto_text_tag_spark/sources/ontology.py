@@ -46,6 +46,7 @@ PREFIXES: dict[str, str] = {
 }
 
 _RDF = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+_XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
 _RDFS = "{http://www.w3.org/2000/01/rdf-schema#}"
 _OWL = "{http://www.w3.org/2002/07/owl#}"
 _OBO = "{http://purl.obolibrary.org/obo/}"
@@ -83,29 +84,88 @@ def parse_owl_xml(text: str) -> list[dict]:
         synonyms: list[str] = []
         definition = None
         parent = None
+        i18n: list[dict] = []
         for child in cls:
             tag = child.tag
+            lang = child.get(_XML_LANG)
             if tag == f"{_RDFS}label" and child.text:
-                label = child.text.strip()
+                if lang and lang != "en":
+                    i18n.append({"lang": lang, "kind": "label",
+                                 "text": child.text.strip()})
+                else:
+                    label = child.text.strip()
             elif tag == f"{_OBO}{SYNONYM_IRI_LOCAL}" and child.text:
-                synonyms.append(child.text.strip())
+                if lang and lang != "en":
+                    i18n.append({"lang": lang, "kind": "synonym",
+                                 "text": child.text.strip()})
+                else:
+                    synonyms.append(child.text.strip())
             elif tag == f"{_OBO}{DEFINITION_IRI_LOCAL}" and child.text:
                 definition = child.text.strip()
             elif tag == f"{_RDFS}subClassOf":
                 p_iri = child.get(f"{_RDF}resource")
                 if p_iri:
                     parent = curie_from_iri(p_iri) or parent
-        rows.append(
-            {
-                "iri": iri,
-                "curie": curie,
-                "label": label,
-                "synonyms": synonyms,
-                "definition": definition,
-                "parent_curie": parent,
-            }
-        )
+        row = {
+            "iri": iri,
+            "curie": curie,
+            "label": label,
+            "synonyms": synonyms,
+            "definition": definition,
+            "parent_curie": parent,
+        }
+        if i18n:
+            row["i18n"] = i18n
+        rows.append(row)
     return rows
+
+
+def dictionaries_by_lang(
+    ontology_rows: list[dict], default_lang: str = "en"
+) -> dict[str, list[dict]]:
+    """Ontology rows (with optional ``i18n`` language-tagged label sets
+    from ``parse_owl_xml``) → per-language dictionary rows for
+    ``operators.tagger.tag_documents_by_lang``.
+
+    OLS-style multilingual ontologies carry ``xml:lang``-tagged
+    ``rdfs:label``/synonym literals; each language's dictionary is built
+    by the SAME surface algebra as the default dictionary
+    (``build_dictionary_rows``: stopword gate, pluralizer, A5 collision
+    policy) over that language's label set.  Classes with no labels in a
+    language are absent from its dictionary — an untranslated class must
+    not silently match its English surface in German text.
+
+    Honest limitation: the pluralizer is English; for other languages it
+    adds English-suffixed plural surfaces (harmless extras, never
+    removals).  A per-language pluralizer would slot into
+    ``build_dictionary_rows`` behind the same interface.
+    """
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+
+    langs = {default_lang}
+    for r in ontology_rows:
+        langs.update(e["lang"] for e in r.get("i18n", []))
+    out: dict[str, list[dict]] = {}
+    for lang in sorted(langs):
+        lang_rows = []
+        for r in ontology_rows:
+            if lang == default_lang:
+                lang_rows.append(r)
+                continue
+            ents = [e for e in r.get("i18n", []) if e["lang"] == lang]
+            if not ents:
+                continue
+            labels = [e["text"] for e in ents if e["kind"] == "label"]
+            syns = [e["text"] for e in ents if e["kind"] == "synonym"]
+            lang_rows.append(
+                {
+                    **r,
+                    "label": labels[0] if labels else None,
+                    "synonyms": syns + labels[1:],
+                }
+            )
+        out[lang] = build_dictionary_rows(lang_rows)
+    return out
 
 
 _OBO_STANZA = re.compile(r"^\[Term\]\s*$", re.M)

@@ -100,3 +100,75 @@ def test_curate_job_stages_resume_and_mix(job_tmp, corpus, spark):
     assert res3["stage_sec"]["flags"] >= 1.0 or \
         res3["n_curated"] != res["n_curated"]
     assert res3["n_curated"] <= res["n_curated"]
+
+
+def test_curate_job_decontam_and_redact(job_tmp, corpus, spark):
+    """--decontam gates out documents containing the benchmark n-grams
+    (reason counts exactly equal the operator run) and --redact adds a
+    'redacted' stage over the curated corpus; re-submit is a no-op."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.curation import curation_flags
+    from onto_text_tag_spark.sinks import read_stage, snapshot_log
+
+    docs = spark.read.parquet(corpus)
+    # pick a benchmark bigram that provably exists: first two tokens of
+    # a document the default gates keep
+    kept_ids = [
+        r[0] for r in curation_flags(docs, id_col="url")
+        .where(F.col("reason") == "kept").select("url").limit(5).collect()
+    ]
+    some = docs.where(F.col("url") == kept_ids[0]).select("text").first()[0]
+    # same tokenization as the gate (word chars only): "smoking," must
+    # become token "smoking" or the planted gram never matches
+    import re as _re
+
+    toks = [t for t in _re.split(r"[^a-z0-9_]+", some.lower()) if t]
+    gram = f"{toks[0]} {toks[1]}"
+
+    out_dir = os.path.join(job_tmp, "cur_dec")
+    res = _submit(
+        job_tmp, "--input", corpus, "--output", out_dir,
+        "--decontam", gram, "--redact",
+    )
+    assert "redacted" in res["stage_sec"]
+
+    expected = {
+        r["reason"]: r["n"]
+        for r in curation_flags(docs, id_col="url",
+                                sample_mod=10, sample_keep=10,  # job defaults
+                                benchmark_ngrams=[gram])
+        .groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r["reason"]: r["n_docs"]
+        for r in read_stage(spark, out_dir, "stats").collect()
+    }
+    assert got == expected
+    assert got.get("contaminated", 0) > 0
+    assert res["n_curated"] == expected.get("kept", 0)
+
+    red = read_stage(spark, out_dir, "redacted")
+    assert res["n_redacted"] == res["n_curated"] == red.count()
+    assert "text" not in red.columns and "text_redacted" in red.columns
+    # the synthetic corpus is PII-free: redaction must be a byte no-op
+    cur = read_stage(spark, out_dir, "curated").select("url", "text")
+    changed = red.join(cur, "url").where(
+        F.col("text_redacted") != F.col("text")).count()
+    assert changed == 0
+    assert red.agg(F.sum("n_email"), F.sum("n_ipv4")).first() == (0, 0)
+
+    logs_before = {
+        s: len(snapshot_log(out_dir, s))
+        for s in ("flags", "curated", "stats", "redacted")
+    }
+    res2 = _submit(
+        job_tmp, "--input", corpus, "--output", out_dir,
+        "--decontam", gram, "--redact",
+    )
+    assert res2["n_curated"] == res["n_curated"]
+    logs_after = {
+        s: len(snapshot_log(out_dir, s))
+        for s in ("flags", "curated", "stats", "redacted")
+    }
+    assert logs_after == logs_before  # resume: no new snapshots

@@ -235,3 +235,49 @@ def test_redact_pii_hand_values(spark):
     assert d2.text_redacted == d2.text
     plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "InPandas" not in plan
+
+
+def test_contaminated_gate_order_and_survivor_pool(spark):
+    """The decontamination gate inside curation_flags: fires after
+    quality gates (first-failure reporting pinned), and contaminated
+    docs never occupy a dedup-survivor slot — identical contaminated
+    mirrors BOTH report 'contaminated', neither is a 'duplicate' of the
+    other."""
+    from onto_text_tag_spark.operators.curation import curation_flags
+    from onto_text_tag_spark.session import local_df
+
+    base = ("the quick brown fox and the lazy dog walked over and "
+            "around the big hill with a friend of a friend")
+    docs = local_df(
+        spark,
+        [
+            ("d1", base + " hash join inside"),   # contaminated
+            ("d2", base + " hash join inside"),   # identical mirror
+            ("d3", base + " nothing planted"),    # clean keeper
+            ("d4", "of the hash join"),           # contaminated AND short
+        ],
+        "doc_id string, text string",
+    )
+    flags = {
+        r.doc_id: r.reason
+        for r in curation_flags(
+            docs, min_ws_tokens=5, min_stopword_ratio=0.0,
+            sample_mod=1, sample_keep=1,
+            benchmark_ngrams=["hash join"],
+        ).collect()
+    }
+    assert flags["d1"] == "contaminated"
+    assert flags["d2"] == "contaminated"  # not 'duplicate'
+    assert flags["d3"] == "kept"
+    assert flags["d4"] == "too_short"  # first failing gate wins
+
+    # without the benchmark set, nothing is contaminated and the mirror
+    # pair resolves by dedup as before
+    plain = {
+        r.doc_id: r.reason
+        for r in curation_flags(
+            docs, min_ws_tokens=5, min_stopword_ratio=0.0,
+            sample_mod=1, sample_keep=1,
+        ).collect()
+    }
+    assert plain["d1"] == "kept" and plain["d2"] == "duplicate"

@@ -424,3 +424,38 @@ def test_term_df_sketch_exact_merge_and_accuracy(spark, kg):
             assert r["sketch_size"] == k
             assert abs(r["df_est"] - n) <= max(2, three_sigma * n), (
                 r["curie"], r["df_est"], n)
+
+
+def test_stage_time_travel_reads(spark, tmp_path):
+    """Iceberg time-travel analog: every commit records its full data-
+    file list, so append-grown stages read AS OF any earlier snapshot;
+    overwritten stages expire their history and historical reads raise
+    instead of silently returning wrong data."""
+    from onto_text_tag_spark import sinks
+    from onto_text_tag_spark.session import local_df
+
+    root = str(tmp_path)
+    df1 = local_df(spark, [(1, "a"), (2, "b")], "id long, v string")
+    sinks.write_stage(df1, root, "s", input_fingerprint="f1")
+    # append-grow (the absorb path): new files land beside immutable
+    # old ones, then the metadata commit seals the snapshot
+    df2 = local_df(spark, [(3, "c")], "id long, v string")
+    df2.write.mode("append").parquet(f"{root}/s/data")
+    sinks.commit_stage(root, "s", input_fingerprint="f2")
+
+    def ids(df):
+        return {r.id for r in df.collect()}
+
+    assert ids(sinks.read_stage(spark, root, "s")) == {1, 2, 3}
+    assert ids(sinks.read_stage(spark, root, "s", snapshot_id=1)) == {1, 2}
+    assert ids(sinks.read_stage(spark, root, "s", snapshot_id=2)) == {1, 2, 3}
+    assert sinks.read_manifest(root, "s", snapshot_id=2)["total_rows"] == 3
+
+    # a plain overwrite commits a new snapshot AND expires the old files
+    sinks.write_stage(df2, root, "s", input_fingerprint="f3")
+    assert ids(sinks.read_stage(spark, root, "s")) == {3}
+    assert ids(sinks.read_stage(spark, root, "s", snapshot_id=3)) == {3}
+    with pytest.raises(FileNotFoundError, match="expired"):
+        sinks.read_stage(spark, root, "s", snapshot_id=1)
+    with pytest.raises(KeyError):
+        sinks.read_stage(spark, root, "s", snapshot_id=99)

@@ -249,3 +249,64 @@ def test_jsonl_roundtrip_and_corrupt_records(spark, tmp_path):
     dropped = read_document_jsonl(spark, path, mode="DROPMALFORMED")
     assert dropped.count() == 30
     assert "_corrupt_record" not in dropped.columns
+
+
+def test_owl_multilingual_labels_route_tagging(spark):
+    """xml:lang-tagged rdfs:label/synonym literals become per-language
+    dictionaries (sources/ontology.py:dictionaries_by_lang), and
+    tag_documents_by_lang routes each document to its language's label
+    set; untranslated classes are ABSENT from other languages (no
+    silent English matching in German text)."""
+    from onto_text_tag_spark.operators.tagger import tag_documents_by_lang
+    from onto_text_tag_spark.session import local_df
+    from onto_text_tag_spark.sources.ontology import (
+        dictionaries_by_lang,
+        parse_owl_xml,
+    )
+
+    owl = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:obo="http://purl.obolibrary.org/obo/">
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/ADDICTO_900001">
+    <rdfs:label>craving</rdfs:label>
+    <rdfs:label xml:lang="de">verlangen</rdfs:label>
+    <obo:IAO_0000118 xml:lang="de">begierde</obo:IAO_0000118>
+  </owl:Class>
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/ADDICTO_900002">
+    <rdfs:label xml:lang="en">relapse</rdfs:label>
+  </owl:Class>
+</rdf:RDF>"""
+    rows = parse_owl_xml(owl)
+    assert rows[0]["label"] == "craving"  # untagged default stays primary
+    assert {e["text"] for e in rows[0]["i18n"]} == {"verlangen", "begierde"}
+    assert rows[1]["label"] == "relapse"  # xml:lang="en" == default
+    assert "i18n" not in rows[1]
+
+    dicts = dictionaries_by_lang(rows)
+    assert set(dicts) == {"en", "de"}
+    en = {r["surface"]: r["id"] for r in dicts["en"]}
+    de = {r["surface"]: r["id"] for r in dicts["de"]}
+    assert en["craving"] == "ADDICTO:900001" and "relapse" in en
+    assert de["verlangen"] == "ADDICTO:900001"
+    assert de["begierde"] == "ADDICTO:900001"
+    assert "relapse" not in de  # untranslated class absent from de
+    assert "craving" not in de
+
+    docs = local_df(
+        spark,
+        [("u1", "en", "craving and relapse"),
+         ("u2", "de", "verlangen und begierde and craving relapse")],
+        "url string, lang string, text string",
+    )
+    got = {
+        (r.url, r.curie, r.span_text)
+        for r in tag_documents_by_lang(docs, dicts).collect()
+    }
+    assert got == {
+        ("u1", "ADDICTO:900001", "craving"),
+        ("u1", "ADDICTO:900002", "relapse"),
+        ("u2", "ADDICTO:900001", "verlangen"),
+        ("u2", "ADDICTO:900001", "begierde"),
+    }
