@@ -67,6 +67,12 @@ def main() -> None:
                     "JVM-side regexp) and a 'host_graph' stage derived "
                     "from its snapshot (no corpus re-read); requires a "
                     "parquet corpus with an html column (not --warc)")
+    ap.add_argument("--trends", nargs="?", const="day", default=None,
+                    metavar="BUCKET",
+                    help="write a 'trends' stage: distinct-doc mention "
+                    "counts per (class, warc_ts BUCKET) with previous-"
+                    "bucket deltas (operators/cooccur.py:mention_trends; "
+                    "default bucket: day)")
     ap.add_argument("--no-nodes", action="store_true",
                     help="skip materializing the nodes table (the edges "
                     "side — the triples stage — is always written)")
@@ -348,6 +354,27 @@ def main() -> None:
             spark, args.output, "host_graph",
             lambda: host_graph(links_df),
             input_fingerprint=fp,
+        ))
+
+    if args.trends:
+        # crawl-time trend of every class's web presence — derived from
+        # the mentions snapshot + the (url, warc_ts) projection only
+        if args.warc:
+            raise SystemExit("--trends needs a parquet corpus (not --warc)")
+        if "warc_ts" not in corpus.columns:
+            raise SystemExit("--trends needs a warc_ts corpus column")
+        from onto_text_tag_spark.operators.cooccur import mention_trends
+
+        timed("trends", lambda: run_stage(
+            spark, args.output, "trends",
+            lambda: mention_trends(
+                mentions,
+                corpus.select(
+                    F.col(id_col).cast("string").alias("url"), "warc_ts"
+                ),
+                doc_col="url", ts_col="warc_ts", bucket=args.trends,
+            ),
+            input_fingerprint=f"{fp}:trends={args.trends}",
         ))
 
     closure_df = local_df(

@@ -3146,6 +3146,101 @@ def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the IVF index against the
+    exact brute-force ranking, per query — the acceptance metric every
+    approximate index must publish before it replaces the exact path.
+    Both rankings come from the REAL operators; the oracle re-derives
+    both from first principles in SQL."""
+    from onto_text_tag_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _parallel(_read(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=_TOPK).select("query_id", "cand_id")
+    approx = ivf_topk(
+        emb, queries, k=_TOPK, num_centroids=_NUM_CENTROIDS, nprobe=_NPROBE
+    ).select("query_id", "cand_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(_TOPK), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def sql_sim_ivf_recall() -> str:
+    cos_cent = (
+        "round(list_dot_product({v}.embedding, ct.embedding) / "
+        "(sqrt(list_dot_product({v}.embedding, {v}.embedding)) * "
+        "sqrt(list_dot_product(ct.embedding, ct.embedding))), 4)"
+    )
+    return f"""
+WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings
+            WHERE vec_id < {_N_QUERIES}),
+ ex_scored AS (
+   SELECT q.query_id, c.vec_id AS cand_id, {_COS_SQL} AS score
+   FROM embeddings c, qs q WHERE c.vec_id != q.query_id
+ ),
+ ex_topk AS (
+   SELECT query_id, cand_id FROM (
+     SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, cand_id ASC) AS rank
+     FROM ex_scored
+   ) WHERE rank <= {_TOPK}
+ ),
+ cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings
+  ORDER BY vec_id LIMIT {_NUM_CENTROIDS}
+ ),
+ cell_scored AS (
+   SELECT e.vec_id, ct.cid, {cos_cent.format(v='e')} AS cscore
+   FROM embeddings e, cents ct
+ ),
+ cells AS (
+   SELECT vec_id AS cand_id, cid AS cell FROM (
+     SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cscore DESC, cid ASC) AS rn
+     FROM cell_scored
+   ) WHERE rn = 1
+ ),
+ probes AS (
+   SELECT vec_id AS query_id, cid AS cell FROM (
+     SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cscore DESC, cid ASC) AS rn
+     FROM cell_scored WHERE vec_id < {_N_QUERIES}
+   ) WHERE rn <= {_NPROBE}
+ ),
+ ivf_scored AS (
+   SELECT p.query_id, cl.cand_id, {_COS_SQL} AS score
+   FROM probes p
+   JOIN cells cl ON cl.cell = p.cell AND cl.cand_id != p.query_id
+   JOIN embeddings q ON q.vec_id = p.query_id
+   JOIN embeddings c ON c.vec_id = cl.cand_id
+ ),
+ ivf_topk AS (
+   SELECT query_id, cand_id FROM (
+     SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, cand_id ASC) AS rank
+     FROM ivf_scored
+   ) WHERE rank <= {_TOPK}
+ )
+SELECT e.query_id,
+       count(i.cand_id)::BIGINT AS n_hits,
+       round(count(i.cand_id)::DOUBLE / {_TOPK}, 4) AS recall
+FROM ex_topk e
+LEFT JOIN ivf_topk i
+  ON i.query_id = e.query_id AND i.cand_id = e.cand_id
+GROUP BY e.query_id
+"""
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _parallel(_read(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     doubled = emb.unionByName(
@@ -3752,6 +3847,7 @@ QUERIES = {
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_trained": q_sim_ivf_trained,
+    "sim_ivf_recall": q_sim_ivf_recall,
     "emb_neardup": q_emb_neardup,
     "emb_quantize": q_emb_quantize,
     "sim_topk_quantized": q_sim_topk_quantized,
@@ -3838,6 +3934,7 @@ ORACLES = {
     "sim_topk": sql_sim_topk(),
     "sim_lsh_topk": sql_sim_lsh_topk(),
     "sim_ivf_topk": sql_sim_ivf_topk(),
+    "sim_ivf_recall": sql_sim_ivf_recall(),
     "emb_neardup": sql_emb_neardup(),
     "emb_quantize": sql_emb_quantize(),
     "sim_topk_quantized": sql_sim_topk_quantized(),

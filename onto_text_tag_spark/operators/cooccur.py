@@ -510,3 +510,45 @@ def windowed_cooccurrence_edges(
         .groupBy("src", "dst")
         .agg(F.countDistinct("_doc").alias("weight"))
     )
+
+
+def mention_trends(mentions: DataFrame, documents: DataFrame,
+                   doc_col: str = "url", term_col: str = "curie",
+                   ts_col: str = "warc_ts",
+                   bucket: str = "day") -> DataFrame:
+    """Per-class crawl-time trend: distinct-doc mention counts per
+    (class, time bucket) with previous-bucket delta — how a concept's
+    web presence moves across crawls (emerging topics, seasonal terms,
+    spam bursts).  The reference's association graph is timeless; the
+    ``input_hint`` corpus carries ``warc_ts`` per capture, so the trend
+    dimension belongs in the engine.
+
+    Scale shape: the mention stream first collapses to distinct
+    ``(doc, term)`` (map-side combined), joins the corpus only for the
+    two columns ``(doc, bucket)`` (column pruning keeps html/text
+    unread), and aggregates to the tiny (term, bucket) series; the
+    delta window then sorts series-sized data, not mention-sized —
+    the events_rolling plan shape applied to the KG fact stream.
+    """
+    from pyspark.sql import Window
+
+    buckets = documents.select(
+        F.col(doc_col),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+    )
+    per_bucket = (
+        mentions.select(doc_col, term_col).distinct()
+        .join(buckets, doc_col)
+        .groupBy(term_col, "bucket")
+        .agg(F.countDistinct(doc_col).alias("n_docs"))
+    )
+    w = Window.partitionBy(term_col).orderBy("bucket")
+    return per_bucket.select(
+        term_col,
+        "bucket",
+        "n_docs",
+        (
+            F.col("n_docs")
+            - F.coalesce(F.lag("n_docs").over(w), F.lit(0))
+        ).alias("delta_prev_bucket"),
+    )

@@ -459,3 +459,37 @@ def test_stage_time_travel_reads(spark, tmp_path):
         sinks.read_stage(spark, root, "s", snapshot_id=1)
     with pytest.raises(KeyError):
         sinks.read_stage(spark, root, "s", snapshot_id=99)
+
+
+def test_mention_trends_hand_values(spark):
+    """Trend buckets, distinct-doc counting, and previous-bucket deltas
+    (first bucket deltas from 0; gaps delta against the last nonempty
+    bucket, matching the lag-window semantics)."""
+    import datetime as dt
+
+    from onto_text_tag_spark.operators.cooccur import mention_trends
+    from onto_text_tag_spark.session import local_df
+
+    day = lambda d: dt.datetime(2024, 3, d)
+    docs = local_df(
+        spark,
+        [("u1", day(1)), ("u2", day(1)), ("u3", day(2)), ("u4", day(4))],
+        "url string, warc_ts timestamp",
+    )
+    mentions = local_df(
+        spark,
+        [("u1", "A"), ("u1", "A"),  # duplicate mention: one doc
+         ("u2", "A"), ("u3", "A"), ("u4", "A"),
+         ("u3", "B")],
+        "url string, curie string",
+    )
+    rows = {
+        (r.curie, r.bucket.day, r.n_docs, r.delta_prev_bucket)
+        for r in mention_trends(mentions, docs).collect()
+    }
+    assert rows == {
+        ("A", 1, 2, 2),   # two distinct docs on day 1 (dup mention folded)
+        ("A", 2, 1, -1),
+        ("A", 4, 1, 0),   # gap day 3: delta vs day 2's count
+        ("B", 2, 1, 1),
+    }

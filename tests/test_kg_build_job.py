@@ -199,3 +199,41 @@ def test_kg_build_jsonl_input_identical(job_tmp, corpus, spark):
     tp = read_stage(spark, out_p, "triples")
     tj = read_stage(spark, out_j, "triples")
     assert sorted(map(tuple, tp.collect())) == sorted(map(tuple, tj.collect()))
+
+
+def test_kg_build_trends_stage(job_tmp, corpus, spark):
+    """--trends writes the crawl-time trend stage; content equals the
+    direct operator run over the stored mentions + corpus, and resume
+    skips it."""
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(job_tmp, "kg_trends_out")
+    res = _spark_submit(
+        job_tmp, "--input", corpus, "--output", out_dir,
+        "--no-nodes", "--trends", "minute",
+    )
+    assert "trends" in res["stage_sec"]
+
+    from onto_text_tag_spark.operators.cooccur import mention_trends
+    from onto_text_tag_spark.sinks import read_stage
+
+    trends = read_stage(spark, out_dir, "trends")
+    assert trends.columns == ["curie", "bucket", "n_docs",
+                              "delta_prev_bucket"]
+    assert trends.select("bucket").distinct().count() > 1  # real buckets
+
+    docs = spark.read.parquet(corpus).where(F.col("lang") == "en")
+    expected = mention_trends(
+        read_stage(spark, out_dir, "mentions"),
+        docs.select(F.col("url").cast("string").alias("url"), "warc_ts"),
+        bucket="minute",
+    )
+    assert sorted(map(tuple, trends.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+    res2 = _spark_submit(
+        job_tmp, "--input", corpus, "--output", out_dir,
+        "--no-nodes", "--trends", "minute",
+    )
+    assert res2["stage_sec"]["trends"] < 1.0  # resume: snapshot reopen

@@ -53,6 +53,8 @@ BNLJ_ALLOWED = {
     "sim_topk_quantized",  # brute-force cosine baseline over the
                            # quantized store: tiny probe set x corpus,
                            # same intent as sim_topk
+    "sim_ivf_recall",  # composes the sim_topk brute-force baseline
+                       # (the exact side of the recall measurement)
 }
 
 
