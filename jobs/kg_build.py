@@ -73,6 +73,12 @@ def main() -> None:
                     "counts per (class, warc_ts BUCKET) with previous-"
                     "bucket deltas (operators/cooccur.py:mention_trends; "
                     "default bucket: day)")
+    ap.add_argument("--sketch", nargs="?", const=64, default=None,
+                    type=int, metavar="K",
+                    help="write a 'term_sketch' stage: mergeable KMV "
+                    "document-frequency sketch state per class "
+                    "(operators/cooccur.py:term_sketch_partials), the "
+                    "seed kg_update --sketch merges crawl deltas into")
     ap.add_argument("--no-nodes", action="store_true",
                     help="skip materializing the nodes table (the edges "
                     "side — the triples stage — is always written)")
@@ -354,6 +360,18 @@ def main() -> None:
             spark, args.output, "host_graph",
             lambda: host_graph(links_df),
             input_fingerprint=fp,
+        ))
+
+    if args.sketch:
+        from onto_text_tag_spark.operators.cooccur import (
+            term_sketch_partials,
+        )
+
+        timed("term_sketch", lambda: run_stage(
+            spark, args.output, "term_sketch",
+            lambda: term_sketch_partials(mentions, k=args.sketch),
+            input_fingerprint=f"{fp}:sketch={args.sketch}",
+            metrics={"k": args.sketch, "batch_fingerprint": fp},
         ))
 
     if args.trends:

@@ -84,6 +84,12 @@ def main() -> None:
                     "grown stage holding more than N_FILES part-files "
                     "into right-sized files (jobs/kg_compact.py inline; "
                     "content-identical, fingerprint kept)")
+    ap.add_argument("--sketch", nargs="?", const=64, default=None,
+                    type=int, metavar="K",
+                    help="also maintain the KMV term-df sketch stage "
+                    "(plans/kg_absorb.py:absorb_term_sketch): merge the "
+                    "batch's sketch into the stored state — exact vs a "
+                    "from-scratch sketch over every absorbed doc")
     ap.add_argument("--links", action="store_true",
                     help="also absorb the batch's anchor link graph: "
                     "links stage file-appends, host graph merges by "
@@ -127,6 +133,7 @@ def main() -> None:
             spark, args.kg, spark.read.parquet(args.input), dict_rows,
             batch_fp=fingerprint_parquet_inputs([args.input]),
             lang=args.lang,
+            sketch_k=args.sketch,
         )
         if args.links:
             from onto_text_tag_spark.plans.kg_absorb import absorb_links

@@ -422,6 +422,22 @@ def term_df_sketch(mentions: DataFrame, doc_col: str = "url",
     """
     from onto_text_tag_spark.functions.hashing import md5_long
 
+    return finalize_term_sketch(
+        term_sketch_partials(mentions, doc_col=doc_col, term_col=term_col,
+                             k=k, salt_buckets=salt_buckets),
+        k=k, term_col=term_col,
+    )
+
+
+def term_sketch_partials(mentions: DataFrame, doc_col: str = "url",
+                         term_col: str = "curie", k: int = 64,
+                         salt_buckets: int = 32) -> DataFrame:
+    """The raw KMV sketch state: ``(term, ks)`` where ``ks`` is the k
+    smallest distinct doc hashes — the MERGEABLE form a maintained
+    sketch stage stores (``merge_term_sketches``); ``term_df_sketch``
+    is ``finalize_term_sketch`` over this."""
+    from onto_text_tag_spark.functions.hashing import md5_long
+
     hashed = mentions.select(
         F.col(term_col),
         md5_long(F.col(doc_col).cast("string")).alias("_h"),
@@ -432,18 +448,44 @@ def term_df_sketch(mentions: DataFrame, doc_col: str = "url",
         .groupBy(term_col, "_salt")
         .agg(F.slice(F.sort_array(F.collect_set("_h")), 1, k).alias("_ks"))
     )
-    merged = partial.groupBy(term_col).agg(
+    return partial.groupBy(term_col).agg(
         F.slice(F.sort_array(F.flatten(F.collect_list("_ks"))), 1, k)
-        .alias("_ks")
+        .alias("ks")
     )
-    kth = F.element_at("_ks", k).cast("double")
+
+
+def merge_term_sketches(a: DataFrame, b: DataFrame, k: int,
+                        term_col: str = "curie") -> DataFrame:
+    """KMV merge: per term, the k smallest of the union of both hash
+    sets.  EXACT — ``merge(sketch(A), sketch(B)) == sketch(A ∪ B)``
+    bit-for-bit, overlapping doc sets included (hash SETS union;
+    ``array_distinct`` collapses docs present in both sides) — which is
+    what makes the sketch maintainable under incremental absorbs
+    without ever re-reading the corpus."""
+    return (
+        a.unionByName(b)
+        .groupBy(term_col)
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(
+                    F.collect_list("ks")))),
+                1, k,
+            ).alias("ks")
+        )
+    )
+
+
+def finalize_term_sketch(sketches: DataFrame, k: int,
+                         term_col: str = "curie") -> DataFrame:
+    """(term, ks) → (term, df_est, sketch_size)."""
+    kth = F.element_at("ks", k).cast("double")
     est = F.when(
-        F.size("_ks") < k, F.size("_ks").cast("double")
+        F.size("ks") < k, F.size("ks").cast("double")
     ).otherwise(F.lit(float(k - 1)) * F.lit(float(2 ** 60)) / kth)
-    return merged.select(
+    return sketches.select(
         F.col(term_col),
         F.floor(est).cast("long").alias("df_est"),
-        F.size("_ks").cast("long").alias("sketch_size"),
+        F.size("ks").cast("long").alias("sketch_size"),
     )
 
 

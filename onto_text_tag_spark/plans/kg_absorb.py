@@ -155,11 +155,18 @@ def absorb_batch(
     dict_rows: list[dict],
     batch_fp: str,
     lang: str | None = "en",
+    sketch_k: int | None = None,
 ) -> dict:
     """Commit one document batch into ``kg_root`` (stage → append/swap →
     seal; see jobs/kg_update.py).  Returns the stats dict the job
     prints.  A batch whose fingerprint is already in the triples
-    snapshot log is a committed no-op."""
+    snapshot log is a committed no-op.
+
+    ``sketch_k``: also maintain the ``term_sketch`` stage
+    (``absorb_term_sketch``) from this batch's mention delta.  The
+    sketch commits BEFORE the main commit, so a main-committed batch
+    always implies a sketch-committed one (its own epoch fingerprint
+    makes the replay side no-op)."""
     t0 = time.time()
     stage_sec: dict[str, float] = {}
 
@@ -244,6 +251,12 @@ def absorb_batch(
     ))
     n_new_docs = read_manifest(staging, "doc_terms")["total_rows"]
     n_new_mentions = read_manifest(staging, "mentions")["total_rows"]
+
+    if sketch_k:
+        timed("term_sketch", lambda: absorb_term_sketch(
+            spark, kg_root, delta_mentions,
+            batch_fp=batch_fp, k=sketch_k,
+        ))
 
     # --- commit: append + swap, then seal manifests + snapshot log --------
     def _commit():
@@ -982,5 +995,88 @@ def absorb_links(
         "status": "committed",
         "n_new_links": n_new_links,
         "n_links_total": read_manifest(kg_root, "links")["total_rows"],
+        "sec": round(time.time() - t0, 2),
+    }
+
+
+def absorb_term_sketch(
+    spark: SparkSession,
+    kg_root: str,
+    mentions: DataFrame,
+    batch_fp: str,
+    k: int = 64,
+) -> dict:
+    """Maintain a ``term_sketch`` stage — KMV document-frequency sketch
+    state ``(curie, ks)`` (operators/cooccur.py:term_sketch_partials) —
+    under incremental absorbs.
+
+    The merge is EXACT (``merge(sketch(A), sketch(B)) == sketch(A∪B)``
+    bit-for-bit, overlap included), so the maintained stage always
+    equals a from-scratch sketch over every absorbed document while
+    each absorb touches only the batch's mentions and the sketch-sized
+    stored state — never the corpus.  Same exactly-once protocol as the
+    co-occurrence/links stages: epoch fingerprints in the snapshot log
+    make replays committed no-ops; the staged-swap recovery handles
+    interrupted commits.
+
+    ``mentions``: the BATCH's mention rows (url, curie) — typically the
+    delta the surrounding absorb just computed.
+    """
+    from onto_text_tag_spark.operators.cooccur import (
+        merge_term_sketches,
+        term_sketch_partials,
+    )
+
+    t0 = time.time()
+    tag = hashlib.md5(("sketch:" + batch_fp).encode()).hexdigest()[:12]
+    live = os.path.join(kg_root, "term_sketch", "data")
+
+    try:
+        read_manifest(kg_root, "term_sketch")
+    except OSError:
+        write_stage(
+            spark.createDataFrame([], "curie string, ks array<bigint>")
+            .repartition(1),
+            kg_root, "term_sketch", input_fingerprint="init",
+            metrics={"k": k},
+        )
+
+    stored_k = read_manifest(kg_root, "term_sketch")["metrics"].get("k", k)
+    if stored_k != k:
+        raise ValueError(
+            f"term_sketch stage was built with k={stored_k}; merging "
+            f"with k={k} would not equal a from-scratch sketch"
+        )
+    if any(
+        s.get("metrics", {}).get("batch_fingerprint") == batch_fp
+        for s in snapshot_log(kg_root, "term_sketch")
+    ):
+        return {
+            "status": "noop_already_committed",
+            "n_terms": read_manifest(kg_root, "term_sketch")["total_rows"],
+            "sec": round(time.time() - t0, 2),
+        }
+
+    _recover_swap(live)
+    stored = spark.read.parquet(live)
+    staging = os.path.join(kg_root, "_staging", tag)
+    run_stage(
+        spark, staging, "merged_sketch",
+        lambda: merge_term_sketches(
+            stored, term_sketch_partials(mentions, k=k), k=k
+        ),
+        input_fingerprint=batch_fp,
+    )
+    _swap_subtree(os.path.join(staging, "merged_sketch", "data"), live)
+    prev = read_manifest(kg_root, "term_sketch")["input_fingerprint"]
+    combined = hashlib.md5(f"{prev}+{batch_fp}".encode()).hexdigest()
+    commit_stage(
+        kg_root, "term_sketch", input_fingerprint=combined,
+        metrics={"batch_fingerprint": batch_fp, "k": k},
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "status": "committed",
+        "n_terms": read_manifest(kg_root, "term_sketch")["total_rows"],
         "sec": round(time.time() - t0, 2),
     }

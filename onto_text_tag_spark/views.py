@@ -42,7 +42,8 @@ def register_kg_views(
     (absorb-bootstrapped roots gain ``nodes`` after the first
     ``refresh_nodes``; re-run this function to pick it up), and the
     link-graph pair ``links`` / ``host_graph`` (written by
-    ``kg_build --links`` or ``absorb_links``).
+    ``kg_build --links`` or ``absorb_links``), and ``trends``
+    (``kg_build --trends``).
 
     Views are session-scoped and cheap to (re-)register; call again
     after maintenance commits to rebind to the current snapshots.
@@ -67,7 +68,8 @@ def register_kg_views(
             "weight",
         )
     )
-    for stage in ("isa_closure", "nodes", "links", "host_graph"):
+    for stage in ("isa_closure", "nodes", "links", "host_graph",
+                  "trends"):
         if _stage_exists(kg_root, stage):
             registered[stage] = read_stage(spark, kg_root, stage)
 

@@ -493,3 +493,30 @@ def test_mention_trends_hand_values(spark):
         ("A", 4, 1, 0),   # gap day 3: delta vs day 2's count
         ("B", 2, 1, 1),
     }
+
+
+def test_term_sketch_merge_is_exact(spark, kg):
+    """The KMV mergeability contract: merge(sketch(A), sketch(B)) ==
+    sketch(A ∪ B) bit-for-bit, with OVERLAPPING doc sets — the property
+    that lets the absorb path maintain the sketch without corpus
+    re-reads."""
+    from onto_text_tag_spark.operators.cooccur import (
+        finalize_term_sketch,
+        merge_term_sketches,
+        term_df_sketch,
+        term_sketch_partials,
+    )
+
+    k = 16
+    m = kg.mentions
+    a = m.where(F.pmod(F.xxhash64("url"), F.lit(3)) != 0)
+    b = m.where(F.pmod(F.xxhash64("url"), F.lit(3)) != 1)  # overlap: ==2
+    merged = merge_term_sketches(
+        term_sketch_partials(a, k=k), term_sketch_partials(b, k=k), k=k
+    )
+    full = term_sketch_partials(m, k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert sorted(map(tuple, finalize_term_sketch(merged, k=k).collect())) \
+        == sorted(map(tuple, term_df_sketch(m, k=k).collect()))

@@ -355,3 +355,85 @@ def test_absorb_links_incremental_equals_batch(spark, tmp_path):
     }
     assert got_hosts == want_hosts
     assert got_hosts[("a.com", "b.com")] == 2  # merged across batches
+
+
+def test_absorb_term_sketch_incremental_equals_batch(spark, tmp_path):
+    """sketch_k absorbs maintain the term_sketch stage EXACTLY equal to
+    a from-scratch sketch over every absorbed document (the KMV merge
+    is lossless); replayed batches no-op; a k mismatch refuses instead
+    of silently corrupting the merge."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.corpus import (
+        distributed_documents_df,
+        mini_ontology,
+    )
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.operators.cooccur import term_sketch_partials
+    from onto_text_tag_spark.plans.kg_absorb import (
+        absorb_batch,
+        absorb_term_sketch,
+        init_kg_root,
+        read_live_mentions,
+    )
+    from onto_text_tag_spark.sinks import read_stage
+
+    onto = mini_ontology()
+    rows = build_dictionary_rows(onto)
+    root = str(tmp_path / "kg")
+    init_kg_root(spark, root, onto)
+    docs = distributed_documents_df(spark, 60, seed=9, partitions=2)
+    b1 = docs.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    b2 = docs.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+
+    s1 = absorb_batch(spark, root, b1, rows, batch_fp="s1", lang=None,
+                      sketch_k=16)
+    assert "term_sketch" in s1["stage_sec"]
+    absorb_batch(spark, root, b2, rows, batch_fp="s2", lang=None,
+                 sketch_k=16)
+
+    stored = read_stage(spark, root, "term_sketch")
+    full = term_sketch_partials(read_live_mentions(spark, root), k=16)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    # replayed batch: committed no-op (the mentions arg is not touched)
+    rep = absorb_term_sketch(
+        spark, root, read_live_mentions(spark, root), batch_fp="s2", k=16
+    )
+    assert rep["status"] == "noop_already_committed"
+    after = read_stage(spark, root, "term_sketch")
+    assert sorted(map(tuple, after.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
+
+    with pytest.raises(ValueError, match="k=16"):
+        absorb_term_sketch(
+            spark, root, read_live_mentions(spark, root),
+            batch_fp="s3", k=8,
+        )
+
+
+def test_sketch_flag_build_then_update(job_tmp, corpora, spark):
+    """kg_build --sketch seeds the term_sketch stage; kg_update --sketch
+    merges the crawl delta into it; the result equals a from-scratch
+    sketch over the full corpus' live mentions."""
+    from onto_text_tag_spark.operators.cooccur import term_sketch_partials
+    from onto_text_tag_spark.plans.kg_absorb import read_live_mentions
+    from onto_text_tag_spark.sinks import read_manifest, read_stage
+
+    root = os.path.join(job_tmp, "kg_sketch")
+    _spark_submit(job_tmp, "kg_build.py", "--no-warmup",
+                  "--input", corpora["batch1"], "--output", root,
+                  "--no-nodes", "--sketch", "16")
+    assert read_manifest(root, "term_sketch")["metrics"]["k"] == 16
+
+    _spark_submit(job_tmp, "kg_update.py", "--no-warmup",
+                  "--kg", root, "--input", corpora["batch2"],
+                  "--sketch", "16")
+    stored = read_stage(spark, root, "term_sketch")
+    full = term_sketch_partials(read_live_mentions(spark, root), k=16)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, full.collect())
+    )

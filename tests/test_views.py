@@ -149,3 +149,34 @@ def test_link_graph_views(spark, kg_root):
         "WHERE dst_url LIKE 'https://c.com%'"
     ).collect()[0]["n"]
     assert n == 2
+
+
+def test_trends_view_appears_when_stage_exists(spark, kg_root):
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.cooccur import mention_trends
+    from onto_text_tag_spark.plans.kg_absorb import read_live_mentions
+    from onto_text_tag_spark.sinks import write_stage
+    from onto_text_tag_spark.views import register_kg_views
+
+    assert "trends" not in register_kg_views(spark, kg_root)
+
+    from onto_text_tag_spark.corpus import distributed_documents_df
+
+    docs = distributed_documents_df(spark, 40, seed=7, partitions=2)
+    write_stage(
+        mention_trends(
+            read_live_mentions(spark, kg_root),
+            docs.select(F.col("url").cast("string").alias("url"),
+                        "warc_ts"),
+            bucket="minute",
+        ),
+        kg_root, "trends", input_fingerprint="t0",
+    )
+    views = register_kg_views(spark, kg_root)
+    assert views["trends"] == "kg_trends"
+    top = spark.sql(
+        "SELECT curie, sum(n_docs) AS n FROM kg_trends "
+        "GROUP BY curie ORDER BY n DESC, curie LIMIT 1"
+    ).collect()
+    assert top and top[0]["n"] > 0
