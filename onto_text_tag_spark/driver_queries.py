@@ -1997,6 +1997,38 @@ FROM reasons GROUP BY reason
 """
 
 
+def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size train/valid/test assignment per language stratum
+    (operators/curation.py:assign_splits): deterministic hash-rank gate,
+    exact held-out counts — the eval-set selection a rate-based sample
+    cannot provide."""
+    from onto_text_tag_spark.operators.curation import assign_splits
+
+    docs = _docs(spark, sf_dir)
+    return assign_splits(
+        docs, id_col="doc_id", strata_col="lang", test_n=20, valid_n=30
+    ).select("doc_id", "lang", "split")
+
+
+def sql_curation_split() -> str:
+    from onto_text_tag_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("'split:' || doc_id")
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY {h} ASC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN rk <= 20 THEN 'test'
+            WHEN rk <= 50 THEN 'valid'
+            ELSE 'train' END AS split
+FROM ranked
+"""
+
+
 _DECONTAM_BENCH = ["hash join", "table scan", "stream batch", "vector spark"]
 
 
@@ -3819,6 +3851,7 @@ QUERIES = {
     "curation_select": q_curation_select,
     "curation_stats": q_curation_stats,
     "curation_decontam": q_curation_decontam,
+    "curation_split": q_curation_split,
     "text_redact": q_text_redact,
     "curation_mix": q_curation_mix,
     "text_boilerplate": q_text_boilerplate,
@@ -3907,6 +3940,7 @@ ORACLES = {
     "curation_select": sql_curation_select(),
     "curation_stats": sql_curation_stats(),
     "curation_decontam": sql_curation_decontam(),
+    "curation_split": sql_curation_split(),
     "text_redact": sql_text_redact(),
     "curation_mix": sql_curation_mix(),
     "text_boilerplate": sql_text_boilerplate(),

@@ -315,3 +315,45 @@ def redact_pii(
     return documents.select(
         "*", *counts
     ).withColumn(out_col, redacted)
+
+
+def assign_splits(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    test_n: int = 0,
+    valid_n: int = 0,
+    seed: str = "split",
+) -> DataFrame:
+    """Exact-size train/valid/test assignment: per stratum, the
+    ``test_n`` smallest seeded-hash ranks become ``test``, the next
+    ``valid_n`` become ``valid``, the rest ``train``.
+
+    Deterministic (md5 of ``seed:id`` — no rand(): reruns, resumes and
+    different cluster sizes assign identically) and exact-COUNT, which
+    is what held-out evaluation sets need; the rate-based
+    ``stratified_sample`` stays the shuffle-free path when proportions,
+    not counts, are the contract.  Adding documents later never moves an
+    existing doc OUT of test/valid into train's direction arbitrarily —
+    membership changes only when a new doc hashes below the current
+    boundary, the standard rank-gate property.
+
+    Scale shape: one hash-ranked window per stratum.  Ranking is the
+    honest cost of exactness — but only ranks ≤ test_n+valid_n matter,
+    so at extreme scale pre-filter with a generous hash threshold first
+    and rank the survivors; the assignment is identical.
+    """
+    from onto_text_tag_spark.functions.hashing import md5_long
+
+    h = md5_long(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    strata = F.col(strata_col) if strata_col else F.lit("all")
+    w = Window.partitionBy(strata).orderBy(h.asc(), F.col(id_col).asc())
+    rk = F.row_number().over(w)
+    return documents.withColumn(
+        "split",
+        F.when(rk <= test_n, F.lit("test"))
+        .when(rk <= test_n + valid_n, F.lit("valid"))
+        .otherwise(F.lit("train")),
+    )

@@ -279,6 +279,60 @@ def read_stage(
     return reader.parquet(*paths)
 
 
+def read_stage_increment(
+    spark: SparkSession,
+    root: str,
+    stage: str,
+    since_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Rows APPENDED to a stage after ``since_snapshot_id`` (up to
+    ``to_snapshot_id``, default the latest commit) — Iceberg's
+    incremental-read analog, the surface a downstream consumer tails
+    instead of re-scanning the whole stage per crawl batch.
+
+    Works on append-grown stages (absorb commits): the increment is the
+    file-list difference between the two snapshots' manifests, so the
+    read costs O(delta), never O(stage).  A snapshot range that spans an
+    overwrite/compaction (some ``since`` files no longer in ``to``)
+    raises — after a rewrite the appended-rows question has no
+    file-level answer and a silent wrong result would be worse.
+    """
+    since = read_manifest(root, stage, snapshot_id=since_snapshot_id)
+    to = (
+        read_manifest(root, stage)
+        if to_snapshot_id is None
+        else read_manifest(root, stage, snapshot_id=to_snapshot_id)
+    )
+    since_files = since.get("files")
+    to_files = to.get("files")
+    if since_files is None or to_files is None:
+        raise KeyError(
+            f"stage {stage!r} snapshots predate file-list manifests; "
+            "no incremental read possible"
+        )
+    removed = set(since_files) - set(to_files)
+    if removed:
+        raise ValueError(
+            f"stage {stage!r} was rewritten between snapshots "
+            f"{since['snapshot_id']} and {to['snapshot_id']} "
+            f"({len(removed)} files gone): the range is not append-only, "
+            "re-read the full stage instead"
+        )
+    new_files = [f for f in to_files if f not in set(since_files)]
+    data_path, _m, _s = _stage_paths(root, stage)
+    if not new_files:
+        return spark.read.parquet(data_path).limit(0)
+    paths = [os.path.join(data_path, f) for f in new_files]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"stage {stage!r} increment is expired: {missing[0]} was "
+            "rewritten by a later overwrite/compaction"
+        )
+    return spark.read.option("basePath", data_path).parquet(*paths)
+
+
 def read_manifest(
     root: str, stage: str, snapshot_id: int | None = None
 ) -> dict:

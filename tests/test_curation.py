@@ -281,3 +281,38 @@ def test_contaminated_gate_order_and_survivor_pool(spark):
         ).collect()
     }
     assert plain["d1"] == "kept" and plain["d2"] == "duplicate"
+
+
+def test_assign_splits_exact_counts_and_determinism(spark):
+    from onto_text_tag_spark.operators.curation import assign_splits
+    from onto_text_tag_spark.session import local_df
+
+    docs = local_df(
+        spark,
+        [(f"d{i}", "en" if i < 40 else "de") for i in range(46)],
+        "doc_id string, lang string",
+    )
+    out = assign_splits(docs, strata_col="lang", test_n=5, valid_n=10)
+    rows = [(r.doc_id, r.lang, r.split) for r in out.collect()]
+    counts = {}
+    for _d, lang, split in rows:
+        counts[(lang, split)] = counts.get((lang, split), 0) + 1
+    assert counts[("en", "test")] == 5
+    assert counts[("en", "valid")] == 10
+    assert counts[("en", "train")] == 25
+    # a stratum smaller than test_n+valid_n: everything lands in
+    # test/valid by rank, nothing in train
+    assert counts[("de", "test")] == 5
+    assert counts.get(("de", "train"), 0) == 0
+
+    again = [
+        (r.doc_id, r.lang, r.split)
+        for r in assign_splits(
+            docs, strata_col="lang", test_n=5, valid_n=10
+        ).collect()
+    ]
+    assert sorted(rows) == sorted(again)  # rerun-identical
+
+    # no strata: one global ranking
+    g = assign_splits(docs, test_n=3, valid_n=0)
+    assert [r.split for r in g.collect()].count("test") == 3

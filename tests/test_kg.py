@@ -520,3 +520,40 @@ def test_term_sketch_merge_is_exact(spark, kg):
     )
     assert sorted(map(tuple, finalize_term_sketch(merged, k=k).collect())) \
         == sorted(map(tuple, term_df_sketch(m, k=k).collect()))
+
+
+def test_stage_incremental_reads(spark, tmp_path):
+    """Iceberg incremental-read analog: rows appended between two
+    snapshots come from the manifests' file-list difference (O(delta));
+    ranges spanning a rewrite refuse instead of answering wrong."""
+    from onto_text_tag_spark import sinks
+    from onto_text_tag_spark.session import local_df
+
+    root = str(tmp_path)
+
+    def batch(rows):
+        return local_df(spark, rows, "id long, v string")
+
+    def ids(df):
+        return {r.id for r in df.collect()}
+
+    sinks.write_stage(batch([(1, "a")]), root, "s", input_fingerprint="f1")
+    batch([(2, "b"), (3, "c")]).write.mode("append").parquet(f"{root}/s/data")
+    sinks.commit_stage(root, "s", input_fingerprint="f2")
+    batch([(4, "d")]).write.mode("append").parquet(f"{root}/s/data")
+    sinks.commit_stage(root, "s", input_fingerprint="f3")
+
+    assert ids(sinks.read_stage_increment(spark, root, "s", 1, 2)) == {2, 3}
+    assert ids(sinks.read_stage_increment(spark, root, "s", 2, 3)) == {4}
+    assert ids(sinks.read_stage_increment(spark, root, "s", 1)) == {2, 3, 4}
+    empty = sinks.read_stage_increment(spark, root, "s", 3, 3)
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+
+    # an overwrite breaks append-only lineage: the range must refuse
+    sinks.write_stage(batch([(9, "z")]), root, "s", input_fingerprint="f4")
+    with pytest.raises(ValueError, match="rewritten"):
+        sinks.read_stage_increment(spark, root, "s", 1)
+    # ranges entirely after the rewrite work again
+    batch([(10, "y")]).write.mode("append").parquet(f"{root}/s/data")
+    sinks.commit_stage(root, "s", input_fingerprint="f5")
+    assert ids(sinks.read_stage_increment(spark, root, "s", 4)) == {10}
