@@ -173,6 +173,7 @@ def start_kg_update_sink(
     lang: str | None = "en",
     compact_every: int | None = None,
     links: bool = False,
+    sketch_k: int | None = None,
 ):
     """Continuous crawl ingestion: absorb every micro-batch of pages
     into a KG snapshot root via the staged idempotent commit protocol
@@ -198,7 +199,12 @@ def start_kg_update_sink(
     ``links=True`` additionally absorbs each epoch's anchor link graph
     (``absorb_links``: link facts append, host weights merge) under its
     own epoch-keyed fingerprint — same exactly-once algebra, so the
-    link store tracks the KG store epoch for epoch."""
+    link store tracks the KG store epoch for epoch.
+
+    ``sketch_k=K`` maintains the KMV term-df sketch stage from each
+    epoch's mention delta (``absorb_term_sketch`` via ``absorb_batch``;
+    the merge is exact, so the streamed sketch always equals a batch
+    sketch over every absorbed document)."""
     from onto_text_tag_spark.plans.kg_absorb import (
         absorb_batch,
         absorb_links,
@@ -209,6 +215,7 @@ def start_kg_update_sink(
         result = absorb_batch(
             batch_df.sparkSession, kg_root, batch_df, dictionary_rows,
             batch_fp=f"stream-epoch-{epoch_id}", lang=lang,
+            sketch_k=sketch_k,
         )
         if links:
             absorb_links(

@@ -244,6 +244,7 @@ def test_streaming_kg_update_sink_builds_full_kg(spark, tmp_path):
     q = start_kg_update_sink(
         read_document_stream(spark, src), kg_root, dict_rows, ckpt,
         compact_every=1,  # fold small-files maintenance into every epoch
+        sketch_k=16,      # maintain the KMV term-df sketch per epoch
     )
     try:
         q.processAllAvailable()
@@ -274,6 +275,16 @@ def test_streaming_kg_update_sink_builds_full_kg(spark, tmp_path):
     assert got_mention_triples == want_mention_triples
     assert got_edges == want_edges
     assert len(got_edges) > 0
+
+    # the streamed KMV sketch equals a batch sketch over all absorbed
+    # docs (the merge is exact, epoch by epoch)
+    from onto_text_tag_spark.operators.cooccur import term_sketch_partials
+    from onto_text_tag_spark.sinks import read_stage
+    stored_sketch = read_stage(spark, kg_root, "term_sketch")
+    want_sketch = term_sketch_partials(mentions, k=16)
+    assert sorted(map(tuple, stored_sketch.collect())) == sorted(
+        map(tuple, want_sketch.collect())
+    )
 
     # compact_every folded maintenance into the sink: compaction
     # snapshots landed and the stage is back to right-sized files
