@@ -1904,6 +1904,112 @@ def run_joined_tagging_bench(cores: int = 8) -> dict:
         spark.stop()
 
 
+def run_sketch_bench(cores: int = 8) -> dict:
+    """Maintained KMV term-df sketch vs exact recompute — the sketch's
+    operational claim measured: absorbing a crawl delta into the stored
+    sketch state must cost a fraction of recomputing exact per-term
+    ``countDistinct`` over the full corpus, at bounded accuracy loss.
+
+    Post-tagging (url, curie) relation synthesized directly (like the
+    skew bench): tail terms uniform over SKETCH_VOCAB plus hot head
+    terms (the df skew that makes exact countDistinct funnel).  The
+    'stored state' is written to parquet first, so the absorb path
+    reads sketch-sized state + delta-sized mentions — never the base.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.cooccur import (
+        finalize_term_sketch,
+        merge_term_sketches,
+        term_sketch_partials,
+    )
+
+    rows_n = int(os.environ.get("SPARK_GRAFT_SKETCH_ROWS", "20000000"))
+    vocab = int(os.environ.get("SPARK_GRAFT_SKETCH_VOCAB", "20000"))
+    k = int(os.environ.get("SPARK_GRAFT_SKETCH_K", "64"))
+    delta_frac = 10  # 1/10th of docs form the crawl delta
+
+    spark = _session(cores)
+    try:
+        rel = spark.range(rows_n).select(
+            F.concat(F.lit("u"), (F.col("id") / 12).cast("long"))
+            .alias("url"),
+            F.when(
+                F.pmod(F.xxhash64("id", F.lit(7)), F.lit(25)) == 0,
+                F.concat(F.lit("head"),
+                         F.pmod(F.xxhash64("id", F.lit(9)), F.lit(5))),
+            )
+            .otherwise(
+                F.concat(F.lit("t"),
+                         F.pmod(F.xxhash64("id"), F.lit(vocab)))
+            )
+            .alias("curie"),
+        )
+        rel.write.mode("overwrite").parquet("/tmp/bench_sketch_rel")
+        rel = spark.read.parquet("/tmp/bench_sketch_rel")
+        is_delta = F.pmod(F.xxhash64("url"), F.lit(delta_frac)) == 0
+        base, delta = rel.where(~is_delta), rel.where(is_delta)
+
+        # stored state: sketch over the base corpus (paid once at build)
+        t0 = time.perf_counter()
+        term_sketch_partials(base, k=k).write.mode("overwrite").parquet(
+            "/tmp/bench_sketch_state")
+        seed_sec = round(time.perf_counter() - t0, 2)
+        stored = spark.read.parquet("/tmp/bench_sketch_state")
+
+        # absorb: merge delta sketch into stored state (delta + state only)
+        t0 = time.perf_counter()
+        merged = merge_term_sketches(
+            stored, term_sketch_partials(delta, k=k), k=k)
+        merged.write.mode("overwrite").parquet("/tmp/bench_sketch_merged")
+        absorb_sec = round(time.perf_counter() - t0, 2)
+
+        # the maintenance alternative: exact countDistinct over EVERYTHING
+        t0 = time.perf_counter()
+        exact = rel.groupBy("curie").agg(
+            F.countDistinct("url").alias("df"))
+        exact.write.mode("overwrite").parquet("/tmp/bench_sketch_exact")
+        exact_sec = round(time.perf_counter() - t0, 2)
+
+        est = finalize_term_sketch(
+            spark.read.parquet("/tmp/bench_sketch_merged"), k=k)
+        joined = est.join(
+            spark.read.parquet("/tmp/bench_sketch_exact"), "curie")
+        err = joined.where(F.col("sketch_size") >= k).select(
+            F.avg(F.abs(F.col("df_est") - F.col("df")) / F.col("df"))
+            .alias("mare"),
+            F.max(F.abs(F.col("df_est") - F.col("df")) / F.col("df"))
+            .alias("max_rel_err"),
+            F.count("*").alias("n_estimated"),
+        ).collect()[0]
+        n_exact_terms = joined.where(F.col("sketch_size") < k).count()
+
+        return {
+            "job": "KMV sketch absorb (merge stored state + delta) vs "
+                   "exact per-term countDistinct recompute",
+            "cores": cores,
+            "mention_rows": rows_n,
+            "vocab": vocab,
+            "k": k,
+            "theory_stderr": round(1.0 / math.sqrt(k - 2), 4),
+            "seed_sketch_sec": seed_sec,
+            "sketch_absorb_sec": absorb_sec,
+            "exact_recompute_sec": exact_sec,
+            "absorb_vs_recompute": round(absorb_sec / exact_sec, 3),
+            "mean_abs_rel_err": round(err["mare"], 4),
+            "max_rel_err": round(err["max_rel_err"], 4),
+            "n_estimated_terms": err["n_estimated"],
+            "n_exact_terms": n_exact_terms,
+            "host_capacity_units_per_sec": {
+                str(kk): v for kk, v in _host_capacity().items()
+            },
+        }
+    finally:
+        spark.stop()
+
+
 SKEW_DOCS = int(os.environ.get("SPARK_GRAFT_SKEW_DOCS", "200000"))
 SKEW_VOCAB = int(os.environ.get("SPARK_GRAFT_SKEW_VOCAB", "10000"))
 SKEW_TERMS_PER_DOC = int(os.environ.get("SPARK_GRAFT_SKEW_TPD", "12"))
@@ -2358,6 +2464,35 @@ def main() -> None:
                 )
             fh.write(
                 f"\nHost capacity probe: "
+                f"{json.dumps(rep['host_capacity_units_per_sec'])}\n"
+            )
+        print(json.dumps(rep))
+        return
+    if "--bench-sketch" in sys.argv:
+        rep = run_sketch_bench(
+            cores=int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", "8")))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Sketch-maintenance run — {rep['job']}, "
+                f"{rep['mention_rows']} mention rows, {rep['vocab']}-term "
+                f"vocabulary + 5 head terms, k={rep['k']}, "
+                f"local[{rep['cores']}]\n\n"
+                f"| path | sec |\n|---|---|\n"
+                f"| seed sketch over base (paid once) "
+                f"| {rep['seed_sketch_sec']} |\n"
+                f"| sketch absorb of 10% delta (state + delta only) "
+                f"| {rep['sketch_absorb_sec']} |\n"
+                f"| exact countDistinct recompute (full relation) "
+                f"| {rep['exact_recompute_sec']} |\n"
+                f"\nAbsorb costs {rep['absorb_vs_recompute']}x the exact "
+                f"recompute.  Estimate quality on the "
+                f"{rep['n_estimated_terms']} terms with ≥k distinct docs: "
+                f"mean |rel err| {rep['mean_abs_rel_err']}, max "
+                f"{rep['max_rel_err']} (KMV theoretical std err "
+                f"{rep['theory_stderr']}); {rep['n_exact_terms']} "
+                f"below-k terms are exact by construction.\n\n"
+                f"Host capacity probe: "
                 f"{json.dumps(rep['host_capacity_units_per_sec'])}\n"
             )
         print(json.dumps(rep))
