@@ -90,6 +90,12 @@ def main() -> None:
                     "(plans/kg_absorb.py:absorb_term_sketch): merge the "
                     "batch's sketch into the stored state — exact vs a "
                     "from-scratch sketch over every absorbed doc")
+    ap.add_argument("--trends", nargs="?", const="day", default=None,
+                    metavar="BUCKET",
+                    help="also maintain the crawl-time trends stage "
+                    "(plans/kg_absorb.py:absorb_trends): per-(class, "
+                    "warc_ts BUCKET) counts merge additively with the "
+                    "batch, deltas re-derived over the tiny series")
     ap.add_argument("--links", action="store_true",
                     help="also absorb the batch's anchor link graph: "
                     "links stage file-appends, host graph merges by "
@@ -134,6 +140,7 @@ def main() -> None:
             batch_fp=fingerprint_parquet_inputs([args.input]),
             lang=args.lang,
             sketch_k=args.sketch,
+            trends_bucket=args.trends,
         )
         if args.links:
             from onto_text_tag_spark.plans.kg_absorb import absorb_links

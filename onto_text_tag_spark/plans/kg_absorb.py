@@ -156,6 +156,7 @@ def absorb_batch(
     batch_fp: str,
     lang: str | None = "en",
     sketch_k: int | None = None,
+    trends_bucket: str | None = None,
 ) -> dict:
     """Commit one document batch into ``kg_root`` (stage → append/swap →
     seal; see jobs/kg_update.py).  Returns the stats dict the job
@@ -163,10 +164,12 @@ def absorb_batch(
     snapshot log is a committed no-op.
 
     ``sketch_k``: also maintain the ``term_sketch`` stage
-    (``absorb_term_sketch``) from this batch's mention delta.  The
-    sketch commits BEFORE the main commit, so a main-committed batch
-    always implies a sketch-committed one (its own epoch fingerprint
-    makes the replay side no-op)."""
+    (``absorb_term_sketch``) from this batch's mention delta.
+    ``trends_bucket``: also maintain the ``trends`` stage
+    (``absorb_trends``; per-(class, bucket) counts are additive across
+    the disjoint batch doc sets).  Both side-stages commit BEFORE the
+    main commit, so a main-committed batch always implies they are
+    committed too (their own epoch fingerprints make replays no-op)."""
     t0 = time.time()
     stage_sec: dict[str, float] = {}
 
@@ -256,6 +259,11 @@ def absorb_batch(
         timed("term_sketch", lambda: absorb_term_sketch(
             spark, kg_root, delta_mentions,
             batch_fp=batch_fp, k=sketch_k,
+        ))
+    if trends_bucket:
+        timed("trends", lambda: absorb_trends(
+            spark, kg_root, delta_mentions, new_docs,
+            batch_fp=batch_fp, bucket=trends_bucket,
         ))
 
     # --- commit: append + swap, then seal manifests + snapshot log --------
@@ -1078,5 +1086,107 @@ def absorb_term_sketch(
     return {
         "status": "committed",
         "n_terms": read_manifest(kg_root, "term_sketch")["total_rows"],
+        "sec": round(time.time() - t0, 2),
+    }
+
+
+def absorb_trends(
+    spark: SparkSession,
+    kg_root: str,
+    mentions: DataFrame,
+    docs: DataFrame,
+    batch_fp: str,
+    bucket: str = "day",
+) -> dict:
+    """Maintain the ``trends`` stage (crawl-time per-class distinct-doc
+    series, operators/cooccur.py:mention_trends) under incremental
+    absorbs.
+
+    The per-(class, bucket) counts are ADDITIVE across absorb batches —
+    the surrounding absorb only admits never-seen urls, so batch doc
+    sets are disjoint and counts merge by sum, like the co-occurrence
+    weights.  The delta-vs-previous-bucket column is derived by a
+    window over the merged SERIES (terms × buckets — tiny), so each
+    absorb touches the batch's mentions plus series-sized state, never
+    the corpus.  Same exactly-once protocol as the other absorb stages;
+    a bucket-granularity mismatch refuses instead of mixing series.
+
+    ``mentions``: the batch's mention rows; ``docs``: the batch's
+    corpus rows carrying ``warc_ts`` (joined on url for bucketing).
+    """
+    from pyspark.sql import Window
+
+    from onto_text_tag_spark.operators.cooccur import mention_trends
+
+    t0 = time.time()
+    tag = hashlib.md5(("trends:" + batch_fp).encode()).hexdigest()[:12]
+    live = os.path.join(kg_root, "trends", "data")
+
+    try:
+        read_manifest(kg_root, "trends")
+    except OSError:
+        write_stage(
+            spark.createDataFrame(
+                [], "curie string, bucket timestamp, n_docs bigint, "
+                    "delta_prev_bucket bigint",
+            ).repartition(1),
+            kg_root, "trends", input_fingerprint="init",
+            metrics={"bucket": bucket},
+        )
+
+    stored_bucket = read_manifest(kg_root, "trends")["metrics"].get(
+        "bucket", bucket)
+    if stored_bucket != bucket:
+        raise ValueError(
+            f"trends stage uses bucket={stored_bucket!r}; absorbing at "
+            f"bucket={bucket!r} would mix granularities"
+        )
+    if any(
+        s.get("metrics", {}).get("batch_fingerprint") == batch_fp
+        for s in snapshot_log(kg_root, "trends")
+    ):
+        return {
+            "status": "noop_already_committed",
+            "n_series_rows": read_manifest(kg_root, "trends")["total_rows"],
+            "sec": round(time.time() - t0, 2),
+        }
+
+    _recover_swap(live)
+    id_col = "url" if "url" in docs.columns else "doc_id"
+    delta = mention_trends(
+        mentions,
+        docs.select(F.col(id_col).cast("string").alias("url"), "warc_ts"),
+        bucket=bucket,
+    ).select("curie", "bucket", "n_docs")
+    stored = spark.read.parquet(live).select("curie", "bucket", "n_docs")
+    w = Window.partitionBy("curie").orderBy("bucket")
+    staging = os.path.join(kg_root, "_staging", tag)
+    run_stage(
+        spark, staging, "merged_trends",
+        lambda: (
+            stored.unionByName(delta)
+            .groupBy("curie", "bucket")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+            .select(
+                "curie", "bucket", "n_docs",
+                (
+                    F.col("n_docs")
+                    - F.coalesce(F.lag("n_docs").over(w), F.lit(0))
+                ).alias("delta_prev_bucket"),
+            )
+        ),
+        input_fingerprint=batch_fp,
+    )
+    _swap_subtree(os.path.join(staging, "merged_trends", "data"), live)
+    prev = read_manifest(kg_root, "trends")["input_fingerprint"]
+    combined = hashlib.md5(f"{prev}+{batch_fp}".encode()).hexdigest()
+    commit_stage(
+        kg_root, "trends", input_fingerprint=combined,
+        metrics={"batch_fingerprint": batch_fp, "bucket": bucket},
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "status": "committed",
+        "n_series_rows": read_manifest(kg_root, "trends")["total_rows"],
         "sec": round(time.time() - t0, 2),
     }

@@ -437,3 +437,64 @@ def test_sketch_flag_build_then_update(job_tmp, corpora, spark):
     assert sorted(map(tuple, stored.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_absorb_trends_incremental_equals_batch(spark, tmp_path):
+    """trends_bucket absorbs keep the trends stage equal to the batch
+    computation over every absorbed document (counts additive across
+    the disjoint batch doc sets, deltas re-derived over the merged
+    series); replays no-op; a bucket-granularity mismatch refuses."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.corpus import (
+        distributed_documents_df,
+        mini_ontology,
+    )
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.operators.cooccur import mention_trends
+    from onto_text_tag_spark.plans.kg_absorb import (
+        absorb_batch,
+        absorb_trends,
+        init_kg_root,
+        read_live_mentions,
+    )
+    from onto_text_tag_spark.sinks import read_stage, snapshot_log
+
+    onto = mini_ontology()
+    rows = build_dictionary_rows(onto)
+    root = str(tmp_path / "kg")
+    init_kg_root(spark, root, onto)
+    docs = distributed_documents_df(spark, 60, seed=11, partitions=2)
+    b1 = docs.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    b2 = docs.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+
+    s1 = absorb_batch(spark, root, b1, rows, batch_fp="t1", lang=None,
+                      trends_bucket="second")
+    assert "trends" in s1["stage_sec"]
+    absorb_batch(spark, root, b2, rows, batch_fp="t2", lang=None,
+                 trends_bucket="second")
+
+    stored = read_stage(spark, root, "trends")
+    expected = mention_trends(
+        read_live_mentions(spark, root),
+        docs.select(F.col("url").cast("string").alias("url"), "warc_ts"),
+        bucket="second",
+    )
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    assert stored.select("bucket").distinct().count() > 1
+
+    n_snaps = len(snapshot_log(root, "trends"))
+    rep = absorb_trends(
+        spark, root, read_live_mentions(spark, root), docs,
+        batch_fp="t2", bucket="second",
+    )
+    assert rep["status"] == "noop_already_committed"
+    assert len(snapshot_log(root, "trends")) == n_snaps
+
+    with pytest.raises(ValueError, match="bucket"):
+        absorb_trends(
+            spark, root, read_live_mentions(spark, root), docs,
+            batch_fp="t3", bucket="hour",
+        )
