@@ -132,6 +132,12 @@ def main() -> None:
         spark.read.parquet(args.input).limit(1000).count()
 
     if args.input:
+        if args.trends:
+            # mirror jobs/kg_build.py's --trends guards: fail clean and
+            # upfront, not with a mid-absorb AnalysisException after the
+            # mention delta was already staged
+            if "warc_ts" not in spark.read.parquet(args.input).columns:
+                raise SystemExit("--trends needs a warc_ts corpus column")
         dict_rows = build_dictionary_rows(
             load_ontology_rows(args.ontology, args.fixture)
         )

@@ -31,12 +31,41 @@ REASONS = ("lang", "too_short", "low_quality", "contaminated",
            "duplicate", "sampled_out", "kept")
 
 
+def _normalize_grams(grams: list[str], n: int) -> list[str]:
+    """Push every benchmark gram through the SAME tokenizer the document
+    side uses (lower + split on ``[^a-z0-9_]+``).  A gram that does not
+    normalize to exactly ``n`` tokens can never match the document
+    n-gram stream — raising beats a decontamination gate that silently
+    fails open (and normalization makes the grams safe to embed as SQL
+    literals: no quotes, backslashes, or newlines survive it)."""
+    import re
+
+    norm: set[str] = set()
+    bad: list[tuple[str, int]] = []
+    for g in grams:
+        toks = [t for t in re.split(r"[^a-z0-9_]+", str(g).lower()) if t]
+        if len(toks) != n:
+            bad.append((str(g), len(toks)))
+        else:
+            norm.add(" ".join(toks))
+    if bad:
+        raise ValueError(
+            f"decontamination grams must normalize to exactly {n} "
+            f"[a-z0-9_] tokens (doc-side tokenizer); offending grams "
+            f"(gram, n_tokens): {bad[:5]}"
+            + (f" ... and {len(bad) - 5} more" if len(bad) > 5 else "")
+        )
+    return sorted(norm)
+
+
 def _contamination_count(text_col: str, grams: list[str], n: int):
     """Column: how many of ``grams`` (distinct word n-grams, all size n)
     occur in ``text_col`` — one nested JVM expression, shareable by any
-    single-scan gate stack."""
+    single-scan gate stack.  ``grams`` are normalized (and validated)
+    through ``_normalize_grams`` first, so the generated literals are
+    token-safe by construction."""
     gram_list = ", ".join(
-        "'" + g.replace("'", "\\'") + "'" for g in sorted(set(grams))
+        "'" + g + "'" for g in _normalize_grams(grams, n)
     )
     toks = f"filter(split(lower({text_col}), '[^a-z0-9_]+'), t -> t != '')"
     # if-guard: sequence(1, 0) DESCENDS in Spark, so short docs need an
@@ -256,8 +285,11 @@ def decontaminate(
     distinct benchmark grams the doc contains — triage signal:
     1 gram ≈ idiom collision, 20 grams ≈ verbatim eval copy).
 
-    ``benchmark_ngrams``: lowercase space-joined token n-grams, all the
-    same ``n`` (mixed sizes: call once per size and OR the flags).
+    ``benchmark_ngrams``: token n-grams, all the same ``n`` (mixed
+    sizes: call once per size and OR the flags).  Each gram is
+    normalized through the document-side tokenizer; a gram that does
+    not yield exactly ``n`` tokens raises (it could never match, and a
+    silently-open contamination gate is worse than an error).
     """
     grams = sorted({g.strip().lower() for g in benchmark_ngrams if g.strip()})
     return (

@@ -223,6 +223,14 @@ def tag_documents_joined(
     ngram_lengths = sorted(
         r["n_toks"] for r in dict_norm.select("n_toks").distinct().collect()
     )
+    if not ngram_lengths:
+        # empty dictionary: no candidate grams → empty mentions frame
+        # with the output schema (not an AttributeError on grams=None)
+        return documents.sparkSession.createDataFrame(
+            [],
+            "url string, tok_begin int, tok_end int, surface string, "
+            "curie string, pref_label string, ont string",
+        )
 
     toks = documents.select(
         F.col(id_col).cast("string").alias("url"),
@@ -281,13 +289,17 @@ def tag_documents_joined(
         # expressed over token ranges (token count would mis-order
         # multi-token vs long single-token surfaces in partial-overlap
         # chains).  Candidate sets per doc are small: O(k^2) is fine.
+        # Surface + curie complete the sort key: two same-length
+        # candidates on one span (distinct dictionary surfaces whose
+        # normalization collides, e.g. 'u.s.' vs 'u s') must resolve
+        # the same way every run, not by partition arrival order.
         spans = sorted(
             (
                 (int(r.tok_begin), int(r.tok_end), r.surface,
                  (r.curie, r.pref_label, r.ont))
                 for r in pdf.itertuples()
             ),
-            key=lambda s: (-len(s[2]), s[0], s[1]),
+            key=lambda s: (-len(s[2]), s[0], s[1], s[2], s[3][0]),
         )
         kept: list[tuple] = []
         for b, e, surf, p in spans:

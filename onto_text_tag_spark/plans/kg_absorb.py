@@ -94,6 +94,28 @@ def batch_already_committed(kg_root: str, batch_fp: str) -> bool:
     )
 
 
+def _main_committed_fps(kg_root: str) -> set:
+    """Batch fingerprints the MAIN (triples) stage has committed."""
+    return {
+        s["metrics"]["batch_fingerprint"]
+        for s in snapshot_log(kg_root, "triples")
+        if s.get("metrics", {}).get("batch_fingerprint")
+    }
+
+
+def _side_covered_fps(kg_root: str, stage: str) -> set:
+    """Batch fingerprints a side stage (term_sketch / trends) has
+    absorbed — directly (``batch_fingerprint``) or via a full-stage
+    catch-up merge (``caught_up_batches``)."""
+    fps: set = set()
+    for s in snapshot_log(kg_root, stage):
+        m = s.get("metrics", {})
+        if m.get("batch_fingerprint"):
+            fps.add(m["batch_fingerprint"])
+        fps.update(m.get("caught_up_batches", ()))
+    return fps
+
+
 def init_kg_root(
     spark: SparkSession,
     kg_root: str,
@@ -168,8 +190,14 @@ def absorb_batch(
     ``trends_bucket``: also maintain the ``trends`` stage
     (``absorb_trends``; per-(class, bucket) counts are additive across
     the disjoint batch doc sets).  Both side-stages commit BEFORE the
-    main commit, so a main-committed batch always implies they are
-    committed too (their own epoch fingerprints make replays no-op)."""
+    main commit, so a batch absorbed WITH a flag set implies its side
+    stage committed too (their own epoch fingerprints make replays
+    no-op).  Enabling a flag mid-life is handled, not silent: the
+    sketch catches up exactly from the stored mentions stage (KMV
+    merges are idempotent), trends warns and records the uncovered
+    batches, and REPLAYING a main-committed batch with the flag
+    back-fills its side stage from the batch-tagged mention files
+    while the main commit stays a no-op."""
     t0 = time.time()
     stage_sec: dict[str, float] = {}
 
@@ -185,7 +213,7 @@ def absorb_batch(
     live_mention_triples = os.path.join(live_triples, "pred=mentions")
 
     if batch_already_committed(kg_root, batch_fp):
-        return {
+        out = {
             "status": "noop_already_committed",
             "batch_fingerprint": batch_fp,
             "n_mentions_total": read_manifest(
@@ -194,6 +222,63 @@ def absorb_batch(
                 kg_root, "triples")["total_rows"],
             "sec": round(time.time() - t0, 2),
         }
+        # Replaying a main-committed batch with --sketch/--trends lets a
+        # later-enabled side stage BACK-FILL this batch: its mentions are
+        # identifiable in the live stage by their batch-tagged filenames
+        # (_append_batch_files), so the side absorbs run from exactly
+        # this batch's delta while the main commit stays a no-op.  The
+        # side stages' own logs make true replays no-op in turn.
+        if sketch_k or trends_bucket:
+            import warnings
+
+            mdata = os.path.join(kg_root, "mentions", "data")
+            batch_files = sorted(
+                os.path.join(mdata, f) for f in os.listdir(mdata)
+                if f.startswith(f"batch-{tag}-") and f.endswith(".parquet")
+            )
+            batch_mentions = (
+                spark.read.option("basePath", mdata).parquet(*batch_files)
+                if batch_files
+                else spark.read.parquet(mdata).limit(0)
+            )
+            if sketch_k:
+                # exact even when the files were compacted away: the
+                # sketch's catch-up fold covers any uncovered batch
+                # from the full mentions stage
+                out["term_sketch"] = timed(
+                    "term_sketch_backfill", lambda: absorb_term_sketch(
+                        spark, kg_root, batch_mentions,
+                        batch_fp=batch_fp, k=sketch_k))
+            if trends_bucket:
+                # the main commit recorded how many mentions this batch
+                # appended — distinguishes a legitimately-empty batch
+                # (back-fill with empty delta is exact) from files a
+                # compaction rewrote (exact back-fill impossible)
+                n_batch_mentions = next(
+                    (s["metrics"].get("batch_mentions", 0)
+                     for s in snapshot_log(kg_root, "triples")
+                     if s.get("metrics", {}).get("batch_fingerprint")
+                     == batch_fp),
+                    0,
+                )
+                if batch_files or n_batch_mentions == 0:
+                    out["trends"] = timed(
+                        "trends_backfill", lambda: absorb_trends(
+                            spark, kg_root, batch_mentions, docs,
+                            batch_fp=batch_fp, bucket=trends_bucket))
+                elif batch_fp not in _side_covered_fps(kg_root, "trends"):
+                    # compaction rewrote the batch-tagged files: an
+                    # exact trends back-fill is impossible — leave the
+                    # batch uncovered (absorb_trends keeps flagging it)
+                    # rather than commit empty counts
+                    warnings.warn(
+                        f"batch {batch_fp[:12]}…: mentions stage no "
+                        "longer holds its batch-tagged files "
+                        "(compacted?); trends back-fill skipped",
+                        stacklevel=2,
+                    )
+            out["sec"] = round(time.time() - t0, 2)
+        return out
 
     _recover_swap(live_cooccur)
 
@@ -1027,6 +1112,18 @@ def absorb_term_sketch(
     make replays committed no-ops; the staged-swap recovery handles
     interrupted commits.
 
+    Mid-life enablement is exact too: when the sketch stage is missing
+    coverage — the flag turned on after docs were already absorbed (or
+    built by kg_build), or dropped for some batches and re-enabled —
+    this call detects the gap (main-committed fingerprints absent from
+    the sketch log, or a first-init over a non-empty mentions stage)
+    and folds a sketch of the ENTIRE stored mentions stage into the
+    merge.  The KMV merge's idempotence under overlap makes that fold
+    exact regardless of what the stage already absorbed; it costs one
+    mentions-stage scan, paid only when a gap exists, and the covered
+    fingerprints are recorded (``caught_up_batches``) so the next
+    absorb is O(batch) again.
+
     ``mentions``: the BATCH's mention rows (url, curie) — typically the
     delta the surrounding absorb just computed.
     """
@@ -1039,9 +1136,11 @@ def absorb_term_sketch(
     tag = hashlib.md5(("sketch:" + batch_fp).encode()).hexdigest()[:12]
     live = os.path.join(kg_root, "term_sketch", "data")
 
+    initialized_now = False
     try:
         read_manifest(kg_root, "term_sketch")
     except OSError:
+        initialized_now = True
         write_stage(
             spark.createDataFrame([], "curie string, ks array<bigint>")
             .repartition(1),
@@ -1055,32 +1154,55 @@ def absorb_term_sketch(
             f"term_sketch stage was built with k={stored_k}; merging "
             f"with k={k} would not equal a from-scratch sketch"
         )
-    if any(
-        s.get("metrics", {}).get("batch_fingerprint") == batch_fp
-        for s in snapshot_log(kg_root, "term_sketch")
-    ):
+    if batch_fp in _side_covered_fps(kg_root, "term_sketch"):
         return {
             "status": "noop_already_committed",
             "n_terms": read_manifest(kg_root, "term_sketch")["total_rows"],
             "sec": round(time.time() - t0, 2),
         }
 
+    # coverage gap?  main-committed batches the sketch never absorbed
+    # (flag enabled mid-life, dropped-and-re-enabled, or a replay of a
+    # main-committed batch whose side stages were skipped) — or a first
+    # init over a root that already holds mentions (e.g. kg_build-built,
+    # whose docs carry no batch fingerprints at all)
+    missing = _main_committed_fps(kg_root) - _side_covered_fps(
+        kg_root, "term_sketch")
+    n_stored_mentions = read_manifest(kg_root, "mentions")["total_rows"]
+    fold_full = bool(missing) or (initialized_now and n_stored_mentions > 0)
+
     _recover_swap(live)
     stored = spark.read.parquet(live)
     staging = os.path.join(kg_root, "_staging", tag)
+
+    def _merged():
+        delta = term_sketch_partials(mentions, k=k)
+        if fold_full:
+            # exact catch-up: KMV merge is idempotent under overlap, so
+            # folding a sketch of the ENTIRE stored mentions stage in
+            # covers every gap batch without double-count risk
+            delta = merge_term_sketches(
+                delta,
+                term_sketch_partials(
+                    read_stage(spark, kg_root, "mentions"), k=k),
+                k=k,
+            )
+        return merge_term_sketches(stored, delta, k=k)
+
     run_stage(
-        spark, staging, "merged_sketch",
-        lambda: merge_term_sketches(
-            stored, term_sketch_partials(mentions, k=k), k=k
-        ),
+        spark, staging, "merged_sketch", _merged,
         input_fingerprint=batch_fp,
     )
     _swap_subtree(os.path.join(staging, "merged_sketch", "data"), live)
     prev = read_manifest(kg_root, "term_sketch")["input_fingerprint"]
     combined = hashlib.md5(f"{prev}+{batch_fp}".encode()).hexdigest()
+    metrics = {"batch_fingerprint": batch_fp, "k": k}
+    if fold_full:
+        metrics["caught_up_batches"] = sorted(missing)
+        metrics["caught_up_mentions"] = n_stored_mentions
     commit_stage(
         kg_root, "term_sketch", input_fingerprint=combined,
-        metrics={"batch_fingerprint": batch_fp, "k": k},
+        metrics=metrics,
     )
     shutil.rmtree(staging, ignore_errors=True)
     return {
@@ -1111,9 +1233,23 @@ def absorb_trends(
     the corpus.  Same exactly-once protocol as the other absorb stages;
     a bucket-granularity mismatch refuses instead of mixing series.
 
+    UNLIKE the term sketch, trend counts cannot be caught up from
+    stored state (the absorbed docs' ``warc_ts`` is not retained), so a
+    coverage gap — the flag enabled mid-life or dropped for some
+    batches — cannot be silently healed.  This call DETECTS such gaps
+    (main-committed fingerprints absent from the trends log; first init
+    over a non-empty root), warns, and records them in the commit
+    metrics (``missing_batches`` / ``initialized_over_existing_docs``)
+    so the undercount is visible, not silent.  Replaying the missing
+    batches through ``absorb_batch`` back-fills them exactly: the main
+    commit no-ops while the trends absorb runs from the batch's
+    appended mention files.
+
     ``mentions``: the batch's mention rows; ``docs``: the batch's
     corpus rows carrying ``warc_ts`` (joined on url for bucketing).
     """
+    import warnings
+
     from pyspark.sql import Window
 
     from onto_text_tag_spark.operators.cooccur import mention_trends
@@ -1122,9 +1258,11 @@ def absorb_trends(
     tag = hashlib.md5(("trends:" + batch_fp).encode()).hexdigest()[:12]
     live = os.path.join(kg_root, "trends", "data")
 
+    initialized_now = False
     try:
         read_manifest(kg_root, "trends")
     except OSError:
+        initialized_now = True
         write_stage(
             spark.createDataFrame(
                 [], "curie string, bucket timestamp, n_docs bigint, "
@@ -1141,15 +1279,41 @@ def absorb_trends(
             f"trends stage uses bucket={stored_bucket!r}; absorbing at "
             f"bucket={bucket!r} would mix granularities"
         )
-    if any(
-        s.get("metrics", {}).get("batch_fingerprint") == batch_fp
-        for s in snapshot_log(kg_root, "trends")
-    ):
+    if batch_fp in _side_covered_fps(kg_root, "trends"):
         return {
             "status": "noop_already_committed",
             "n_series_rows": read_manifest(kg_root, "trends")["total_rows"],
             "sec": round(time.time() - t0, 2),
         }
+
+    caveats: dict = {}
+    missing = _main_committed_fps(kg_root) - _side_covered_fps(
+        kg_root, "trends") - {batch_fp}
+    if missing:
+        caveats["missing_batches"] = sorted(missing)
+        warnings.warn(
+            f"trends stage is missing {len(missing)} main-committed "
+            "batch(es) — the series UNDERCOUNTS until they are "
+            "replayed through absorb_batch with trends enabled "
+            "(the replay back-fills from the batches' mention files)",
+            stacklevel=2,
+        )
+    if initialized_now and not missing:
+        # docs present but NO uncovered batch fingerprints to explain
+        # them: kg_build-built content, which replay cannot back-fill
+        # (fingerprinted gaps are covered by the missing_batches path)
+        n_docs = read_manifest(kg_root, "doc_terms")["total_rows"]
+        if n_docs > 0:
+            caveats["initialized_over_existing_docs"] = n_docs
+            warnings.warn(
+                f"trends stage initialized over a root already holding "
+                f"{n_docs} doc_terms rows; docs without batch "
+                "fingerprints (e.g. a kg_build-built root) cannot be "
+                "back-filled — their crawl times are not retained. "
+                "Rebuild trends from the corpus (kg_build --trends) "
+                "for an exact series",
+                stacklevel=2,
+            )
 
     _recover_swap(live)
     id_col = "url" if "url" in docs.columns else "doc_id"
@@ -1182,7 +1346,8 @@ def absorb_trends(
     combined = hashlib.md5(f"{prev}+{batch_fp}".encode()).hexdigest()
     commit_stage(
         kg_root, "trends", input_fingerprint=combined,
-        metrics={"batch_fingerprint": batch_fp, "bucket": bucket},
+        metrics={"batch_fingerprint": batch_fp, "bucket": bucket,
+                 **caveats},
     )
     shutil.rmtree(staging, ignore_errors=True)
     return {

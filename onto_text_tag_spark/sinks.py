@@ -38,15 +38,21 @@ snapshot write:
 
 Iceberg provides this natively (snapshots + manifests); its runtime jar
 is not present in this sandbox, so the same contract is implemented on
-plain parquet + JSON sidecars.  On a cluster with an Iceberg catalog,
-``write_stage`` degrades to ``df.writeTo(table).createOrReplace()`` —
-the call sites don't change (see ``iceberg_available``).
+plain parquet + JSON sidecars.  On a cluster with an Iceberg catalog
+(``iceberg_available``), ``write_stage`` routes the DATA write to
+``df.writeTo(table).createOrReplace()`` and ``read_stage`` to
+``spark.table(table)`` — call sites don't change; the manifest/marker/
+snapshot-log sidecars (this engine's resume + lineage contract) are
+still written, recording the table identity instead of a file list,
+while Iceberg's own snapshot log rides underneath for time-travel.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import time
 from collections.abc import Callable
 
@@ -54,6 +60,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True when the session catalog is Iceberg-backed — the switch that
+    routes ``write_stage``/``read_stage`` data access through catalog
+    tables instead of parquet paths."""
     try:
         return (
             spark.conf.get("spark.sql.catalog.spark_catalog", "")
@@ -63,6 +72,21 @@ def iceberg_available(spark: SparkSession) -> bool:
         )
     except Exception:
         return False
+
+
+def iceberg_stage_table(spark: SparkSession, root: str, stage: str) -> str:
+    """Catalog table a stage maps to under an Iceberg catalog:
+    ``<namespace>.<root-slug>_<root-hash>_<stage>`` — deterministic per
+    (root, stage), collision-free across roots (the hash), readable in
+    a catalog listing (the slug).  Namespace comes from
+    ``spark.onto_text_tag.iceberg.namespace`` (default ``onto_kg``)."""
+    ns = spark.conf.get("spark.onto_text_tag.iceberg.namespace", "onto_kg")
+    slug = re.sub(r"[^a-z0-9_]+", "_",
+                  (os.path.basename(os.path.normpath(root)) or "root")
+                  .lower()).strip("_") or "root"
+    root_h = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:8]
+    safe_stage = re.sub(r"[^a-z0-9_]+", "_", stage.lower())
+    return f"{ns}.{slug}_{root_h}_{safe_stage}"
 
 
 def _snapshot_log_path(root: str, stage: str) -> str:
@@ -87,8 +111,19 @@ def write_stage(
     metrics: dict | None = None,
 ) -> dict:
     """Write one stage snapshot: data + per-partition lineage manifest +
-    success marker.  Returns the manifest dict."""
+    success marker.  Returns the manifest dict.
+
+    Under an Iceberg session catalog (``iceberg_available``) the data
+    write degrades to ``df.writeTo(table).createOrReplace()`` — same
+    call-site contract, table-backed data, sidecar lineage preserved."""
     data_path, manifest_path, marker_path = _stage_paths(root, stage)
+
+    spark = df.sparkSession
+    if iceberg_available(spark):
+        return _write_stage_iceberg(
+            df, spark, root, stage, manifest_path, marker_path,
+            partition_by or [], input_fingerprint, metrics,
+        )
 
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -99,6 +134,60 @@ def write_stage(
         partition_by or [], input_fingerprint, metrics,
         df.schema.jsonValue(),
     )
+
+
+def _write_stage_iceberg(
+    df: DataFrame,
+    spark: SparkSession,
+    root: str,
+    stage: str,
+    manifest_path: str,
+    marker_path: str,
+    partition_by: list[str],
+    input_fingerprint: str,
+    metrics: dict | None,
+) -> dict:
+    """The Iceberg degradation of ``write_stage``: data lands in a
+    catalog table via ``writeTo(...).createOrReplace()``; the sidecar
+    manifest records the TABLE identity (no file list — Iceberg's own
+    manifests own file-level lineage) plus the same per-partition row
+    lineage, derived from one aggregate over the committed table."""
+    from pyspark.sql import functions as F
+
+    table = iceberg_stage_table(spark, root, stage)
+    writer = df.writeTo(table)
+    if partition_by:
+        writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+    writer.createOrReplace()
+
+    committed = spark.table(table)
+    if partition_by:
+        # values recorded as strings, matching the file-based path's
+        # hive-directory-name keys
+        part_counts = [
+            {**{c: str(row[c]) for c in partition_by}, "rows": row["rows"]}
+            for row in sorted(
+                committed.groupBy(*partition_by)
+                .agg(F.count("*").alias("rows")).collect(),
+                key=lambda r: tuple(str(r[c]) for c in partition_by),
+            )
+        ]
+    else:
+        part_counts = [{"rows": committed.count()}]
+
+    manifest = {
+        "stage": stage,
+        "written_at_unix": int(time.time()),
+        "input_fingerprint": input_fingerprint,
+        "format": "iceberg",
+        "table": table,
+        "partition_by": partition_by,
+        "partitions": part_counts,
+        "total_rows": sum(p["rows"] for p in part_counts),
+        "metrics": metrics or {},
+        "schema": df.schema.jsonValue(),
+    }
+    return _commit_manifest(manifest_path, marker_path, manifest)
 
 
 def write_stage_branches(
@@ -194,16 +283,8 @@ def _finalize_stage(
     else:
         part_counts = [{"rows": sum(part_rows.values())}]
 
-    log_path = os.path.join(os.path.dirname(manifest_path),
-                            "_SNAPSHOT_LOG.jsonl")
-    prior_snapshots = 0
-    if os.path.exists(log_path):
-        with open(log_path) as fh:
-            prior_snapshots = sum(1 for ln in fh if ln.strip())
-
     manifest = {
         "stage": stage,
-        "snapshot_id": prior_snapshots + 1,
         "written_at_unix": int(time.time()),
         "input_fingerprint": input_fingerprint,
         "partition_by": partition_by,
@@ -218,12 +299,32 @@ def _finalize_stage(
         "metrics": metrics or {},
         "schema": schema_json,
     }
+    return _commit_manifest(manifest_path, marker_path, manifest)
+
+
+def _commit_manifest(
+    manifest_path: str, marker_path: str, manifest: dict
+) -> dict:
+    """Seal a stage commit: assign the next snapshot id, write the
+    manifest, the success marker (last — readers treat the stage as
+    committed only once the manifest is complete; atomic-enough for a
+    single writer per stage), and append to the snapshot log."""
+    os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
+    log_path = os.path.join(os.path.dirname(manifest_path),
+                            "_SNAPSHOT_LOG.jsonl")
+    prior_snapshots = 0
+    if os.path.exists(log_path):
+        with open(log_path) as fh:
+            prior_snapshots = sum(1 for ln in fh if ln.strip())
+    manifest = {
+        "stage": manifest["stage"],
+        "snapshot_id": prior_snapshots + 1,
+        **{k: v for k, v in manifest.items() if k != "stage"},
+    }
     with open(manifest_path, "w") as fh:
         json.dump(manifest, fh, indent=2, default=str)
-    # marker last → readers treat the stage as committed only once the
-    # manifest is complete (atomic-enough for a single writer per stage)
     with open(marker_path, "w") as fh:
-        json.dump({"fingerprint": input_fingerprint}, fh)
+        json.dump({"fingerprint": manifest["input_fingerprint"]}, fh)
     # commit history last: one full manifest per committed snapshot
     with open(log_path, "a") as fh:
         fh.write(json.dumps(manifest, default=str) + "\n")
@@ -255,8 +356,27 @@ def read_stage(
     absorb/commit_stage path, where earlier files are immutable — and
     raise for overwritten stages whose files are gone (plain overwrite
     = commit + immediate expire-snapshots, as documented above).
+
+    A stage written under an Iceberg catalog (manifest ``format:
+    iceberg``) reads back via ``spark.table``; historical reads of it
+    go through Iceberg's native time travel (``VERSION AS OF`` /
+    ``snapshot-id``), not the sidecar file lists.
     """
-    data_path, _m, _s = _stage_paths(root, stage)
+    data_path, manifest_path, _s = _stage_paths(root, stage)
+    if os.path.exists(manifest_path):
+        try:
+            current = read_manifest(root, stage)
+        except (OSError, json.JSONDecodeError):
+            current = {}
+        if current.get("format") == "iceberg":
+            if snapshot_id is not None:
+                raise NotImplementedError(
+                    f"stage {stage!r} is table-backed "
+                    f"({current.get('table')}): time-travel through "
+                    "Iceberg's native VERSION AS OF, not the sidecar "
+                    "snapshot log"
+                )
+            return spark.table(current["table"])
     if snapshot_id is None:
         return spark.read.parquet(data_path)
     manifest = read_manifest(root, stage, snapshot_id=snapshot_id)
@@ -311,7 +431,8 @@ def read_stage_increment(
             f"stage {stage!r} snapshots predate file-list manifests; "
             "no incremental read possible"
         )
-    removed = set(since_files) - set(to_files)
+    since_set = set(since_files)
+    removed = since_set - set(to_files)
     if removed:
         raise ValueError(
             f"stage {stage!r} was rewritten between snapshots "
@@ -319,7 +440,7 @@ def read_stage_increment(
             f"({len(removed)} files gone): the range is not append-only, "
             "re-read the full stage instead"
         )
-    new_files = [f for f in to_files if f not in set(since_files)]
+    new_files = [f for f in to_files if f not in since_set]
     data_path, _m, _s = _stage_paths(root, stage)
     if not new_files:
         return spark.read.parquet(data_path).limit(0)

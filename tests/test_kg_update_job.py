@@ -498,3 +498,130 @@ def test_absorb_trends_incremental_equals_batch(spark, tmp_path):
             spark, root, read_live_mentions(spark, root), docs,
             batch_fp="t3", bucket="hour",
         )
+
+
+def test_sketch_enabled_mid_life_catches_up(spark, tmp_path):
+    """Turning --sketch on AFTER batches were already absorbed must not
+    silently undercount: the first sketch absorb detects the coverage
+    gap, folds the full stored mentions stage in (exact — KMV merges
+    are idempotent under overlap), and records the caught-up batches so
+    later absorbs are O(batch) again and replays no-op."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.corpus import (
+        distributed_documents_df,
+        mini_ontology,
+    )
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.operators.cooccur import term_sketch_partials
+    from onto_text_tag_spark.plans.kg_absorb import (
+        absorb_batch,
+        init_kg_root,
+        read_live_mentions,
+    )
+    from onto_text_tag_spark.sinks import read_stage, snapshot_log
+
+    onto = mini_ontology()
+    rows = build_dictionary_rows(onto)
+    root = str(tmp_path / "kg")
+    init_kg_root(spark, root, onto)
+    docs = distributed_documents_df(spark, 60, seed=13, partitions=2)
+    b1 = docs.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    b2 = docs.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+
+    # batch 1 WITHOUT the sketch flag — the stage does not exist yet
+    absorb_batch(spark, root, b1, rows, batch_fp="m1", lang=None)
+    # batch 2 WITH it: must catch up over batch 1's mentions too
+    absorb_batch(spark, root, b2, rows, batch_fp="m2", lang=None,
+                 sketch_k=16)
+
+    stored = read_stage(spark, root, "term_sketch")
+    full = term_sketch_partials(read_live_mentions(spark, root), k=16)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    caught = [
+        s["metrics"].get("caught_up_batches")
+        for s in snapshot_log(root, "term_sketch")
+        if s.get("metrics", {}).get("caught_up_batches")
+    ]
+    assert caught == [["m1"]]
+
+    # replaying batch 1 with the flag: main no-op, sketch already covers
+    # it via the catch-up record — side absorb is a no-op too
+    rep = absorb_batch(spark, root, b1, rows, batch_fp="m1", lang=None,
+                       sketch_k=16)
+    assert rep["status"] == "noop_already_committed"
+    assert rep["term_sketch"]["status"] == "noop_already_committed"
+    after = read_stage(spark, root, "term_sketch")
+    assert sorted(map(tuple, after.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
+
+
+def test_trends_enabled_mid_life_warns_then_replay_backfills(
+        spark, tmp_path):
+    """Trend counts cannot be caught up from stored state (warc_ts is
+    not retained), so a mid-life --trends enable must WARN and record
+    the uncovered batches — and replaying those batches through
+    absorb_batch must back-fill them exactly from the batch-tagged
+    mention files while the main commit stays a no-op."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.corpus import (
+        distributed_documents_df,
+        mini_ontology,
+    )
+    from onto_text_tag_spark.dictionary import build_dictionary_rows
+    from onto_text_tag_spark.operators.cooccur import mention_trends
+    from onto_text_tag_spark.plans.kg_absorb import (
+        absorb_batch,
+        init_kg_root,
+        read_live_mentions,
+    )
+    from onto_text_tag_spark.sinks import read_stage, snapshot_log
+
+    onto = mini_ontology()
+    rows = build_dictionary_rows(onto)
+    root = str(tmp_path / "kg")
+    init_kg_root(spark, root, onto)
+    docs = distributed_documents_df(spark, 60, seed=17, partitions=2)
+    b1 = docs.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    b2 = docs.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+
+    absorb_batch(spark, root, b1, rows, batch_fp="t1", lang=None)
+    with pytest.warns(UserWarning, match="UNDERCOUNTS"):
+        absorb_batch(spark, root, b2, rows, batch_fp="t2", lang=None,
+                     trends_bucket="second")
+
+    missing = [
+        s["metrics"].get("missing_batches")
+        for s in snapshot_log(root, "trends")
+        if s.get("metrics", {}).get("missing_batches")
+    ]
+    assert missing == [["t1"]]
+
+    # replay batch 1 with the flag: main no-op + exact trends back-fill
+    rep = absorb_batch(spark, root, b1, rows, batch_fp="t1", lang=None,
+                       trends_bucket="second")
+    assert rep["status"] == "noop_already_committed"
+    assert rep["trends"]["status"] == "committed"
+
+    stored = read_stage(spark, root, "trends")
+    expected = mention_trends(
+        read_live_mentions(spark, root),
+        docs.select(F.col("url").cast("string").alias("url"), "warc_ts"),
+        bucket="second",
+    )
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+    # the gap is healed: a third batch absorbs without a warning
+    import warnings as _w
+
+    b3 = distributed_documents_df(spark, 12, seed=19, partitions=1)
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        absorb_batch(spark, root, b3, rows, batch_fp="t3", lang=None,
+                     trends_bucket="second")
