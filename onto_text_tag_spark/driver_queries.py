@@ -3754,50 +3754,55 @@ SELECT node, min(m) AS comp FROM reach GROUP BY node
 # ---------------------------------------------------------------------------
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode→decode roundtrip over binary media columns: synthesize a
-    deterministic payload per document (mapInPandas encode), then run the
-    real Arrow-batched decode stage.  The oracle re-derives every decoded
-    feature arithmetically from doc_id — so it genuinely cross-checks the
-    decode path, not just the arithmetic."""
+    """Encode→decode roundtrip over GENUINE media bytes: every document
+    becomes a real PNG / WAV / minimal MP4 payload (media_codecs encode
+    twins), then the Arrow-batched decode stage runs the real stdlib
+    codecs (PNG chunk walk, RIFF parse, BMFF box walk).  The oracle
+    re-derives the decoded features arithmetically from doc_id, so it
+    cross-checks the actual decode path end-to-end."""
     from onto_text_tag_spark.operators.multimodal import (
         extract_media_features,
-        synthesize_media,
+        synthesize_real_media,
     )
 
-    media = synthesize_media(_docs(spark, sf_dir))
+    media = synthesize_real_media(_docs(spark, sf_dir))
     return extract_media_features(media).select(
-        "media_id", "kind", "format", "n_bytes",
-        "width", "height", "duration_ms",
+        "media_id", "kind", "format",
+        "width", "height", "duration_ms", "channels", "sample_rate",
     )
 
 
 def sql_mm_features() -> str:
-    # header = 4B magic + packed <BIIQ (1+4+4+8) = 21 bytes before body
+    # synthesize_real_media: image w=16+id%16 h=8+id%8 RGB PNG; audio
+    # 80*(1+id%30) frames at 8 kHz mono; video (1+id%30)*1000 ms MP4
     return """
 SELECT doc_id::VARCHAR AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
             ELSE 'video' END AS kind,
-       'synm' AS format,
-       (21 + octet_length(encode(text)))::BIGINT AS n_bytes,
-       CASE WHEN doc_id % 3 <> 1
-            THEN (640 + (doc_id % 64) * 10)::INT END AS width,
-       CASE WHEN doc_id % 3 <> 1
-            THEN (360 + (doc_id % 36) * 10)::INT END AS height,
-       CASE WHEN doc_id % 3 <> 0
-            THEN ((1 + doc_id % 30) * 1000)::BIGINT END AS duration_ms
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+            ELSE 'mp4' END AS format,
+       CASE WHEN doc_id % 3 = 0 THEN (16 + doc_id % 16)::INT END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN (8 + doc_id % 8)::INT END AS height,
+       CASE doc_id % 3
+            WHEN 1 THEN (10 * (1 + doc_id % 30))::BIGINT
+            WHEN 2 THEN ((1 + doc_id % 30) * 1000)::BIGINT
+       END AS duration_ms,
+       CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 END::INT AS channels,
+       CASE WHEN doc_id % 3 = 1 THEN 8000 END::INT AS sample_rate
 FROM documents
 """
 
 
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plan: filter to videos, decode duration, fan
-    out one row per 1-second frame offset (explode over sequence)."""
+    """Video frame-sampling plan: filter to videos, decode the REAL
+    MP4 duration (moov/mvhd box walk), fan out one row per 1-second
+    frame offset (explode over sequence)."""
     from onto_text_tag_spark.operators.multimodal import (
         frame_sample_plan,
-        synthesize_media,
+        synthesize_real_media,
     )
 
-    media = synthesize_media(_docs(spark, sf_dir))
+    media = synthesize_real_media(_docs(spark, sf_dir))
     return frame_sample_plan(media, every_ms=1000)
 
 
@@ -3807,6 +3812,45 @@ SELECT doc_id::VARCHAR AS media_id,
        unnest(range(0, (1 + doc_id % 30) * 1000, 1000))::BIGINT
            AS frame_offset_ms
 FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+def q_mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level image features over REAL PNG payloads: full decode
+    (zlib inflate + scanline unfilter) then luminance statistics.  The
+    oracle recomputes every pixel of the deterministic gradient
+    arithmetically — a wrong byte anywhere in the encode or decode path
+    shifts the sums and fails the hash."""
+    from onto_text_tag_spark.operators.multimodal import (
+        image_stats,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(_docs(spark, sf_dir))
+    return image_stats(media)
+
+
+def sql_mm_image_stats() -> str:
+    # pixel (x, y, channel c) of image doc_id has value
+    # (x*3 + y*5 + doc_id + c*7) % 256  (synthesize_real_media)
+    return """
+WITH imgs AS (
+  SELECT doc_id, (16 + doc_id % 16) AS w, (8 + doc_id % 8) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+xs  AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM imgs),
+xys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+px  AS (
+  SELECT doc_id, w, h,
+         ((x * 3 + y * 5 + doc_id + c.c * 7) % 256)::BIGINT AS v
+  FROM xys, (SELECT unnest(range(0, 3)) AS c) c
+)
+SELECT doc_id::VARCHAR AS media_id,
+       w::INT AS width, h::INT AS height, 3::INT AS channels,
+       ((sum(v) * 1000) // count(*))::BIGINT AS mean_luma,
+       min(v)::INT AS min_px,
+       max(v)::INT AS max_px
+FROM px GROUP BY doc_id, w, h
 """
 
 
@@ -3908,6 +3952,7 @@ QUERIES = {
     "part_pairs": q_part_pairs,
     "mm_features": q_mm_features,
     "mm_frames": q_mm_frames,
+    "mm_image_stats": q_mm_image_stats,
 }
 
 ORACLES = {
@@ -3996,6 +4041,7 @@ ORACLES = {
     "part_pairs": sql_part_pairs(),
     "mm_features": sql_mm_features(),
     "mm_frames": sql_mm_frames(),
+    "mm_image_stats": sql_mm_image_stats(),
 }
 
 # Queries that had no driver CORRECTNESS row in round 1 (the driver checked
@@ -4013,6 +4059,7 @@ _PRIORITY_KEYS = [
     "emb_quantize", "sim_topk_quantized", "events_tumbling",
     "events_sessionize", "events_rolling", "pricing_summary", "top_orders",
     "nation_revenue", "part_pairs", "mm_features", "mm_frames",
+    "mm_image_stats",
 ]
 
 QUERIES = {

@@ -1,0 +1,362 @@
+"""Real media codecs, stdlib-only: PNG (full encode + pixel decode),
+JPEG / GIF header parse, WAV (encode + parse), minimal MP4 box parse.
+
+The multimodal operators (operators/multimodal.py) treat payloads as
+opaque ``binary`` columns and run decode / feature-extract / resize as
+Arrow-batched kernels.  This container has no Pillow/ffmpeg, but the
+formats below are decodable with ``zlib`` + ``struct`` alone, so these
+kernels are GENUINE codecs over genuine file bytes, not structural
+fakes:
+
+* PNG — full spec subset: chunk walk + CRC verify, IHDR metadata,
+  IDAT zlib inflate, scanline unfiltering (all five filter types:
+  None/Sub/Up/Average/Paeth), and the encode twin (filter-0 scanlines,
+  correct CRCs) used to synthesize deterministic test corpora.  8-bit
+  gray / RGB / RGBA pixel decode; metadata parse for every color type.
+* JPEG — marker walk to the first SOF0/1/2 frame header for
+  (width, height, channels).
+* GIF — logical screen descriptor (87a/89a).
+* WAV — RIFF chunk walk: fmt (channels, sample rate, bit depth) +
+  data size → duration; plus the PCM encode twin.
+* MP4 — ISO BMFF box walk to ``moov/mvhd`` (version 0 and 1) for
+  timescale + duration; plus a minimal valid ``ftyp+moov`` encoder for
+  metadata-only video rows.
+
+Everything is row-local and driver-free: the functions take/return
+plain ``bytes``/numpy arrays and are called from ``mapInPandas``
+batches, so the kernels scale exactly like the HTML extractor.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an 8-bit image array as a real PNG.
+
+    ``pixels``: (h, w) gray, (h, w, 3) RGB, or (h, w, 4) RGBA, dtype
+    uint8.  Scanlines use filter type 0; output round-trips through any
+    PNG reader (and ``decode_png``)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, channels = 0, 1
+        px = px[:, :, None]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type, channels = 2, 3
+    elif px.ndim == 3 and px.shape[2] == 4:
+        color_type, channels = 6, 4
+    else:
+        raise ValueError(f"unsupported pixel shape {px.shape}")
+    h, w = px.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + px[y].tobytes() for y in range(h)
+    )  # filter byte 0 per scanline
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_chunks(payload: bytes, verify_crc: bool = True):
+    if not payload.startswith(PNG_SIGNATURE):
+        raise ValueError("not a PNG: bad signature")
+    pos = len(PNG_SIGNATURE)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        if verify_crc:
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+            if crc != zlib.crc32(tag + body) & 0xFFFFFFFF:
+                raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        yield tag, body
+        pos += 12 + length
+        if tag == b"IEND":
+            return
+
+
+def png_info(payload: bytes) -> dict:
+    """IHDR metadata: width, height, bit_depth, color_type, channels,
+    interlace.  Works for every PNG color type."""
+    for tag, body in _png_chunks(payload, verify_crc=False):
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            return {
+                "width": w,
+                "height": h,
+                "bit_depth": depth,
+                "color_type": color,
+                "channels": _PNG_CHANNELS.get(color),
+                "interlace": interlace,
+            }
+    raise ValueError("PNG without IHDR")
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Full pixel decode for 8-bit non-interlaced gray/RGB/RGBA PNGs:
+    inflate the IDAT stream and reverse the per-scanline filters
+    (types 0-4 per the spec).  Returns (h, w) or (h, w, c) uint8."""
+    info = png_info(payload)
+    if info["bit_depth"] != 8 or info["interlace"] != 0:
+        raise NotImplementedError(
+            "pixel decode supports 8-bit non-interlaced PNGs "
+            f"(got depth={info['bit_depth']}, "
+            f"interlace={info['interlace']})"
+        )
+    if info["color_type"] not in (0, 2, 6):
+        raise NotImplementedError(
+            f"pixel decode supports gray/RGB/RGBA (color type "
+            f"{info['color_type']} not implemented)"
+        )
+    w, h, c = info["width"], info["height"], info["channels"]
+    raw = zlib.decompress(
+        b"".join(body for tag, body in _png_chunks(payload)
+                 if tag == b"IDAT")
+    )
+    stride = w * c
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intp)
+    for y in range(h):
+        ftype = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).astype(np.intp)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(c, stride):
+                cur[x] = (cur[x] + cur[x - c]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - c] if x >= c else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0
+                b = prev[x]
+                cc = prev[x - c] if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = cc
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, c)
+    return px[:, :, 0] if c == 1 else px
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w[, c]) uint8 array — the
+    codec-free image op the resize stage runs between decode and
+    re-encode."""
+    px = np.asarray(pixels)
+    h, w = px.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return px[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# JPEG / GIF headers
+# ---------------------------------------------------------------------------
+
+_JPEG_SOF = {0xC0, 0xC1, 0xC2}  # baseline, extended sequential, progressive
+
+
+def jpeg_info(payload: bytes) -> dict:
+    """Walk JFIF markers to the first SOF frame header for
+    (width, height, channels)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker desync at {pos}")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if marker in _JPEG_SOF:
+            _depth, h, w, ncomp = struct.unpack_from(
+                ">BHHB", payload, pos + 4)
+            return {"width": w, "height": h, "channels": ncomp}
+        if marker == 0xDA:  # start of scan: no SOF seen
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG without SOF frame header")
+
+
+def gif_info(payload: bytes) -> dict:
+    """GIF87a/89a logical screen descriptor."""
+    if len(payload) < 13 or payload[:3] != b"GIF" or \
+            payload[3:6] not in (b"87a", b"89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    return {"width": w, "height": h,
+            "version": payload[3:6].decode("ascii")}
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """PCM 16-bit mono WAV from an int16 sample array — a real RIFF
+    container any audio reader opens."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_info(payload: bytes) -> dict:
+    """RIFF chunk walk: channels, sample_rate, bit depth, and duration
+    derived from the data chunk size."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or \
+            payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF header")
+    pos, channels, rate, bits, data_len = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        if tag == b"fmt ":
+            _fmt, channels, rate, _bps, _align, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8)
+        elif tag == b"data":
+            data_len = length
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if channels is None or data_len is None:
+        raise ValueError("WAV without fmt/data chunks")
+    n_frames = data_len // (channels * (bits // 8))
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "bit_depth": bits,
+        "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1000 // rate) if rate else None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO BMFF)
+# ---------------------------------------------------------------------------
+
+
+def encode_mp4_stub(duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal valid ISO BMFF file: ``ftyp`` + ``moov`` containing a
+    version-0 ``mvhd`` with the given timescale/duration.  Metadata-only
+    (no media tracks) — the shape a metadata-extraction stage sees after
+    an object-store range read of the moov box."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification time
+        + struct.pack(">II", timescale,
+                      int(duration_ms * timescale // 1000))
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                      0x40000000)  # unity matrix
+        + b"\x00" * 24  # pre-defined
+        + struct.pack(">I", 2),  # next track id
+    )
+    return ftyp + box(b"moov", mvhd)
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        header = 8
+        if length == 1:  # 64-bit largesize
+            (length,) = struct.unpack_from(">Q", payload, pos + 8)
+            header = 16
+        elif length == 0:  # box extends to EOF
+            length = end - pos
+        if length < header or pos + length > end:
+            raise ValueError(f"bad MP4 box {tag!r} at {pos}")
+        yield tag, pos + header, pos + length
+        pos += length
+
+
+def mp4_info(payload: bytes) -> dict:
+    """Box walk to ``moov/mvhd`` (version 0 or 1): timescale + duration.
+    Requires a leading ``ftyp`` box (the file-type gate a real demuxer
+    applies)."""
+    boxes = list(_mp4_boxes(payload, 0, len(payload)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        raise ValueError("not an MP4: missing ftyp")
+    for tag, body_start, body_end in boxes:
+        if tag != b"moov":
+            continue
+        for t2, s2, _e2 in _mp4_boxes(payload, body_start, body_end):
+            if t2 != b"mvhd":
+                continue
+            version = payload[s2]
+            if version == 1:
+                timescale, duration = struct.unpack_from(
+                    ">IQ", payload, s2 + 4 + 16)
+            else:
+                _c, _m, timescale, duration = struct.unpack_from(
+                    ">IIII", payload, s2 + 4)
+            return {
+                "timescale": timescale,
+                "duration_ms": int(duration * 1000 // timescale)
+                if timescale else None,
+            }
+    raise ValueError("MP4 without moov/mvhd")

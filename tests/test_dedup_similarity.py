@@ -244,9 +244,23 @@ def test_multimodal_unknown_format_raises(spark):
     )
 
     media = spark.createDataFrame(
-        [("bad", "image", "jpeg", b"\xff\xd8notreal")], MEDIA
+        [("bad", "image", "tiff", b"II*\x00notreal")], MEDIA
     )
     with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        extract_media_features(media).collect()
+
+
+def test_multimodal_corrupt_payload_raises(spark):
+    # a registered REAL decoder must reject corrupt bytes, not guess
+    from onto_text_tag_spark.operators.multimodal import (
+        MEDIA,
+        extract_media_features,
+    )
+
+    media = spark.createDataFrame(
+        [("bad", "image", "jpeg", b"\xff\xd8notreal")], MEDIA
+    )
+    with pytest.raises(Exception, match="JPEG|ValueError"):
         extract_media_features(media).collect()
 
 

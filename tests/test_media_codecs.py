@@ -1,0 +1,254 @@
+"""The real stdlib media codecs (functions/media_codecs.py) and the
+Spark stages built on them (operators/multimodal.py): PNG encode/decode
+round-trips including all five scanline filters, JPEG/GIF/WAV/MP4
+parses on hand-crafted genuine files, and the distributed
+decode / image-stats / resize stages over real payloads."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from onto_text_tag_spark.functions import media_codecs as mc
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def _gradient(h, w, c=3, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    if c == 1:
+        return ((xx * 3 + yy * 5 + seed) % 256).astype(np.uint8)
+    return np.stack(
+        [(xx * 3 + yy * 5 + seed + k * 7) % 256 for k in range(c)], axis=2
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(5, 7), (5, 7, 3), (5, 7, 4)])
+def test_png_roundtrip(shape):
+    px = _gradient(shape[0], shape[1],
+                   1 if len(shape) == 2 else shape[2])
+    payload = mc.encode_png(px)
+    info = mc.png_info(payload)
+    assert (info["width"], info["height"]) == (7, 5)
+    assert info["bit_depth"] == 8
+    got = mc.decode_png(payload)
+    assert got.shape == px.shape
+    assert np.array_equal(got, px)
+
+
+def test_png_unfilters_all_filter_types():
+    """Hand-build a PNG whose five scanlines use filter types 0-4
+    (forward-filtered here per the spec); decode must invert each."""
+    px = _gradient(5, 6, 3, seed=11).astype(np.int16)
+    h, w, c = px.shape
+    stride = w * c
+    flat = px.reshape(h, stride)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(c, dtype=np.int16),
+                               cur[:-c]])
+        upleft = np.concatenate([np.zeros(c, dtype=np.int16),
+                                 prev[:-c]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = (cur - left) % 256
+        elif ftype == 2:
+            filt = (cur - prev) % 256
+        elif ftype == 3:
+            filt = (cur - ((left + prev) // 2)) % 256
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left,
+                np.where(pb <= pc, prev, upleft))
+            filt = (cur - pred) % 256
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    payload = (mc.PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    got = mc.decode_png(payload)
+    assert np.array_equal(got, px.astype(np.uint8))
+
+
+def test_png_crc_mismatch_raises():
+    payload = bytearray(mc.encode_png(_gradient(3, 3)))
+    payload[-5] ^= 0xFF  # corrupt IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        mc.decode_png(bytes(payload))
+
+
+def test_png_info_palette_type():
+    # IHDR-only palette PNG: info parse works even without pixel decode
+    ihdr = struct.pack(">IIBBBBB", 10, 4, 8, 3, 0, 0, 0)
+    body = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    info = mc.png_info(mc.PNG_SIGNATURE + body)
+    assert info == {"width": 10, "height": 4, "bit_depth": 8,
+                    "color_type": 3, "channels": 1, "interlace": 0}
+    with pytest.raises(NotImplementedError, match="color type"):
+        mc.decode_png(mc.PNG_SIGNATURE + body)
+
+
+def test_resize_nearest():
+    px = _gradient(8, 8, 3)
+    small = mc.resize_nearest(px, 4, 2)
+    assert small.shape == (2, 4, 3)
+    assert np.array_equal(small, px[::4][:, ::2])
+
+
+# ---------------------------------------------------------------------------
+# JPEG / GIF
+# ---------------------------------------------------------------------------
+
+
+def _minimal_jpeg(w, h, ncomp=3, sof=0xC0):
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp) + bytes(
+        b for i in range(ncomp) for b in (i + 1, 0x11, 0))
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + bytes([0xFF, sof]) + struct.pack(">H", 2 + len(sof_body))
+        + sof_body
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_info_baseline_and_progressive():
+    assert mc.jpeg_info(_minimal_jpeg(640, 480)) == {
+        "width": 640, "height": 480, "channels": 3}
+    assert mc.jpeg_info(_minimal_jpeg(31, 17, ncomp=1, sof=0xC2)) == {
+        "width": 31, "height": 17, "channels": 1}
+    with pytest.raises(ValueError, match="SOI"):
+        mc.jpeg_info(b"nope")
+
+
+def test_gif_info():
+    payload = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert mc.gif_info(payload) == {
+        "width": 320, "height": 200, "version": "89a"}
+    with pytest.raises(ValueError):
+        mc.gif_info(b"GIF00a" + b"\x00" * 10)
+
+
+# ---------------------------------------------------------------------------
+# WAV / MP4
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip():
+    samples = ((np.arange(1234) * 7) % 2003 - 1001).astype(np.int16)
+    payload = mc.encode_wav(samples, 8000)
+    info = mc.wav_info(payload)
+    assert info["channels"] == 1
+    assert info["sample_rate"] == 8000
+    assert info["bit_depth"] == 16
+    assert info["n_frames"] == 1234
+    assert info["duration_ms"] == 1234 * 1000 // 8000
+    with pytest.raises(ValueError, match="RIFF"):
+        mc.wav_info(b"RIFX" + payload[4:])
+
+
+def test_mp4_roundtrip_and_v1():
+    payload = mc.encode_mp4_stub(12_500, timescale=1000)
+    assert mc.mp4_info(payload) == {"timescale": 1000,
+                                    "duration_ms": 12_500}
+
+    # hand-build a version-1 mvhd (64-bit times) inside moov
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    mvhd_v1 = box(
+        b"mvhd",
+        struct.pack(">B3x", 1)
+        + struct.pack(">QQ", 0, 0)              # creation/modification
+        + struct.pack(">IQ", 90_000, 90_000 * 7)  # timescale, duration
+        + b"\x00" * 80,
+    )
+    v1 = mc.encode_mp4_stub(1)[:24] + box(b"moov", mvhd_v1)  # reuse ftyp
+    assert mc.mp4_info(v1)["duration_ms"] == 7000
+    with pytest.raises(ValueError, match="ftyp"):
+        mc.mp4_info(box(b"moov", mvhd_v1))
+
+
+# ---------------------------------------------------------------------------
+# Spark stages over real payloads
+# ---------------------------------------------------------------------------
+
+
+def test_real_media_features_match_formulas(spark):
+    from onto_text_tag_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_real_media,
+    )
+
+    docs = spark.range(0, 30).toDF("doc_id")
+    feats = {
+        int(r["media_id"]): r
+        for r in extract_media_features(
+            synthesize_real_media(docs)).collect()
+    }
+    assert len(feats) == 30
+    for i, r in feats.items():
+        if i % 3 == 0:
+            assert (r["kind"], r["format"]) == ("image", "png")
+            assert r["width"] == 16 + i % 16
+            assert r["height"] == 8 + i % 8
+            assert r["channels"] == 3
+        elif i % 3 == 1:
+            assert (r["kind"], r["format"]) == ("audio", "wav")
+            assert r["sample_rate"] == 8000
+            assert r["duration_ms"] == 10 * (1 + i % 30)
+        else:
+            assert (r["kind"], r["format"]) == ("video", "mp4")
+            assert r["duration_ms"] == (1 + i % 30) * 1000
+
+
+def test_image_stats_and_resize_over_real_pngs(spark):
+    from onto_text_tag_spark.operators.multimodal import (
+        image_stats,
+        resize_images,
+        synthesize_real_media,
+    )
+
+    docs = spark.range(0, 9).toDF("doc_id")
+    media = synthesize_real_media(docs)
+    stats = {int(r["media_id"]): r for r in image_stats(media).collect()}
+    assert set(stats) == {0, 3, 6}  # the image rows
+    for i, r in stats.items():
+        w, h = 16 + i % 16, 8 + i % 8
+        px = np.stack(
+            [(np.add.outer(np.arange(h) * 5, np.arange(w) * 3) + i + c * 7)
+             % 256 for c in range(3)], axis=2)
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        flat = px.reshape(-1)
+        assert r["mean_luma"] == int(flat.sum() * 1000 // flat.size)
+        assert r["min_px"] == int(flat.min())
+        assert r["max_px"] == int(flat.max())
+
+    resized = resize_images(media, 8, 4)
+    out = {int(r["media_id"]): r for r in image_stats(resized).collect()}
+    assert all((out[i]["width"], out[i]["height"]) == (8, 4)
+               for i in (0, 3, 6))
+    # non-image payloads pass through byte-identical
+    orig_audio = {r["media_id"]: bytes(r["payload"])
+                  for r in media.where("kind = 'audio'").collect()}
+    new_audio = {r["media_id"]: bytes(r["payload"])
+                 for r in resized.where("kind = 'audio'").collect()}
+    assert orig_audio == new_audio
