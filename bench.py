@@ -320,9 +320,14 @@ def run_scaling_dedup(low: int = 2, high: int = 8) -> dict:
     """The corpus near-dup job (exact → MinHash signatures → banded LSH
     → estimate-prefiltered Jaccard verify → components → anti-join),
     submitted via ``spark-submit --py-files`` at two parallelism levels
-    over the SAME dup-planted corpus (gen_corpus --dup-frac)."""
+    over the SAME dup-planted corpus (gen_corpus --dup-frac).
+
+    ``SPARK_GRAFT_DEDUP_SHINGLE_MODE=word`` switches the shingle
+    kernel; planted-dup recall is computed from the generator's
+    pure-function dup membership (corpus._is_planted_dup)."""
     import shutil
 
+    shingle_mode = os.environ.get("SPARK_GRAFT_DEDUP_SHINGLE_MODE", "")
     corpus = os.path.join(
         SCALING_DIR,
         f"corpus_{DEDUP_SCALING_DOCS}_dup{DEDUP_DUP_FRAC}.parquet",
@@ -335,6 +340,13 @@ def run_scaling_dedup(low: int = 2, high: int = 8) -> dict:
             "--partitions", str(high * 4),
         )
 
+    from onto_text_tag_spark.corpus import _is_planted_dup
+
+    n_planted = sum(
+        1 for i in range(DEDUP_SCALING_DOCS)
+        if _is_planted_dup(i, 42, float(DEDUP_DUP_FRAC))
+    )
+
     best: dict[int, dict] = {}
     for _rep in range(SCALING_REPEATS):
         for cores in (low, high):  # interleaved: see run_scaling
@@ -343,6 +355,8 @@ def run_scaling_dedup(low: int = 2, high: int = 8) -> dict:
             stdout = _spark_submit(
                 f"local[{cores}]", "jobs/dedup_corpus.py",
                 "--input", corpus, "--output", out_dir,
+                *(["--shingle-mode", shingle_mode] if shingle_mode
+                  else []),
             )
             job = json.loads(
                 [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
@@ -363,13 +377,23 @@ def run_scaling_dedup(low: int = 2, high: int = 8) -> dict:
         for cores, b in best.items()
     }
     speedup = results[str(low)]["sec"] / results[str(high)]["sec"]
+    any_res = results[str(high)]
+    dropped = any_res["docs_in"] - any_res["docs_out"]
     return {
         "job": "jobs/dedup_corpus.py via spark-submit --py-files",
         "corpus_docs": DEDUP_SCALING_DOCS,
         "dup_frac": float(DEDUP_DUP_FRAC),
+        "shingle_mode": shingle_mode or "char (job default)",
         "low_cores": low,
         "high_cores": high,
         "results": results,
+        "planted_dups": n_planted,
+        "dropped_docs": dropped,
+        # planted membership is a pure function of (seed, id); a planted
+        # near-dup can legitimately fall below the Jaccard threshold, so
+        # this is the end-to-end detection rate, not a tautology
+        "planted_dup_recall": round(dropped / n_planted, 4)
+        if n_planted else None,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(speedup / (high / low), 3),
         "host_capacity_units_per_sec": {
@@ -2266,6 +2290,118 @@ def run_pr_eval(n_docs: int = PR_DOCS, cores: int = 8) -> dict:
     }
 
 
+def run_ann_bench(
+    cores: int = 8,
+    n_vecs: int = 200_000,
+    dim: int = 32,
+    n_planted: int = 96,
+    n_centroids: int = 64,
+    n_queries: int = 50,
+    k: int = 10,
+    noise: float = 0.9,
+) -> dict:
+    """ANN quality/latency curve: recall@k and wall time of the IVF
+    index (trained spherical-k-means centroids) vs exact brute force,
+    across nprobe settings — the acceptance evidence an approximate
+    index needs before it replaces the exact path at scale.
+
+    Corpus: deterministic CLUSTERED embeddings (n_planted centers +
+    per-vector noise, xxhash64-seeded, L2-normalized) — a uniform
+    random corpus would make every nprobe look equally bad; planted
+    structure is the regime IVF exists for.  ``noise`` comparable to
+    the signal plus MORE planted clusters than trained centroids keeps
+    cell boundaries honest: with clean well-separated clusters and a
+    matching centroid count, nprobe=1 already hits recall 1.0 and the
+    curve says nothing (measured — that easy configuration is exactly
+    what this bench must NOT be).
+    """
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    spark = _session(cores)
+    path = os.path.join(
+        SCALING_DIR,
+        f"ann_bench_{n_vecs}x{dim}_c{n_planted}_n{noise}.parquet",
+    )
+    if not os.path.exists(path):
+        raw = spark.range(0, n_vecs, 1, cores * 4).select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % n_planted).alias("_cl"),
+        ).select(
+            "vec_id",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), p -> "
+                "  (pmod(xxhash64(_cl, p), 1000) / 1000.0 - 0.5)"
+                f"  + {noise} * (pmod(xxhash64(vec_id, p, 7), 1000)"
+                "            / 1000.0 - 0.5))"
+            ).alias("_raw"),
+        )
+        (
+            raw.select(
+                "vec_id",
+                F.expr(
+                    "transform(_raw, x -> cast(x / sqrt(aggregate(_raw, "
+                    "0.0d, (a, v) -> a + v * v)) AS float))"
+                ).alias("embedding"),
+            )
+            .write.mode("overwrite").parquet(path)
+        )
+    emb = spark.read.parquet(path)
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    t0 = time.perf_counter()
+    exact = cosine_topk(emb, queries, k=k).select(
+        "query_id", "cand_id").persist()
+    n_exact = exact.count()
+    exact_sec = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    cents = kmeans_centroids(emb, k=n_centroids, iterations=5)
+    train_sec = round(time.perf_counter() - t0, 2)
+
+    curve = []
+    for nprobe in (1, 2, 4, 8):
+        t0 = time.perf_counter()
+        approx = ivf_topk(
+            emb, queries, k=k, num_centroids=n_centroids, nprobe=nprobe,
+            centroids=cents,
+        ).select("query_id", "cand_id", F.lit(1).alias("hit"))
+        recall = (
+            exact.join(approx, ["query_id", "cand_id"], "left")
+            .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                  / F.count("*")).alias("r"))
+            .collect()[0]["r"]
+        )
+        curve.append({
+            "nprobe": nprobe,
+            "recall_at_k": round(float(recall), 4),
+            "sec": round(time.perf_counter() - t0, 2),
+        })
+    return {
+        "job": "bench.run_ann_bench (operators/similarity.py ivf_topk "
+               "vs cosine_topk)",
+        "cores": cores,
+        "n_vecs": n_vecs,
+        "dim": dim,
+        "n_planted": n_planted,
+        "n_centroids": n_centroids,
+        "noise": noise,
+        "n_queries": n_queries,
+        "k": k,
+        "exact_rows": n_exact,
+        "exact_sec": exact_sec,
+        "train_sec": train_sec,
+        "curve": curve,
+    }
+
+
 def main() -> None:
     if "--pr" in sys.argv:
         rep = run_pr_eval()
@@ -2280,6 +2416,30 @@ def main() -> None:
                 f"agreement: {rep['exact_agreement']}.  The same harness "
                 f"gates every test run "
                 f"(tests/test_precision_recall.py).\n"
+            )
+        print(json.dumps(rep))
+        return
+    if "--ann" in sys.argv:
+        rep = run_ann_bench(
+            cores=int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", "8")))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## ANN quality curve — {rep['job']}, {rep['n_vecs']} "
+                f"vectors × {rep['dim']} dims ({rep['n_planted']} "
+                f"planted clusters, noise {rep['noise']}, "
+                f"{rep['n_centroids']} trained centroids), "
+                f"{rep['n_queries']} queries, "
+                f"k={rep['k']}, local[{rep['cores']}]\n\n"
+                f"| nprobe | recall@{rep['k']} | sec |\n|---|---|---|\n"
+                + "".join(
+                    f"| {c['nprobe']} | {c['recall_at_k']} "
+                    f"| {c['sec']} |\n"
+                    for c in rep["curve"]
+                )
+                + f"\nExact brute force: {rep['exact_sec']} s; k-means "
+                f"training ({rep['n_centroids']} centroids, 5 Lloyd "
+                f"iterations): {rep['train_sec']} s.\n"
             )
         print(json.dumps(rep))
         return
@@ -2787,7 +2947,8 @@ def main() -> None:
             fh.write(
                 f"\n## Scaling run — {scaling['job']}, "
                 f"{scaling['corpus_docs']} docs, dup_frac="
-                f"{scaling['dup_frac']}\n\n"
+                f"{scaling['dup_frac']}, shingles: "
+                f"{scaling['shingle_mode']}\n\n"
                 f"| cores | sec | candidates | verified | docs out | docs/sec | stage_sec |\n"
                 f"|---|---|---|---|---|---|---|\n"
             )
@@ -2803,6 +2964,11 @@ def main() -> None:
                 f"\nspeedup {scaling['low_cores']}->{scaling['high_cores']} cores: "
                 f"{scaling['speedup']}x; scaling efficiency: "
                 f"{scaling['scaling_efficiency']}\n"
+                f"\nPlanted-dup recall: dropped {scaling['dropped_docs']} "
+                f"of {scaling['planted_dups']} planted duplicates = "
+                f"{scaling['planted_dup_recall']} (planted membership is "
+                f"a pure function of (seed, id) — corpus._is_planted_dup)"
+                f".\n"
             )
             cap = scaling["host_capacity_units_per_sec"]
             fh.write(

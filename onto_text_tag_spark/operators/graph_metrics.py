@@ -532,6 +532,14 @@ def hits(
     map-side-combined sum, ``localCheckpoint`` truncates lineage per
     round; hub skew lands in partial aggregation, never one reducer.
     Nodes with no in-edges get auth 0 (resp. hub 0 for no out-edges).
+
+    Cost shape: one edge join per half-step, materialized ONCE.  The
+    normalization divisor is summed from the (node-sized) checkpointed
+    aggregate and carried as a scalar into the NEXT half-step
+    (``sum(x)/T == sum(x/T)``), so no half-step re-runs its edge join
+    for the total, and the zero-fill join with the node list happens
+    once at the end instead of every round — ~2x fewer edge-sized jobs
+    per iteration than the eager-normalize formulation.
     """
     e = (
         edges.select(
@@ -549,30 +557,39 @@ def hits(
     )
     n = nodes.count()
     hubs = nodes.withColumn("hub", F.lit(1.0 / n))
+    h_scale = 1.0
 
-    def _half(scores, score_col, key_in, key_out, out_name):
+    def _half(scores, score_col, scale, key_in, key_out, out_name):
+        # normalize the INPUT lazily: dividing the summed contributions
+        # by the carried scale equals normalizing scores first (linear),
+        # without materializing a normalized frame per half-step
         raw = (
             e.join(scores, e[key_in] == scores["node"])
             .groupBy(F.col(key_out).alias("node"))
-            .agg(F.sum(score_col).alias("_raw"))
-        )
-        total = raw.agg(F.coalesce(F.sum("_raw"), F.lit(1.0))).collect()[0][0]
-        return (
-            nodes.join(raw, "node", "left")
-            .select(
-                "node",
-                (F.coalesce(F.col("_raw"), F.lit(0.0)) / F.lit(total)).alias(
-                    out_name
-                ),
-            )
+            .agg((F.sum(score_col) / F.lit(scale)).alias(out_name))
             .localCheckpoint(eager=True)
         )
+        total = raw.agg(
+            F.coalesce(F.sum(out_name), F.lit(1.0))
+        ).collect()[0][0]
+        return raw, (total if total else 1.0)
 
-    auths = None
+    auths, a_scale = None, 1.0
     for _ in range(iterations):
-        auths = _half(hubs, "hub", "src", "dst", "auth")
-        hubs = _half(auths, "auth", "dst", "src", "hub")
-    return hubs.join(auths, "node")
+        auths, a_scale = _half(hubs, "hub", h_scale, "src", "dst", "auth")
+        hubs, h_scale = _half(auths, "auth", a_scale, "dst", "src", "hub")
+    return (
+        nodes
+        .join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            (F.coalesce(F.col("hub"), F.lit(0.0)) / F.lit(h_scale))
+            .alias("hub"),
+            (F.coalesce(F.col("auth"), F.lit(0.0)) / F.lit(a_scale))
+            .alias("auth"),
+        )
+    )
 
 
 def _dense_ranks(nodes: DataFrame) -> DataFrame:

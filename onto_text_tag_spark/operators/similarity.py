@@ -22,6 +22,7 @@ the DuckDB oracle (list_dot_product-based) hash-matches.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -203,6 +204,62 @@ def ivf_cell_expr(vec_col: str, cents_lit: str) -> Column:
     )
 
 
+def ivf_cell_numpy(centroids: list[tuple[int, list[float]]]):
+    """Vectorized twin of ``ivf_cell_expr``: same round-4 half-up
+    cosine, same first-max tie-break over the centroid list order —
+    but one numpy matmul per Arrow batch instead of an
+    expression-tree argmax per row.
+
+    The JVM expression interprets ``O(n_cents * dim)`` fold steps per
+    row, which dominates wall time once the centroid set is big (64
+    centroids x 32 dims measured ~15 min for 5 k-means iterations over
+    200k vectors; this path cuts assignment to Arrow transfer +
+    BLAS).  Used automatically by ``kmeans_centroids``/``ivf_topk``
+    above ``_NUMPY_ASSIGN_THRESHOLD``; the expression path remains the
+    float-parity surface for the SQL-oracled small configurations."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.asarray([c for c, _ in centroids], dtype=np.int64)
+    mat = np.asarray([v for _, v in centroids], dtype=np.float64)
+    mat_norms = np.sqrt((mat * mat).sum(axis=1))
+
+    @pandas_udf("long")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        if v.size == 0:
+            return pd.Series([], dtype="int64")
+        scores = (v @ mat.T) / (
+            np.sqrt((v * v).sum(axis=1, keepdims=True)) * mat_norms
+        )
+        # Spark round() is half-away-from-zero; np.round is banker's
+        scores = np.sign(scores) * np.floor(
+            np.abs(scores) * 1e4 + 0.5) / 1e4
+        # np.argmax keeps the FIRST maximum == the expr's strict-> fold
+        # over the same centroid order
+        return pd.Series(cids[np.argmax(scores, axis=1)])
+
+    return _assign
+
+
+# JVM-expression argmax costs O(n_cents * dim) interpreted fold steps
+# per row; above this product the Arrow round-trip is the cheaper path.
+_NUMPY_ASSIGN_THRESHOLD = 1024
+
+
+def _cell_col(vec_col: str, centroids, assignment: str) -> Column:
+    if assignment not in ("auto", "expr", "numpy"):
+        raise ValueError(f"unknown assignment mode {assignment!r}")
+    use_numpy = assignment == "numpy" or (
+        assignment == "auto"
+        and centroids
+        and len(centroids) * len(centroids[0][1]) >= _NUMPY_ASSIGN_THRESHOLD
+    )
+    if use_numpy:
+        return ivf_cell_numpy(centroids)(F.col(vec_col))
+    return ivf_cell_expr(vec_col, _centroid_literal(centroids))
+
+
 def ivf_probe_cells_expr(vec_col: str, cents_lit: str, nprobe: int) -> Column:
     """Top-``nprobe`` cells for a query vector, as an array<bigint> —
     array_sort on (-score, cid) structs gives score-desc, cid-asc."""
@@ -225,14 +282,17 @@ def kmeans_centroids(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignment: str = "auto",
 ) -> list[tuple[int, list[float]]]:
     """Distributed spherical k-means (Lloyd's) over the embedding column
     — the trained-centroid scale path for ``ivf_topk``.
 
     Everything stays in DataFrame built-ins:
 
-    * **Assignment** is the same pure-map argmax expression IVF uses
-      (``ivf_cell_expr`` against a centroid literal) — pipelined with
+    * **Assignment** is the same pure-map argmax IVF uses — the
+      ``ivf_cell_expr`` literal fold, auto-switching to the
+      ``ivf_cell_numpy`` Arrow kernel for large centroid sets
+      (bit-identical cell ids; see ``_cell_col``) — pipelined with
       the scan, NO shuffle of the corpus.
     * **Update** shuffles only ``(cell, component_position)`` partial
       sums: ``posexplode`` the vector, ``groupBy(cell, pos)`` with
@@ -254,11 +314,18 @@ def kmeans_centroids(
         .collect()
     ]
     for _it in range(iterations):
-        lit = _centroid_literal(cents)
+        # assignment FIRST, explode second: computing the argmax in the
+        # same projection as posexplode lets Catalyst collapse the two
+        # and re-evaluate the k-centroid fold once per EXPLODED row —
+        # dim× the work.  The two-step select (and, above the numpy
+        # threshold, the Arrow kernel) keeps it once per vector.
+        assigned = embeddings.select(
+            _cell_col(vec_col, cents, assignment).alias("cell"),
+            F.col(vec_col).alias("_v"),
+        )
         stats = (
-            embeddings.select(
-                ivf_cell_expr(vec_col, lit).alias("cell"),
-                F.posexplode(vec_col).alias("pos", "comp"),
+            assigned.select(
+                "cell", F.posexplode("_v").alias("pos", "comp")
             )
             .groupBy("cell", "pos")
             .agg(F.sum("comp").alias("s"), F.count("*").alias("n"))
@@ -294,9 +361,17 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: list[tuple[int, list[float]]] | None = None,
+    assignment: str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantization
     alternative to ``lsh_topk``.
+
+    ``nprobe`` default: the BENCH/BASELINE.md ANN quality curve (200k
+    clustered vectors, trained centroids) reaches its recall plateau by
+    nprobe=2 while nprobe=1 loses the neighbors that straddle a cell
+    boundary — 2 buys the boundary insurance for ~the cost of one extra
+    cell scan, so it is the default; raise it when the embedding space
+    is less clustered than the coarse quantizer assumes.
 
     Deterministic "training": the ``num_centroids`` vectors with the
     smallest ids are the centroids (a stand-in for k-means that any SQL
@@ -317,10 +392,13 @@ def ivf_topk(
         .collect()
     ]
     cents_lit = _centroid_literal(cent_rows)
+    # corpus-side assignment auto-switches to the numpy kernel for
+    # large centroid sets (_cell_col); the query-side probe stays an
+    # expression — queries are small by construction
     cells = embeddings.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
-        ivf_cell_expr(vec_col, cents_lit).alias("cell"),
+        _cell_col(vec_col, cent_rows, assignment).alias("cell"),
     )
     probes = queries.select(
         F.col(query_id_col).alias("query_id"),

@@ -43,6 +43,18 @@ PREFIXES: dict[str, str] = {
     "http://purl.obolibrary.org/obo/UBERON_": "UBERON",
     "http://purl.obolibrary.org/obo/UO_": "UO",
     "http://humanbehaviourchange.org/ontology/BCIO_": "BCIO",
+    # remaining entries of the reference table (ontotagtext.py:14-38):
+    # multi-underscore prefixes like APOLLO_SV break the generic
+    # underscore rule, so they MUST be registered to round-trip
+    "http://addictovocab.org/ADDICTO_": "ADDICTO",
+    "http://purl.obolibrary.org/obo/SEPIO_": "SEPIO",
+    "http://purl.obolibrary.org/obo/OMRSE_": "OMRSE",
+    "http://purl.obolibrary.org/obo/OBCS_": "OBCS",
+    "http://purl.obolibrary.org/obo/ERO_": "ERO",
+    "http://purl.obolibrary.org/obo/APOLLO_SV_": "APOLLO_SV",
+    "http://purl.obolibrary.org/obo/PDRO_": "PDRO",
+    "http://purl.obolibrary.org/obo/GAZ_": "GAZ",
+    "http://purl.obolibrary.org/obo/GSSO_": "GSSO",
 }
 
 _RDF = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
@@ -69,17 +81,31 @@ def curie_from_iri(iri: str) -> str | None:
     return None
 
 
+def termlist_id_for_iri(iri: str) -> str:
+    """The TERMLIST-BUILDER id semantics (reference app.py:649 via
+    pyhornedowl ``get_id_for_iri``): a registered prefix shortens to a
+    CURIE; an unregistered IRI stays the RAW IRI — the reference's real
+    termlist contains both (``APOLLO_SV:00000298`` and full
+    ``http://.../OAE_0001000`` ids), so the OWL parse must too, or an
+    OWL-built dictionary can never equal a termlist-built one."""
+    for ns, prefix in PREFIXES.items():
+        if iri.startswith(ns):
+            return f"{prefix}:{iri[len(ns):]}"
+    return iri
+
+
 def parse_owl_xml(text: str) -> list[dict]:
-    """OWL/XML (RDF/XML serialization) → ontology rows."""
+    """OWL/XML (RDF/XML serialization) → ontology rows.  Class ids use
+    ``termlist_id_for_iri`` (the reference builder's semantics);
+    ``curie_from_iri``'s generic underscore rule remains the P6 scalar
+    surface for id-normalization queries."""
     root = ET.fromstring(text)
     rows = []
     for cls in root.iter(f"{_OWL}Class"):
         iri = cls.get(f"{_RDF}about")
         if not iri:
             continue
-        curie = curie_from_iri(iri)
-        if not curie:
-            continue
+        curie = termlist_id_for_iri(iri)
         label = None
         synonyms: list[str] = []
         definition = None
@@ -105,7 +131,7 @@ def parse_owl_xml(text: str) -> list[dict]:
             elif tag == f"{_RDFS}subClassOf":
                 p_iri = child.get(f"{_RDF}resource")
                 if p_iri:
-                    parent = curie_from_iri(p_iri) or parent
+                    parent = termlist_id_for_iri(p_iri)
         row = {
             "iri": iri,
             "curie": curie,

@@ -772,3 +772,57 @@ def test_quantize_embeddings_fidelity_and_zero_vector(spark):
     cos = dot / (math.sqrt(sum(a * a for a in deq))
                  * math.sqrt(sum(b * b for b in orig)))
     assert cos > 0.999
+
+
+def test_ivf_cell_numpy_matches_expr(spark):
+    """The Arrow assignment kernel must produce bit-identical cell ids
+    to the JVM expression fold — same round-4 half-up cosine, same
+    first-max tie-break — across random vectors, exact ties, negative
+    components, and both assignment auto-thresholds."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.similarity import (
+        _centroid_literal,
+        ivf_cell_expr,
+        ivf_cell_numpy,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    cents = [
+        (cid, [rng.uniform(-1, 1) for _ in range(dim)])
+        for cid in range(6)
+    ]
+    cents.append((6, cents[0][1]))  # duplicate centroid: exact ties
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(300)
+    ] + [(1000 + cid, list(v)) for cid, v in cents]  # on-centroid ties
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    via_expr = emb.select(
+        "vec_id",
+        ivf_cell_expr("embedding", _centroid_literal(cents)).alias("cell"),
+    ).collect()
+    via_np = emb.select(
+        "vec_id",
+        ivf_cell_numpy(cents)(F.col("embedding")).alias("cell"),
+    ).collect()
+    assert {(r["vec_id"], r["cell"]) for r in via_expr} == {
+        (r["vec_id"], r["cell"]) for r in via_np
+    }
+
+    # end-to-end: forcing either path through ivf_topk yields the same
+    # result set, and kmeans converges identically under both kernels
+    queries = spark.createDataFrame(rows[:3], ["query_id", "embedding"])
+    a = ivf_topk(emb, queries, k=3, centroids=cents, nprobe=2,
+                 assignment="expr").collect()
+    b = ivf_topk(emb, queries, k=3, centroids=cents, nprobe=2,
+                 assignment="numpy").collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    ce = kmeans_centroids(emb, k=4, iterations=3, assignment="expr")
+    cn = kmeans_centroids(emb, k=4, iterations=3, assignment="numpy")
+    assert ce == cn
