@@ -3099,6 +3099,50 @@ _NUM_CENTROIDS = 8
 _NPROBE = 2
 
 
+def q_sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored form of the incrementally maintained IVF index
+    (plans/ivf_absorb.py): every vector's cell + rounded cosine to its
+    assigned centroid — cell feeds probe-time pruning, score feeds the
+    centroid-staleness signal.  One shuffle-free argmax map + a
+    broadcast join to the tiny centroid table."""
+    from onto_text_tag_spark.operators.similarity import (
+        ivf_cell_assignments,
+    )
+
+    emb = _parallel(_read(spark, sf_dir, "embeddings"))
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.select("vec_id", "embedding")
+        .orderBy(F.col("vec_id").asc())
+        .limit(_NUM_CENTROIDS)
+        .collect()
+    ]
+    return ivf_cell_assignments(emb, cents)
+
+
+def sql_sim_ivf_cells() -> str:
+    cos_cent = (
+        "round(list_dot_product(e.embedding, ct.embedding) / "
+        "(sqrt(list_dot_product(e.embedding, e.embedding)) * "
+        "sqrt(list_dot_product(ct.embedding, ct.embedding))), 4)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings
+  ORDER BY vec_id LIMIT {_NUM_CENTROIDS}
+),
+ cell_scored AS (
+   SELECT e.vec_id, ct.cid, {cos_cent} AS cscore
+   FROM embeddings e, cents ct
+ )
+SELECT vec_id, cid AS cell, cscore FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cscore DESC, cid ASC) AS rn
+  FROM cell_scored
+) WHERE rn = 1
+"""
+
+
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from onto_text_tag_spark.operators.similarity import ivf_topk
 
@@ -3937,6 +3981,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "sim_topk": q_sim_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_cells": q_sim_ivf_cells,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_trained": q_sim_ivf_trained,
     "sim_ivf_recall": q_sim_ivf_recall,
@@ -4027,6 +4072,7 @@ ORACLES = {
     "dedup_simhash": sql_dedup_simhash(),
     "sim_topk": sql_sim_topk(),
     "sim_lsh_topk": sql_sim_lsh_topk(),
+    "sim_ivf_cells": sql_sim_ivf_cells(),
     "sim_ivf_topk": sql_sim_ivf_topk(),
     "sim_ivf_recall": sql_sim_ivf_recall(),
     "emb_neardup": sql_emb_neardup(),
@@ -4055,7 +4101,7 @@ _PRIORITY_KEYS = [
     "corpus_rollup", "corpus_quantiles", "text_chunks", "text_packing",
     "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs", "dedup_jaccard",
     "dedup_word_jaccard", "dedup_simhash", "sim_topk", "sim_lsh_topk",
-    "sim_ivf_topk", "sim_ivf_trained", "sim_ivf_recall", "emb_neardup",
+    "sim_ivf_cells", "sim_ivf_topk", "sim_ivf_trained", "sim_ivf_recall", "emb_neardup",
     "emb_quantize", "sim_topk_quantized", "events_tumbling",
     "events_sessionize", "events_rolling", "pricing_summary", "top_orders",
     "nation_revenue", "part_pairs", "mm_features", "mm_frames",

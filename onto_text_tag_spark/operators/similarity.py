@@ -260,6 +260,40 @@ def _cell_col(vec_col: str, centroids, assignment: str) -> Column:
     return ivf_cell_expr(vec_col, _centroid_literal(centroids))
 
 
+def ivf_cell_assignments(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignment: str = "auto",
+) -> DataFrame:
+    """``(vec_id, cell, cscore)`` — every vector's IVF cell plus its
+    rounded cosine to the assigned centroid.  This is the STORED form
+    an incrementally maintained index keeps (plans/ivf_absorb.py): the
+    cell feeds probe-time candidate pruning, the score is the
+    centroid-staleness signal (a falling mean assignment score says the
+    trained centroids no longer describe the corpus — retrain).
+
+    Scale shape: assignment is the shuffle-free ``_cell_col`` map
+    (expression fold or Arrow/numpy kernel); the score join touches
+    only the tiny broadcast centroid table.  One corpus scan total.
+    """
+    spark = embeddings.sparkSession
+    cents_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cell long, _cvec array<double>",
+    )
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        _cell_col(vec_col, centroids, assignment).alias("cell"),
+    )
+    return assigned.join(F.broadcast(cents_df), "cell").select(
+        "vec_id", "cell",
+        cosine_similarity_col("_v", "_cvec").alias("cscore"),
+    )
+
+
 def ivf_probe_cells_expr(vec_col: str, cents_lit: str, nprobe: int) -> Column:
     """Top-``nprobe`` cells for a query vector, as an array<bigint> —
     array_sort on (-score, cid) structs gives score-desc, cid-asc."""

@@ -101,3 +101,25 @@ def register_dedup_views(
         df.createOrReplaceTempView(view)
         out[name] = view
     return out
+
+
+def register_ivf_views(
+    spark: SparkSession, ivf_root: str, prefix: str = "ivf_"
+) -> dict[str, str]:
+    """Register temp views over an incrementally maintained IVF index
+    root (plans/ivf_absorb.py): ``centroids``, ``cells`` (the stored
+    vector→cell assignment) and ``cell_stats`` (additive occupancy +
+    assignment-score sums, the index-health source)."""
+    registered: dict[str, DataFrame] = {}
+    for stage, name in (("ivf_centroids", "centroids"),
+                        ("ivf_cells", "cells"),
+                        ("ivf_cell_stats", "cell_stats")):
+        if _stage_exists(ivf_root, stage):
+            registered[name] = read_stage(spark, ivf_root, stage)
+
+    out: dict[str, str] = {}
+    for name, df in registered.items():
+        view = f"{prefix}{name}"
+        df.createOrReplaceTempView(view)
+        out[name] = view
+    return out

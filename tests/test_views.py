@@ -180,3 +180,46 @@ def test_trends_view_appears_when_stage_exists(spark, kg_root):
         "GROUP BY curie ORDER BY n DESC, curie LIMIT 1"
     ).collect()
     assert top and top[0]["n"] > 0
+
+
+def test_register_ivf_views(spark, tmp_path):
+    """The IVF index root's stages surface as SQL views; a probe-side
+    candidate-pruning query runs as plain spark.sql over them."""
+    import math
+    import random
+
+    from onto_text_tag_spark.plans.ivf_absorb import (
+        absorb_embeddings,
+        init_ivf_root,
+    )
+    from onto_text_tag_spark.views import register_ivf_views
+
+    rng = random.Random(31)
+
+    def vec():
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    cents = [(c, vec()) for c in range(3)]
+    root = str(tmp_path / "ivf")
+    init_ivf_root(spark, root, cents)
+    emb = spark.createDataFrame(
+        [(i, vec()) for i in range(25)], ["vec_id", "embedding"]
+    )
+    absorb_embeddings(spark, root, emb, batch_fp="v1")
+
+    views = register_ivf_views(spark, root)
+    assert set(views) == {"centroids", "cells", "cell_stats"}
+    assert spark.sql("SELECT count(*) FROM ivf_cells").collect()[0][0] == 25
+    agg = spark.sql(
+        "SELECT sum(n) AS n, count(*) AS cells FROM ivf_cell_stats"
+    ).collect()[0]
+    assert agg["n"] == 25 and 1 <= agg["cells"] <= 3
+    # candidate pruning via SQL: every stored cell id resolves to a
+    # centroid row
+    dangling = spark.sql(
+        "SELECT count(*) FROM ivf_cells c LEFT ANTI JOIN "
+        "ivf_centroids t ON c.cell = t.cell"
+    ).collect()[0][0]
+    assert dangling == 0
