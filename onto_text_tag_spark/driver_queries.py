@@ -2677,6 +2677,50 @@ FROM cum
 """
 
 
+def q_text_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus word-frequency relation a BPE tokenizer trains on
+    (operators/bpe.py): the ONLY corpus-sized step of subword-vocab
+    fitting — one scan + one map-side-combined shuffle down to
+    vocab-sized output; the merge loop then runs on this relation,
+    never the corpus."""
+    from onto_text_tag_spark.operators.bpe import word_frequencies
+
+    return word_frequencies(_docs(spark, sf_dir))
+
+
+def sql_text_word_freqs() -> str:
+    return """
+SELECT word, count(*)::BIGINT AS n FROM (
+  SELECT unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t != ''))
+    AS word
+  FROM documents
+) GROUP BY word
+"""
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword token counts under a corpus-trained BPE
+    merge table (operators/bpe.py): train on the word-frequency
+    relation (driver-side, vocab-sized), apply as a row-local Arrow
+    kernel.  The iterative merge loop is not SQL-expressible, so this
+    query has no DuckDB oracle (rows-only driver check); the trainer
+    and the segmenter are pinned by tests/test_bpe.py against
+    hand-derived merges and a pure-python twin."""
+    from onto_text_tag_spark.operators.bpe import (
+        bpe_token_counts,
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = _docs(spark, sf_dir)
+    wf = sorted(
+        (r["word"], r["n"]) for r in word_frequencies(docs).collect()
+    )
+    merges = train_bpe(wf, n_merges=64)
+    return bpe_token_counts(docs, merges)
+
+
 def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source page-length quantiles — the drift monitor a curation
     pipeline publishes per crawl (operators/textstats.py:group_quantiles;
@@ -3973,6 +4017,8 @@ QUERIES = {
     "corpus_quantiles": q_corpus_quantiles,
     "text_chunks": q_text_chunks,
     "text_packing": q_text_packing,
+    "text_word_freqs": q_text_word_freqs,
+    "text_bpe_tokens": q_text_bpe_tokens,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -4064,6 +4110,7 @@ ORACLES = {
     "corpus_quantiles": sql_corpus_quantiles(),
     "text_chunks": sql_text_chunks(),
     "text_packing": sql_text_packing(),
+    "text_word_freqs": sql_text_word_freqs(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash_sig": sql_dedup_minhash_sig(),
     "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
@@ -4098,7 +4145,7 @@ _PRIORITY_KEYS = [
     "web_host_rank", "web_anchor_mentions", "web_canonical_urls",
     "web_host_hits", "web_latest_capture", "canon_components",
     "graph_components", "dedup_clusters_incremental", "text_profile",
-    "corpus_rollup", "corpus_quantiles", "text_chunks", "text_packing",
+    "corpus_rollup", "corpus_quantiles", "text_chunks", "text_packing", "text_word_freqs", "text_bpe_tokens",
     "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs", "dedup_jaccard",
     "dedup_word_jaccard", "dedup_simhash", "sim_topk", "sim_lsh_topk",
     "sim_ivf_cells", "sim_ivf_topk", "sim_ivf_trained", "sim_ivf_recall", "emb_neardup",

@@ -1,0 +1,85 @@
+"""BPE trainer + apply (operators/bpe.py): hand-derived merge
+sequences, train/apply consistency, determinism, and the Spark
+word-frequency + token-count stages."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from onto_text_tag_spark.operators.bpe import (
+    EOW,
+    bpe_segment,
+    bpe_token_counts,
+    train_bpe,
+    word_frequencies,
+)
+
+
+def test_train_bpe_hand_derived():
+    # corpus: "aaab" x5 — pair counts round 1: (a,a)=10, (a,b)=5,
+    # (b,EOW)=5 → merge (a,a); round 2 symbols (aa,a,b,EOW):
+    # (aa,a)=5, (a,b)=5, (b,EOW)=5 → tie, lexicographically greatest
+    # pair wins → (b,EOW)
+    merges = train_bpe([("aaab", 5)], n_merges=2)
+    assert merges == [("a", "a"), ("b", EOW)]
+
+    # min_pair_freq stops training on a singleton corpus
+    assert train_bpe([("xy", 1)], n_merges=10, min_pair_freq=2) == []
+
+
+def test_train_bpe_shared_subwords():
+    # "low" and "lowest" share the "low" stem; with enough merges the
+    # stem fuses into one symbol used by both words
+    merges = train_bpe([("low", 50), ("lowest", 30)], n_merges=3)
+    seg_low = bpe_segment("low", merges)
+    seg_lowest = bpe_segment("lowest", merges)
+    assert "".join(seg_low) == "low" + EOW
+    assert "".join(seg_lowest) == "lowest" + EOW
+    # the learned stem symbol drives both segmentations: "low" fuses
+    # to a single (EOW-terminated) token, and "lowest" starts with the
+    # fused stem
+    assert seg_low == ["low" + EOW]
+    assert seg_lowest[0] == "low"
+
+
+def test_segment_roundtrip_and_rank_order():
+    merges = train_bpe(
+        [("banana", 10), ("bandana", 8), ("band", 6)], n_merges=8
+    )
+    for w in ("banana", "bandana", "band", "ban", "zzz", ""):
+        seg = bpe_segment(w, merges)
+        assert "".join(seg) == w + EOW
+    # determinism: same input → same merges
+    assert merges == train_bpe(
+        [("banana", 10), ("bandana", 8), ("band", 6)], n_merges=8
+    )
+
+
+def test_word_frequencies_and_token_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the lowest low, the low!"),
+            (2, "LOWEST lows"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    wf = {r["word"]: r["n"] for r in word_frequencies(docs).collect()}
+    assert wf == {"the": 2, "lowest": 2, "low": 2, "lows": 1}
+
+    merges = train_bpe(sorted(wf.items()), n_merges=6)
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_token_counts(docs, merges).collect()}
+    # exact per-doc expectation from the pure-python segmenter
+    ranks = {p: i for i, p in enumerate(merges)}
+    import re
+
+    def expect(text):
+        words = [w for w in re.split(r"[^a-z0-9']+", text.lower()) if w]
+        return sum(len(bpe_segment(w, merges, ranks)) for w in words)
+
+    assert got == {1: expect("the lowest low, the low!"),
+                   2: expect("LOWEST lows"), 3: 0}
+    # with zero merges every token is characters + EOW
+    got0 = {r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_token_counts(docs, []).collect()}
+    assert got0[2] == len("lowest") + 1 + len("lows") + 1
