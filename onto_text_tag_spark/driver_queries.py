@@ -2175,13 +2175,24 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the 4×
     at-rest compression vector stores apply (operators/similarity.py:
     quantize_embeddings; rounded per-vector scale is part of the
-    contract so the oracle reproduces the arrays bit-for-bit)."""
+    contract so the oracle reproduces the arrays bit-for-bit).  The
+    driver's pandas canonicalizer cannot hash raw list cells, so the
+    int8 array is serialized to a CSV string on BOTH sides (same shape
+    as ``dedup_minhash_sig``'s per-position flatten)."""
     from onto_text_tag_spark.operators.similarity import quantize_embeddings
 
-    return quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+    q = quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
+    )
 
 
-def sql_emb_quantize() -> str:
+def _sql_quantize_core() -> str:
+    """The list-valued quantization relation (vec_id, scale, qvec) —
+    shared by ``sim_topk_quantized``'s dequantize CTE; the driver-facing
+    ``sql_emb_quantize`` serializes qvec because the driver's pandas
+    canonicalizer cannot hash list cells."""
     return """
 SELECT vec_id,
        round(list_max(list_transform(embedding,
@@ -2195,6 +2206,13 @@ SELECT vec_id,
                             u -> abs(u::DOUBLE))) / 127.0, 6))::INT)
        END AS qvec
 FROM embeddings
+"""
+
+
+def sql_emb_quantize() -> str:
+    return f"""
+SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec_csv
+FROM ({_sql_quantize_core()})
 """
 
 
@@ -2670,7 +2688,7 @@ cum AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
   FROM j
 )
-SELECT source, (c - n_tokens) // 200 AS bin, doc_id, chunk_id,
+SELECT source, ((c - n_tokens) // 200)::BIGINT AS bin, doc_id, chunk_id,
        n_tokens::BIGINT AS n_tokens,
        (c - ((c - n_tokens) // 200) * 200)::BIGINT AS bin_fill
 FROM cum
@@ -2763,7 +2781,7 @@ def sql_corpus_rollup() -> str:
 SELECT source, lang,
        GROUPING(source, lang)::BIGINT AS level,
        count(*) AS n_docs,
-       sum(n_chars) AS sum_chars,
+       sum(n_chars)::BIGINT AS sum_chars,
        round(avg(n_chars), 4) AS avg_chars
 FROM documents
 GROUP BY ROLLUP (source, lang)
@@ -3076,7 +3094,7 @@ def q_sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_sim_topk_quantized() -> str:
     return f"""
-WITH qt AS ({sql_emb_quantize()}),
+WITH qt AS ({_sql_quantize_core()}),
  deq AS (
    SELECT vec_id, list_transform(qvec, v -> v * scale) AS embedding
    FROM qt
@@ -3247,23 +3265,112 @@ FROM ranked WHERE rank <= {_TOPK}
 
 def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with DISTRIBUTEDLY TRAINED centroids (spherical k-means,
-    Lloyd's over DataFrame built-ins).  Iterative training is not
-    SQL-expressible, so this query has no DuckDB oracle — the driver
-    records the weaker rows-only check; the semantics (full-probe ==
-    brute force, convergence) are pinned by unit tests instead."""
+    Lloyd's over DataFrame built-ins).  The fixed 3-round training loop
+    IS SQL-expressible — the oracle unrolls it as chained CTEs the same
+    way ``kg_pagerank`` unrolls power iteration — provided each round's
+    centroids are snapped to a decimal grid (``component_round=6``):
+    the per-cell mean is a float sum whose summation order differs
+    between engines at the ulp level, and an unpinned trajectory can
+    diverge at a round-4 cosine tie.  Rounded-contract device as
+    ``quantize_embeddings``."""
     from onto_text_tag_spark.operators.similarity import (
         ivf_topk,
         kmeans_centroids,
     )
 
     emb = _parallel(_read(spark, sf_dir, "embeddings"))
-    cents = kmeans_centroids(emb, k=_NUM_CENTROIDS, iterations=3)
+    cents = kmeans_centroids(
+        emb, k=_NUM_CENTROIDS, iterations=3, component_round=6
+    )
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(
         emb, queries, k=_TOPK, nprobe=_NPROBE, centroids=cents
     )
+
+
+def sql_sim_ivf_trained() -> str:
+    """3 Lloyd's rounds unrolled as chained CTEs: assign (round-4 cosine
+    argmax, ties to smallest cid) → per-(cell, pos) mean → L2-normalize →
+    round each component to 6 digits — exactly ``kmeans_centroids(...,
+    component_round=6)``; then the standard IVF probe/top-k tail."""
+    cos_ct = (
+        "round(list_dot_product(e.embedding, ct.cvec) / "
+        "(sqrt(list_dot_product(e.embedding, e.embedding)) * "
+        "sqrt(list_dot_product(ct.cvec, ct.cvec))), 4)"
+    )
+    dim_sub = "(SELECT len(embedding) FROM embeddings LIMIT 1)"
+    ctes = [
+        f"cents0 AS (SELECT vec_id AS cid, embedding AS cvec "
+        f"FROM embeddings ORDER BY vec_id LIMIT {_NUM_CENTROIDS})"
+    ]
+    for i in range(3):
+        ctes.append(f"""
+ asg{i} AS (
+   SELECT vec_id, cell, embedding FROM (
+     SELECT e.vec_id, ct.cid AS cell, e.embedding,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY {cos_ct} DESC, ct.cid ASC) AS rn
+     FROM embeddings e, cents{i} ct
+   ) WHERE rn = 1
+ ),
+ stats{i} AS (
+   SELECT cell, pos, sum(embedding[pos]) / count(*) AS m
+   FROM asg{i}
+   CROSS JOIN (SELECT unnest(range(1, {dim_sub} + 1)) AS pos)
+   GROUP BY cell, pos
+ ),
+ norm{i} AS (
+   SELECT cell, sqrt(sum(m * m)) AS nrm FROM stats{i} GROUP BY cell
+ ),
+ mean{i} AS (
+   SELECT s.cell, min(n.nrm) AS nrm,
+          list(round(s.m / n.nrm, 6) ORDER BY s.pos) AS cvec
+   FROM stats{i} s JOIN norm{i} n ON n.cell = s.cell
+   GROUP BY s.cell
+ ),
+ cents{i + 1} AS (
+   SELECT c.cid,
+          CASE WHEN m.cvec IS NULL OR m.nrm = 0 THEN c.cvec
+               ELSE m.cvec END AS cvec
+   FROM cents{i} c LEFT JOIN mean{i} m ON m.cell = c.cid
+ )""")
+    return f"""
+WITH {','.join(ctes)},
+ cell_scored AS (
+   SELECT e.vec_id, ct.cid, {cos_ct} AS cscore
+   FROM embeddings e, cents3 ct
+ ),
+ cells AS (
+   SELECT vec_id AS cand_id, cid AS cell FROM (
+     SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cscore DESC, cid ASC) AS rn
+     FROM cell_scored
+   ) WHERE rn = 1
+ ),
+ probes AS (
+   SELECT vec_id AS query_id, cid AS cell FROM (
+     SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cscore DESC, cid ASC) AS rn
+     FROM cell_scored WHERE vec_id < {_N_QUERIES}
+   ) WHERE rn <= {_NPROBE}
+ ),
+ scored AS (
+   SELECT p.query_id, cl.cand_id, {_COS_SQL} AS score
+   FROM probes p
+   JOIN cells cl ON cl.cell = p.cell AND cl.cand_id != p.query_id
+   JOIN embeddings q ON q.vec_id = p.query_id
+   JOIN embeddings c ON c.vec_id = cl.cand_id
+ ),
+ ranked AS (
+   SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, cand_id ASC) AS rank
+   FROM scored
+ )
+SELECT query_id, cand_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
 
 
 def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3580,16 +3687,18 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
     # (per-partition partial top-10, merged on the driver) — never a
     # global single-partition window over the full joined table.  The
-    # rank window then runs over only the 10 surviving rows; the
-    # constant partition key keeps that 10-row window out of
-    # WindowExec's no-partition warning path (the warning is
-    # indistinguishable from a real scale-killer in bench logs).
+    # rank window then runs over only the 10 surviving rows; its
+    # partition key must survive the optimizer to keep WindowExec's
+    # no-partition warning out of bench logs (a bare literal gets
+    # constant-folded away — `o_orderkey * 0` is non-foldable because
+    # multiplication by a column is never simplified, yet still yields
+    # one partition).
     top = (
         joined.select("o_orderkey", "c_mktsegment", "revenue_c")
         .orderBy(F.col("revenue_c").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    w = Window.partitionBy(F.col("o_orderkey") * 0).orderBy(
         F.col("revenue_c").desc(), F.col("o_orderkey").asc()
     )
     return top.select(
@@ -4121,6 +4230,7 @@ ORACLES = {
     "sim_lsh_topk": sql_sim_lsh_topk(),
     "sim_ivf_cells": sql_sim_ivf_cells(),
     "sim_ivf_topk": sql_sim_ivf_topk(),
+    "sim_ivf_trained": sql_sim_ivf_trained(),
     "sim_ivf_recall": sql_sim_ivf_recall(),
     "emb_neardup": sql_emb_neardup(),
     "emb_quantize": sql_emb_quantize(),
@@ -4141,18 +4251,27 @@ ORACLES = {
 # the first 50 registry keys).  Promote them to the front so round 2 gives
 # the dedup/similarity/events/TPC-H/multimodal tail its external oracle rows;
 # the 50 already-green keys follow in their original order.
+# Round-3 rotation: the driver checks a 50-key prefix.  Head = the five
+# round-2 non-green rows (now fixed / oracled), then the two queries whose
+# shape changed this round, then the 40 queries whose only driver-green
+# row is r1 (so no query's external verification goes >1 round stale),
+# padded with three flagship kg queries.
 _PRIORITY_KEYS = [
-    "web_host_rank", "web_anchor_mentions", "web_canonical_urls",
-    "web_host_hits", "web_latest_capture", "canon_components",
-    "graph_components", "dedup_clusters_incremental", "text_profile",
-    "corpus_rollup", "corpus_quantiles", "text_chunks", "text_packing", "text_word_freqs", "text_bpe_tokens",
-    "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs", "dedup_jaccard",
-    "dedup_word_jaccard", "dedup_simhash", "sim_topk", "sim_lsh_topk",
-    "sim_ivf_cells", "sim_ivf_topk", "sim_ivf_trained", "sim_ivf_recall", "emb_neardup",
-    "emb_quantize", "sim_topk_quantized", "events_tumbling",
-    "events_sessionize", "events_rolling", "pricing_summary", "top_orders",
-    "nation_revenue", "part_pairs", "mm_features", "mm_frames",
-    "mm_image_stats",
+    "corpus_rollup", "text_packing", "emb_quantize", "text_bpe_tokens",
+    "sim_ivf_trained",
+    "top_orders", "sim_topk_quantized",
+    "kg_cooccur_dict_delta", "kg_cooccur_window", "kg_mention_contexts",
+    "kg_chord", "kg_degree", "kg_triangles", "kg_disambig", "kg_pagerank",
+    "kg_assoc", "kg_link_predict", "kg_communities", "kg_motif",
+    "kg_salience", "kg_class_embedding", "kg_related", "kg_kcore",
+    "kg_neg_edges", "kg_walks", "kg_walk_pairs", "kg_graph_stats",
+    "kg_class_neighbors", "kg_links", "kg_nodes", "kg_node_table",
+    "kg_term_index", "kg_term_index_salted", "kg_term_df_sketch",
+    "kg_isa_closure", "kg_descendants", "kg_isa_depth", "kg_isa_rollup",
+    "curation_select", "curation_stats", "curation_decontam",
+    "curation_split", "text_redact", "curation_mix", "text_boilerplate",
+    "web_links", "web_host_graph",
+    "kg_dictionary", "kg_mentions", "kg_cooccur",
 ]
 
 QUERIES = {

@@ -310,6 +310,16 @@ def ivf_probe_cells_expr(vec_col: str, cents_lit: str, nprobe: int) -> Column:
     )
 
 
+def _round_half_away(x: float, digits: int) -> float:
+    """Half-away-from-zero decimal rounding — matches Spark/DuckDB
+    ``round()``; Python's builtin ``round`` is banker's and would
+    diverge at exact .5 boundaries."""
+    import math
+
+    scale = 10.0 ** digits
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 8,
@@ -317,6 +327,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assignment: str = "auto",
+    component_round: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Distributed spherical k-means (Lloyd's) over the embedding column
     — the trained-centroid scale path for ``ivf_topk``.
@@ -339,6 +350,15 @@ def kmeans_centroids(
     Deterministic: init = the ``k`` vectors with the smallest ids, and
     every reduction is order-insensitive (sum/count).  Returns
     ``[(cid, vector), ...]`` ready for ``ivf_topk(centroids=...)``.
+
+    ``component_round`` pins each normalized centroid component to that
+    many decimal digits (half-away-from-zero, the Spark/DuckDB
+    ``round()`` rule) after every update — the cross-engine replay
+    contract: float summation order differs between engines at the ulp
+    level, so an external SQL oracle can only reproduce the training
+    trajectory bit-for-bit when each iteration's centroids are snapped
+    to a decimal grid (same device as ``quantize_embeddings``'s rounded
+    scale).  ``None`` (default) keeps full double precision.
     """
     cents = [
         (int(r[0]), [float(x) for x in r[1]])
@@ -378,7 +398,13 @@ def kmeans_centroids(
                 continue
             vec = [mean[i] for i in range(len(old))]
             nrm = sum(x * x for x in vec) ** 0.5
-            new_cents.append((cid, [x / nrm for x in vec] if nrm else old))
+            if not nrm:
+                new_cents.append((cid, old))
+                continue
+            unit = [x / nrm for x in vec]
+            if component_round is not None:
+                unit = [_round_half_away(x, component_round) for x in unit]
+            new_cents.append((cid, unit))
         if new_cents == cents:
             break  # converged
         cents = new_cents
