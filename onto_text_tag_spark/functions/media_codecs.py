@@ -275,6 +275,10 @@ def wav_info(payload: bytes) -> dict:
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if channels is None or data_len is None:
         raise ValueError("WAV without fmt/data chunks")
+    # the decode contract rejects corrupt bytes with ValueError — a
+    # zeroed fmt chunk must not surface as ZeroDivisionError
+    if channels < 1 or bits < 8:
+        raise ValueError("bad WAV fmt chunk")
     n_frames = data_len // (channels * (bits // 8))
     return {
         "channels": channels,

@@ -177,29 +177,44 @@ def _centroid_literal(cent_rows: list[tuple[int, list[float]]]) -> str:
     return "array(" + ", ".join(structs) + ")"
 
 
+def _guarded_cos_sql(vec_col: str) -> str:
+    """Round-4 cosine of ``vec_col`` vs ``ct.cvec`` with an explicit
+    zero-norm guard: a zero vector (or zero centroid) scores an
+    unattainable sentinel below the fold seed instead of dividing by
+    zero — under Spark 4's default ANSI mode an unguarded division
+    would abort the whole job on one corrupt embedding."""
+    dot = (
+        f"aggregate(zip_with({vec_col}, ct.cvec, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    nv = (
+        f"sqrt(aggregate({vec_col}, cast(0.0 as double), "
+        f"(acc, v) -> acc + v * v))"
+    )
+    nc = (
+        "sqrt(aggregate(ct.cvec, cast(0.0 as double), "
+        "(acc, v) -> acc + v * v))"
+    )
+    return (
+        f"CASE WHEN {nv} * {nc} = 0.0 THEN cast(-1e19 as double) "
+        f"ELSE round({dot} / ({nv} * {nc}), 4) END"
+    )
+
+
 def ivf_cell_expr(vec_col: str, cents_lit: str) -> Column:
     """IVF cell assignment as a PURE MAP expression: argmax over the
     centroid literal of rounded cosine similarity, ties to the smallest
     centroid id (fold iterates cids ascending, strict > keeps the
     first maximum).  No shuffle, no window — at 10^12 rows assignment
-    pipelines with the scan."""
+    pipelines with the scan.  Zero-norm vectors are unassignable: the
+    guarded score never beats the seed, so they yield cell ``-1``
+    (matching ``ivf_cell_numpy``'s explicit mask)."""
+    score = _guarded_cos_sql(vec_col)
     return F.expr(
         f"aggregate({cents_lit}, "
         f"struct(cast(-1e18 as double) AS s, cast(-1 as bigint) AS c), "
-        f"(best, ct) -> CASE WHEN round("
-        f"aggregate(zip_with({vec_col}, ct.cvec, (x, y) -> x * y), "
-        f"cast(0.0 as double), (acc, v) -> acc + v) / "
-        f"(sqrt(aggregate({vec_col}, cast(0.0 as double), "
-        f"(acc, v) -> acc + v * v)) * "
-        f"sqrt(aggregate(ct.cvec, cast(0.0 as double), "
-        f"(acc, v) -> acc + v * v))), 4) > best.s "
-        f"THEN struct(round("
-        f"aggregate(zip_with({vec_col}, ct.cvec, (x, y) -> x * y), "
-        f"cast(0.0 as double), (acc, v) -> acc + v) / "
-        f"(sqrt(aggregate({vec_col}, cast(0.0 as double), "
-        f"(acc, v) -> acc + v * v)) * "
-        f"sqrt(aggregate(ct.cvec, cast(0.0 as double), "
-        f"(acc, v) -> acc + v * v))), 4) AS s, ct.cid AS c) "
+        f"(best, ct) -> CASE WHEN {score} > best.s "
+        f"THEN struct({score} AS s, ct.cid AS c) "
         f"ELSE best END).c"
     )
 
@@ -209,6 +224,17 @@ def ivf_cell_numpy(centroids: list[tuple[int, list[float]]]):
     cosine, same first-max tie-break over the centroid list order —
     but one numpy matmul per Arrow batch instead of an
     expression-tree argmax per row.
+
+    Parity caveat: BLAS sums the dot product in a different order than
+    the JVM's sequential fold, so a cosine landing within ~1 ulp of a
+    x.xxxx5 rounding boundary can round to a different 4-digit score
+    and flip the argmax — the two paths agree everywhere except that
+    measure-zero boundary set (they have matched on every tested
+    corpus, but it is an empirical match, not a guarantee).  Zero-norm
+    vectors are explicitly unassignable: both kernels yield cell
+    ``-1`` for them (the expr path's NaN scores never beat the fold's
+    seed; this kernel masks them), and downstream inner joins on
+    ``cell`` drop such rows.
 
     The JVM expression interprets ``O(n_cents * dim)`` fold steps per
     row, which dominates wall time once the centroid set is big (64
@@ -229,15 +255,19 @@ def ivf_cell_numpy(centroids: list[tuple[int, list[float]]]):
         v = np.asarray(vecs.tolist(), dtype=np.float64)
         if v.size == 0:
             return pd.Series([], dtype="int64")
-        scores = (v @ mat.T) / (
-            np.sqrt((v * v).sum(axis=1, keepdims=True)) * mat_norms
-        )
+        norms = np.sqrt((v * v).sum(axis=1, keepdims=True))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = (v @ mat.T) / (norms * mat_norms)
         # Spark round() is half-away-from-zero; np.round is banker's
         scores = np.sign(scores) * np.floor(
             np.abs(scores) * 1e4 + 0.5) / 1e4
         # np.argmax keeps the FIRST maximum == the expr's strict-> fold
         # over the same centroid order
-        return pd.Series(cids[np.argmax(scores, axis=1)])
+        out = cids[np.argmax(scores, axis=1)]
+        # zero-norm rows score NaN against every centroid; the expr
+        # fold leaves its seed cid -1 there — mask to match
+        out = np.where(norms[:, 0] == 0.0, -1, out)
+        return pd.Series(out)
 
     return _assign
 
@@ -296,16 +326,13 @@ def ivf_cell_assignments(
 
 def ivf_probe_cells_expr(vec_col: str, cents_lit: str, nprobe: int) -> Column:
     """Top-``nprobe`` cells for a query vector, as an array<bigint> —
-    array_sort on (-score, cid) structs gives score-desc, cid-asc."""
+    array_sort on (-score, cid) structs gives score-desc, cid-asc.
+    Uses the same zero-norm-guarded cosine as ``ivf_cell_expr`` (a
+    zero query vector probes arbitrary-but-deterministic cells instead
+    of aborting the job under ANSI mode)."""
     return F.expr(
         f"transform(slice(array_sort(transform({cents_lit}, ct -> "
-        f"struct(-round("
-        f"aggregate(zip_with({vec_col}, ct.cvec, (x, y) -> x * y), "
-        f"cast(0.0 as double), (acc, v) -> acc + v) / "
-        f"(sqrt(aggregate({vec_col}, cast(0.0 as double), "
-        f"(acc, v) -> acc + v * v)) * "
-        f"sqrt(aggregate(ct.cvec, cast(0.0 as double), "
-        f"(acc, v) -> acc + v * v))), 4) AS ns, ct.cid AS cid))), "
+        f"struct(-({_guarded_cos_sql(vec_col)}) AS ns, ct.cid AS cid))), "
         f"1, {nprobe}), p -> p.cid)"
     )
 
@@ -337,7 +364,8 @@ def kmeans_centroids(
     * **Assignment** is the same pure-map argmax IVF uses — the
       ``ivf_cell_expr`` literal fold, auto-switching to the
       ``ivf_cell_numpy`` Arrow kernel for large centroid sets
-      (bit-identical cell ids; see ``_cell_col``) — pipelined with
+      (same cell ids up to rounding-boundary ulps; see
+      ``ivf_cell_numpy``'s parity caveat) — pipelined with
       the scan, NO shuffle of the corpus.
     * **Update** shuffles only ``(cell, component_position)`` partial
       sums: ``posexplode`` the vector, ``groupBy(cell, pos)`` with

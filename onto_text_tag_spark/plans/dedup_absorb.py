@@ -79,6 +79,7 @@ from onto_text_tag_spark.sinks import (
     commit_stage,
     read_manifest,
     read_stage,
+    require_file_backed_stages,
     run_stage,
     snapshot_log,
 )
@@ -112,6 +113,7 @@ def fold_demotions(spark: SparkSession, root: str) -> dict:
     clear LAST.  Later absorbs are unaffected: demotion detection runs
     off the clusters map, not the delete set, and newly demoted ids
     append into the (now empty) ``demoted`` stage as before."""
+    require_file_backed_stages(spark, "fold_demotions")
     import time as _time
 
     t0 = _time.time()
@@ -230,6 +232,7 @@ def absorb_dedup_batch(
     the ORIGINAL base corpus parquet (pre-dedup), read only to fetch
     candidate texts (a semi-joined 2-column scan).  Knobs must match
     the base run — the signature width is asserted against the store."""
+    require_file_backed_stages(spark, "absorb_dedup_batch")
     t0 = time.time()
     stage_sec: dict[str, float] = {}
 

@@ -48,6 +48,7 @@ from onto_text_tag_spark.sinks import (
     commit_stage,
     read_manifest,
     read_stage,
+    require_file_backed_stages,
     run_stage,
     snapshot_log,
     write_stage,
@@ -116,6 +117,7 @@ def absorb_embeddings(
     ``(vec_id, cell, cscore)`` rows, merge the per-cell stats
     additively.  Exactly-once via the batch fingerprint in the
     ``ivf_cells`` snapshot log (the last seal = the commit point)."""
+    require_file_backed_stages(spark, "absorb_embeddings")
     t0 = time.time()
     tag = hashlib.md5(("ivf:" + batch_fp).encode()).hexdigest()[:12]
     stored_fp = read_manifest(root, "ivf_centroids")["metrics"][
@@ -143,10 +145,18 @@ def absorb_embeddings(
         )
 
     seen = read_stage(spark, root, "ivf_cells").select("vec_id")
-    new_vecs = delta.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-    ).join(seen, "vec_id", "left_anti")
+    # dropDuplicates BEFORE the anti-join: a crawl re-fetch can repeat a
+    # vec_id within one batch, and a doubled row would both append a
+    # duplicate index row and double-count the additive cell stats —
+    # breaking the pinned absorb == from-scratch invariant.
+    new_vecs = (
+        delta.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+        )
+        .dropDuplicates(["vec_id"])
+        .join(seen, "vec_id", "left_anti")
+    )
 
     staging = os.path.join(root, "_staging", tag)
     delta_cells = run_stage(

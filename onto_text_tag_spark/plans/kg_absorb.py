@@ -40,6 +40,7 @@ from onto_text_tag_spark.sinks import (
     commit_stage,
     read_manifest,
     read_stage,
+    require_file_backed_stages,
     run_stage,
     snapshot_log,
     stage_is_current,
@@ -198,6 +199,7 @@ def absorb_batch(
     batches, and REPLAYING a main-committed batch with the flag
     back-fills its side stage from the batch-tagged mention files
     while the main commit stays a no-op."""
+    require_file_backed_stages(spark, "absorb_batch")
     t0 = time.time()
     stage_sec: dict[str, float] = {}
 
@@ -564,6 +566,7 @@ def retract_batch(
     urls stay tombstoned: ``absorb_batch``'s seen-url anti-join reads
     the PHYSICAL doc_terms stage, so a re-crawl of a retracted url does
     not re-enter (document-level history is append-only)."""
+    require_file_backed_stages(spark, "retract_batch")
     t0 = time.time()
     tag = hashlib.md5(batch_fp.encode()).hexdigest()[:12]
     live_cooccur = os.path.join(
@@ -668,6 +671,7 @@ def fold_retractions(spark: SparkSession, kg_root: str) -> dict:
     gates re-entry before the KG ever sees the page.  For a standalone
     ``jobs/kg_update.py`` root where re-crawl suppression of retracted
     urls matters, keep the delete set unfolded."""
+    require_file_backed_stages(spark, "fold_retractions")
     import time as _time
 
     t0 = _time.time()
@@ -778,6 +782,7 @@ def fold_dict_overlay(spark: SparkSession, kg_root: str) -> dict:
     O(corpus) — the deferred rewrite cost, paid once at maintenance
     time and amortized over every release absorbed since the last
     fold, instead of once per release."""
+    require_file_backed_stages(spark, "fold_dict_overlay")
     from onto_text_tag_spark.schemas import MENTIONS
 
     t0 = time.time()
@@ -883,6 +888,7 @@ def refresh_nodes(
     a committed no-op.  Lands via the staged swap (the meta read above
     comes FROM the live stage, so the rewrite must fully materialize
     before replacing it)."""
+    require_file_backed_stages(spark, "refresh_nodes")
     from onto_text_tag_spark.plans.kg_pipeline import node_table
 
     t0 = time.time()
@@ -955,6 +961,7 @@ def compact_stage(
     Partitioned stages keep their hive layout: a round-robin
     repartition bounds the files-per-task, and the dynamic-partition
     write regroups by partition value."""
+    require_file_backed_stages(spark, "compact_stage")
     import math
 
     man = read_manifest(kg_root, stage)
@@ -1011,6 +1018,7 @@ def absorb_links(
 
     Stages are lazily bootstrapped on roots built before ``--links``.
     """
+    require_file_backed_stages(spark, "absorb_links")
     from onto_text_tag_spark.operators.weblinks import (
         extract_links,
         host_graph,
@@ -1127,6 +1135,7 @@ def absorb_term_sketch(
     ``mentions``: the BATCH's mention rows (url, curie) — typically the
     delta the surrounding absorb just computed.
     """
+    require_file_backed_stages(spark, "absorb_term_sketch")
     from onto_text_tag_spark.operators.cooccur import (
         merge_term_sketches,
         term_sketch_partials,
@@ -1248,6 +1257,7 @@ def absorb_trends(
     ``mentions``: the batch's mention rows; ``docs``: the batch's
     corpus rows carrying ``warc_ts`` (joined on url for bucketing).
     """
+    require_file_backed_stages(spark, "absorb_trends")
     import warnings
 
     from pyspark.sql import Window

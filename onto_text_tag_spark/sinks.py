@@ -483,6 +483,40 @@ def snapshot_log(root: str, stage: str) -> list[dict]:
         return [json.loads(ln) for ln in fh if ln.strip()]
 
 
+def stage_is_table_backed(root: str, stage: str) -> bool:
+    """True when the stage's manifest records an Iceberg catalog table
+    as the data home (``format: iceberg``) — such a stage has NO local
+    ``data/`` dir for the file-level incremental protocol to act on."""
+    try:
+        return read_manifest(root, stage).get("format") == "iceberg"
+    except (OSError, json.JSONDecodeError):
+        return False
+
+
+def require_file_backed_stages(spark: SparkSession, op: str) -> None:
+    """Refuse the file-level incremental protocol under an Iceberg
+    session catalog.
+
+    The absorb/retract/fold/compact paths mutate stage ``data/`` dirs
+    in place (``_append_batch_files``, ``_swap_subtree``) and re-seal
+    them with ``commit_stage``'s parquet-footer scan.  Under
+    ``iceberg_available`` every ``write_stage`` — including staging
+    writes — lands in a catalog table instead, so those dirs do not
+    exist and the protocol would die midway with FileNotFoundError
+    (or worse, act on a stale dir).  The table-level analogs (Iceberg
+    append / RewriteFiles commits) are not implemented; refuse up
+    front with the honest message instead."""
+    if iceberg_available(spark):
+        raise NotImplementedError(
+            f"{op}: the file-level incremental-commit protocol is not "
+            "available under an Iceberg session catalog — stage data "
+            "lives in catalog tables, not local data/ dirs.  Run the "
+            "full rebuild job instead (write_stage routes it to "
+            "writeTo(...).createOrReplace()), or disable the catalog "
+            "for incrementally maintained roots."
+        )
+
+
 def commit_stage(
     root: str,
     stage: str,
@@ -497,6 +531,13 @@ def commit_stage(
     from the parquet footers, rewrite the marker under the new input
     fingerprint, and append a new snapshot to the log.  The Iceberg
     analog is the metadata commit that seals an append/merge operation."""
+    if stage_is_table_backed(root, stage):
+        raise NotImplementedError(
+            f"commit_stage({stage!r}): stage is table-backed (Iceberg "
+            "catalog) — there is no local data/ dir to scan; the "
+            "file-level incremental protocol does not apply "
+            "(see require_file_backed_stages)"
+        )
     data_path, manifest_path, marker_path = _stage_paths(root, stage)
     if schema_json is None:
         try:

@@ -20,12 +20,22 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from onto_text_tag_spark.sinks import _stage_paths, read_stage
+from onto_text_tag_spark.sinks import (
+    _stage_paths,
+    read_stage,
+    stage_is_table_backed,
+)
 
 
 def _stage_exists(root: str, stage: str) -> bool:
+    """A committed stage has a success marker plus EITHER a local
+    data/ dir or a table-backed manifest (Iceberg catalog routing) —
+    checking only the data dir would silently skip registering views
+    over table-backed stages."""
     data_path, _m, success = _stage_paths(root, stage)
-    return os.path.exists(success) and os.path.exists(data_path)
+    if not os.path.exists(success):
+        return False
+    return os.path.exists(data_path) or stage_is_table_backed(root, stage)
 
 
 def register_kg_views(

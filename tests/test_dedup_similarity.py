@@ -826,3 +826,35 @@ def test_ivf_cell_numpy_matches_expr(spark):
     ce = kmeans_centroids(emb, k=4, iterations=3, assignment="expr")
     cn = kmeans_centroids(emb, k=4, iterations=3, assignment="numpy")
     assert ce == cn
+
+
+def test_zero_norm_vectors_unassignable_in_both_kernels(spark):
+    """Zero-norm vectors score NaN against every centroid; the contract
+    is cell -1 (unassignable, dropped by downstream inner joins) from
+    BOTH the expression fold and the numpy kernel."""
+    from onto_text_tag_spark.operators.similarity import (
+        _centroid_literal,
+        ivf_cell_expr,
+        ivf_cell_numpy,
+    )
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.5, 0.5])], ["vec_id", "embedding"]
+    )
+    expr_cells = {
+        r["vec_id"]: r["cell"]
+        for r in df.select(
+            "vec_id",
+            ivf_cell_expr("embedding", _centroid_literal(cents)).alias("cell"),
+        ).collect()
+    }
+    numpy_cells = {
+        r["vec_id"]: r["cell"]
+        for r in df.select(
+            "vec_id",
+            ivf_cell_numpy(cents)(F.col("embedding")).alias("cell"),
+        ).collect()
+    }
+    assert expr_cells[0] == -1 and numpy_cells[0] == -1
+    assert expr_cells[1] == numpy_cells[1] == 0  # tie -> first centroid

@@ -155,3 +155,54 @@ def test_run_stage_resume_under_iceberg(iceberg_session, tmp_path):
     run_stage(spark, root, "s", compute, input_fingerprint="v2")
     assert len(calls) == 2  # changed fingerprint recomputes
     assert len(snapshot_log(root, "s")) == 2
+
+
+def test_file_level_protocol_refused_under_catalog(iceberg_session, tmp_path):
+    """The absorb/fold/compact entry points mutate local stage data dirs
+    (_append_batch_files / _swap_subtree); under an Iceberg catalog
+    those dirs do not exist, so the entry points must refuse UP FRONT
+    rather than die mid-protocol with FileNotFoundError."""
+    spark, _registry = iceberg_session
+    from onto_text_tag_spark.plans.dedup_absorb import absorb_dedup_batch
+    from onto_text_tag_spark.plans.ivf_absorb import absorb_embeddings
+    from onto_text_tag_spark.plans.kg_absorb import (
+        absorb_batch,
+        fold_retractions,
+        retract_batch,
+    )
+
+    docs = spark.createDataFrame([("u", "t")], ["url", "text"])
+    for fn, args in [
+        (absorb_batch, (spark, str(tmp_path / "kg"), docs, [], "fp")),
+        (retract_batch, (spark, str(tmp_path / "kg"), docs, "fp")),
+        (fold_retractions, (spark, str(tmp_path / "kg"))),
+        (absorb_embeddings, (spark, str(tmp_path / "ivf"), docs, "fp")),
+        (absorb_dedup_batch, (spark, str(tmp_path / "dd"), None, docs, "fp")),
+    ]:
+        with pytest.raises(NotImplementedError, match="Iceberg"):
+            fn(*args)
+
+
+def test_commit_stage_refused_on_table_backed_stage(
+        iceberg_session, tmp_path):
+    spark, _registry = iceberg_session
+    from onto_text_tag_spark.sinks import commit_stage, stage_is_table_backed
+
+    root = str(tmp_path / "root")
+    write_stage(spark.range(3).select(F.col("id").alias("x")), root, "s1")
+    assert stage_is_table_backed(root, "s1")
+    with pytest.raises(NotImplementedError, match="table-backed"):
+        commit_stage(root, "s1")
+
+
+def test_stage_exists_sees_table_backed_stages(iceberg_session, tmp_path):
+    """View registration checks stage existence; a table-backed stage
+    has no data/ dir but must still count as existing."""
+    spark, _registry = iceberg_session
+    from onto_text_tag_spark.views import _stage_exists
+
+    root = str(tmp_path / "root2")
+    write_stage(spark.range(3).select(F.col("id").alias("x")), root, "s1")
+    assert not os.path.exists(os.path.join(root, "s1", "data"))
+    assert _stage_exists(root, "s1")
+    assert not _stage_exists(root, "absent")

@@ -177,3 +177,41 @@ def test_ivf_index_job_e2e(tmp_path, spark):
     assert rep["absorb"]["status"] == "noop_already_committed"
     health = submit("--root", root, "--report")
     assert health["n_vecs"] == 55 and health["n_centroids"] == 4
+
+
+def test_in_batch_duplicate_vec_ids_absorbed_once(spark, tmp_path, centroids):
+    """A crawl re-fetch can repeat a vec_id WITHIN one delta batch; the
+    absorb must dedupe it or the index gains a doubled row and the
+    additive stats double-count (breaking absorb == from-scratch)."""
+    from onto_text_tag_spark.operators.similarity import ivf_cell_assignments
+    from onto_text_tag_spark.plans.ivf_absorb import (
+        absorb_embeddings,
+        init_ivf_root,
+    )
+    from onto_text_tag_spark.sinks import read_stage
+
+    root = str(tmp_path / "ivf_dup")
+    init_ivf_root(spark, root, centroids)
+    rows = _vec_rows(10, seed=7)
+    doubled = spark.createDataFrame(rows + rows[:4], ["vec_id", "embedding"])
+
+    s = absorb_embeddings(spark, root, doubled, batch_fp="dup1")
+    assert s["status"] == "committed" and s["n_new_vecs"] == 10
+
+    stored = read_stage(spark, root, "ivf_cells")
+    assert stored.count() == 10
+    scratch = ivf_cell_assignments(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]), centroids
+    )
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    stats = {
+        r["cell"]: r["n"]
+        for r in read_stage(spark, root, "ivf_cell_stats").collect()
+    }
+    exact = {
+        r["cell"]: r["n"]
+        for r in scratch.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert stats == exact

@@ -252,3 +252,31 @@ def test_image_stats_and_resize_over_real_pngs(spark):
     new_audio = {r["media_id"]: bytes(r["payload"])
                  for r in resized.where("kind = 'audio'").collect()}
     assert orig_audio == new_audio
+
+
+def test_wav_corrupt_fmt_chunk_raises_valueerror():
+    """A zeroed fmt chunk (channels=0 / bit_depth<8) must reject as
+    ValueError per the decode contract, never ZeroDivisionError."""
+    import struct
+
+    import pytest
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    import numpy as np
+
+    good = mc.encode_wav(
+        np.zeros(80, dtype=np.int16), sample_rate=8000
+    )
+    assert mc.wav_info(good)["channels"] >= 1
+
+    # fmt chunk fields start at byte 20; channels is the H at offset 22
+    zero_channels = bytearray(good)
+    zero_channels[22:24] = struct.pack("<H", 0)
+    with pytest.raises(ValueError, match="bad WAV fmt chunk"):
+        mc.wav_info(bytes(zero_channels))
+
+    zero_bits = bytearray(good)
+    zero_bits[34:36] = struct.pack("<H", 0)
+    with pytest.raises(ValueError, match="bad WAV fmt chunk"):
+        mc.wav_info(bytes(zero_bits))
