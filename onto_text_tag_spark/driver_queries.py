@@ -2732,11 +2732,99 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
+    # top_n bounds the driver collect (TakeOrderedAndProject) — a no-op
+    # at test scale (vocab << cap) but the guard that keeps a web-scale
+    # hapax tail out of driver memory
     wf = sorted(
-        (r["word"], r["n"]) for r in word_frequencies(docs).collect()
+        (r["word"], r["n"])
+        for r in word_frequencies(docs, top_n=262_144).collect()
     )
     merges = train_bpe(wf, n_merges=64)
     return bpe_token_counts(docs, merges)
+
+
+# The first 24 merges a deterministic train_bpe(n_merges=24) learns on
+# the sf0.01 documents corpus, frozen as a literal so the APPLY kernel —
+# the half of the BPE surface that is not SQL-trainable — gets a full
+# external oracle.  Every pair has a != b: that is what makes the
+# oracle's chained-replace replay exactly equal to greedy lowest-rank
+# BPE segmentation (see sql_text_bpe_tokens_pinned).
+_PINNED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("w", "</w>"), ("o", "w</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("p", "a"),
+    ("pa", "r"), ("t", "</w>"), ("o", "i"), ("oi", "n</w>"),
+    ("j", "oin</w>"), ("s", "h</w>"), ("h", "a"), ("ha", "sh</w>"),
+]
+assert all(a != b for a, b in _PINNED_MERGES)
+
+
+def q_text_bpe_tokens_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword token counts under a PINNED literal merge
+    table — the externally-oracled twin of ``text_bpe_tokens``: the
+    trainer half of the BPE surface is checked there (rows-only, plus
+    tests/test_bpe.py's hand-derived merges); THIS query puts the apply
+    kernel (operators/bpe.py:bpe_token_counts — the Arrow segmentation
+    that actually touches the corpus at scale) under the driver's full
+    rows+schema+hash gate."""
+    from onto_text_tag_spark.operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(_docs(spark, sf_dir), _PINNED_MERGES)
+
+
+def sql_text_bpe_tokens_pinned() -> str:
+    """SQL replay of greedy BPE segmentation under the pinned merges.
+
+    Applying merges one at a time in rank order, each to fixpoint,
+    equals the lowest-rank-first encode rule (a merge's pair can only
+    involve symbols created by EARLIER merges, so later merges never
+    enable earlier ones).  Each symbol sequence rides as a
+    chr(31)-delimited string with leading/trailing delimiters; one
+    merge = replace('\\x1fa\\x1fb\\x1f' -> '\\x1fab\\x1f').  Adjacent
+    occurrences share a delimiter, so a single left-to-right
+    non-overlapping replace can skip every other occurrence — SIX
+    passes give fixpoint for any chain up to 2^6 occurrences (words
+    here are far shorter).  Fixpoint == greedy REQUIRES a != b for
+    every pair (self-pairs make odd-chain pairing ambiguous), which
+    ``_PINNED_MERGES`` asserts."""
+    sep = "chr(31)"
+    ctes = [
+        "words AS (\n"
+        "  SELECT doc_id, unnest(list_filter(\n"
+        "    string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t != ''))\n"
+        "    AS word\n"
+        "  FROM documents\n"
+        ")",
+        f"seg0 AS (\n"
+        f"  SELECT doc_id, {sep} || array_to_string(\n"
+        f"    list_append(str_split(word, ''), '</w>'), {sep}) || {sep} AS s\n"
+        f"  FROM words\n"
+        f")",
+    ]
+    # one CTE per merge keeps every expression shallow (DuckDB's binder
+    # caps nesting at 128; 24 merges x 6 passes inline would exceed it)
+    for i, (a, b) in enumerate(_PINNED_MERGES):
+        aa, bb = a.replace("'", "''"), b.replace("'", "''")
+        ab = (a + b).replace("'", "''")
+        pat = f"{sep} || '{aa}' || {sep} || '{bb}' || {sep}"
+        rep = f"{sep} || '{ab}' || {sep}"
+        expr = "s"
+        for _ in range(6):
+            expr = f"replace({expr}, {pat}, {rep})"
+        ctes.append(
+            f"seg{i + 1} AS (SELECT doc_id, {expr} AS s FROM seg{i})"
+        )
+    n = len(_PINNED_MERGES)
+    return f"""
+WITH {','.join(ctes)},
+ per_doc AS (
+  SELECT doc_id, sum(len(string_split(s, {sep})) - 2) AS n
+  FROM seg{n} GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.n, 0)::BIGINT AS bpe_tokens
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
 
 
 def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4128,6 +4216,7 @@ QUERIES = {
     "text_packing": q_text_packing,
     "text_word_freqs": q_text_word_freqs,
     "text_bpe_tokens": q_text_bpe_tokens,
+    "text_bpe_tokens_pinned": q_text_bpe_tokens_pinned,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -4220,6 +4309,7 @@ ORACLES = {
     "text_chunks": sql_text_chunks(),
     "text_packing": sql_text_packing(),
     "text_word_freqs": sql_text_word_freqs(),
+    "text_bpe_tokens_pinned": sql_text_bpe_tokens_pinned(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash_sig": sql_dedup_minhash_sig(),
     "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
@@ -4258,7 +4348,7 @@ ORACLES = {
 # padded with three flagship kg queries.
 _PRIORITY_KEYS = [
     "corpus_rollup", "text_packing", "emb_quantize", "text_bpe_tokens",
-    "sim_ivf_trained",
+    "text_bpe_tokens_pinned", "sim_ivf_trained",
     "top_orders", "sim_topk_quantized",
     "kg_cooccur_dict_delta", "kg_cooccur_window", "kg_mention_contexts",
     "kg_chord", "kg_degree", "kg_triangles", "kg_disambig", "kg_pagerank",

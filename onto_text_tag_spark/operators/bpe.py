@@ -34,11 +34,20 @@ EOW = "</w>"
 def word_frequencies(
     documents: DataFrame,
     text_col: str = "text",
+    min_count: int | None = None,
+    top_n: int | None = None,
 ) -> DataFrame:
     """``(word, n)`` — the corpus word-frequency relation BPE trains
     on.  Tokenization matches the engine's text-analysis family (lower
     + split on non-[a-z0-9'] runs).  One scan + one map-side-combined
-    shuffle; output is vocab-sized."""
+    shuffle; output is vocab-sized.
+
+    ``min_count`` / ``top_n`` bound the relation BEFORE any driver
+    collect — the production guard for web-scale corpora, where the raw
+    vocabulary has a hapax-legomena long tail (typos, ids, urls) that
+    is 10-100× the useful head and carries no merge signal.  ``top_n``
+    compiles to TakeOrderedAndProject (distributed partial top-n,
+    deterministic ``(n desc, word asc)`` order), never a global sort."""
     words = documents.select(
         F.explode(
             F.expr(
@@ -47,7 +56,12 @@ def word_frequencies(
             )
         ).alias("word")
     )
-    return words.groupBy("word").agg(F.count("*").cast("long").alias("n"))
+    wf = words.groupBy("word").agg(F.count("*").cast("long").alias("n"))
+    if min_count is not None and min_count > 1:
+        wf = wf.where(F.col("n") >= min_count)
+    if top_n is not None:
+        wf = wf.orderBy(F.col("n").desc(), F.col("word").asc()).limit(top_n)
+    return wf
 
 
 def train_bpe(
@@ -60,50 +74,122 @@ def train_bpe(
     that is the correct distribution boundary).
 
     Classic algorithm: words start as character sequences + ``EOW``;
-    each round counts adjacent symbol pairs (weighted by word
-    frequency), merges the most frequent pair everywhere, and records
-    it.  Ties break lexicographically; training stops early when no
-    pair reaches ``min_pair_freq``.  Returns the ordered merge list —
-    order IS the vocabulary (apply must replay it in sequence)."""
-    vocab: dict[tuple[str, ...], int] = {}
+    each round the most frequent adjacent symbol pair (weighted by word
+    frequency) merges everywhere it occurs and is recorded.  Ties break
+    lexicographically (among max-count pairs, the lexicographically
+    GREATEST — the original full-recount implementation's
+    ``max((count, a, b))`` rule, preserved exactly); training stops
+    early when no pair reaches ``min_pair_freq``.  Returns the ordered
+    merge list — order IS the vocabulary (apply must replay it in
+    sequence).
+
+    Production shape (what makes a 32k-merge fit over a 10^6-word web
+    vocabulary tractable — a naive full pair recount per round is
+    O(n_merges × total_symbols) and runs for hours):
+
+    * **Incremental pair counts**: only the words that CONTAIN the
+      merged pair change, so each round subtracts those words' old
+      adjacent-pair contributions and adds their new ones — O(affected
+      words × their length), with a ``pair → word-ids`` inverted index
+      locating them (the Sennrich et al. 2016 reference trainer and
+      HuggingFace tokenizers maintain the same structure).
+    * **Lazy max-heap argmax**: every count change pushes a fresh heap
+      entry; pops discard entries whose count no longer matches the
+      live table.  The heap key inverts lexicographic string order
+      (negated code points + a high sentinel) so the heap's min IS
+      ``max((count, a, b))`` — bit-identical merge choice to the
+      recount implementation, pinned by tests/test_bpe.py.
+    """
+    import heapq
+
+    agg: dict[tuple[str, ...], int] = {}
     for word, n in word_freqs:
         if word:
             key = tuple(word) + (EOW,)
-            vocab[key] = vocab.get(key, 0) + int(n)
+            agg[key] = agg.get(key, 0) + int(n)
+    # mutable working set: [symbols list, weight] per distinct word
+    words: list[list] = [[list(k), n] for k, n in agg.items()]
+
+    stats: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, n) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            stats[p] = stats.get(p, 0) + n
+            where.setdefault(p, set()).add(idx)
+
+    def _inv(s: str) -> tuple:
+        # inverts lexicographic order: x > y  <=>  _inv(x) < _inv(y)
+        # (negated code points; the trailing sentinel 1 outranks any
+        # -ord, so a longer string with the same prefix — lex GREATER —
+        # sorts FIRST)
+        return tuple(-ord(c) for c in s) + (1,)
+
+    heap = [(-c, _inv(p[0]), _inv(p[1]), p) for p, c in stats.items()]
+    heapq.heapify(heap)
 
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for symbols, n in vocab.items():
-            for i in range(len(symbols) - 1):
-                p = (symbols[i], symbols[i + 1])
-                pair_counts[p] = pair_counts.get(p, 0) + n
-        if not pair_counts:
+    while len(merges) < n_merges:
+        pair = None
+        while heap:
+            negc, _ka, _kb, p = heap[0]
+            cur = stats.get(p, 0)
+            if cur <= 0 or cur != -negc:
+                heapq.heappop(heap)  # stale: a fresh entry exists
+                continue
+            pair, count = p, cur
             break
-        best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0][0],
-                                                        kv[0][1]))
-        # lexicographic tie-break: among max-count pairs keep the
-        # lexicographically GREATEST (max over (count, pair) tuples) —
-        # any fixed rule works; this one needs no second pass
-        if best[1] < min_pair_freq:
+        if pair is None or count < min_pair_freq:
             break
-        a, b = best[0]
+        a, b = pair
         merged = a + b
-        new_vocab: dict[tuple[str, ...], int] = {}
-        for symbols, n in vocab.items():
+        touched: set[tuple[str, str]] = set()
+        # pop the affected-word set up front: the update loop below
+        # mutates where-sets (old_pairs includes the merged pair itself)
+        # and must not mutate the set being iterated
+        affected = where.pop(pair, set())
+        for idx in affected:
+            syms, n = words[idx]
+            old_pairs = set()
+            for i in range(len(syms) - 1):
+                q = (syms[i], syms[i + 1])
+                stats[q] -= n
+                old_pairs.add(q)
             out = []
             i = 0
-            while i < len(symbols):
-                if (i < len(symbols) - 1 and symbols[i] == a
-                        and symbols[i + 1] == b):
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == a
+                        and syms[i + 1] == b):
                     out.append(merged)
                     i += 2
                 else:
-                    out.append(symbols[i])
+                    out.append(syms[i])
                     i += 1
-            key = tuple(out)
-            new_vocab[key] = new_vocab.get(key, 0) + n
-        vocab = new_vocab
+            words[idx][0] = out
+            new_pairs = set()
+            for i in range(len(out) - 1):
+                q = (out[i], out[i + 1])
+                stats[q] = stats.get(q, 0) + n
+                new_pairs.add(q)
+            for q in old_pairs - new_pairs:
+                w = where.get(q)
+                if w is not None:
+                    w.discard(idx)
+            for q in new_pairs - old_pairs:
+                where.setdefault(q, set()).add(idx)
+            touched |= old_pairs | new_pairs
+        # the merged pair is fully consumed (greedy left-to-right leaves
+        # no adjacent (a, b)); drop its bookkeeping
+        touched.discard(pair)
+        stats.pop(pair, None)
+        where.pop(pair, None)
+        for q in touched:
+            c = stats.get(q, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, _inv(q[0]), _inv(q[1]), q))
+            else:
+                stats.pop(q, None)
+                where.pop(q, None)
         merges.append((a, b))
     return merges
 

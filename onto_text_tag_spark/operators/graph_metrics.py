@@ -215,11 +215,21 @@ def adamic_adar(
     BRIDGES above the cap before pair generation.  A hub contributes
     only 1/ln(deg) ≈ 0 per pair while generating quadratically many of
     them, so capping removes almost no score mass — the exact trade
-    every production link-prediction system makes.  Shuffles: degree
-    aggregate, wedge self-join on v, the (u, w) anti-join + final sum;
-    all key on high-cardinality ids, partial aggregation absorbs the
-    per-pair sum.  A common neighbor has deg ≥ 2 by construction, so
-    ln(deg) is never 0.
+    every production link-prediction system makes.
+
+    Wedges are generated JOINLESSLY (the ``kg_cooccur`` device): ONE
+    shuffle collects each bridge's neighbor list (whose size IS
+    deg(v) — no separate degree aggregate, no degree join, and the
+    hub cap is a post-aggregate ``size()`` filter), pair explosion is
+    then partition-local JVM work, and the following (u, w) hash
+    aggregate absorbs it map-side before its exchange.  The
+    adjacency exclusion is FOLDED INTO the same aggregate: the edge
+    relation streams into the (u, w) groupBy tagged ``_adj = 1`` and
+    ``max(_adj) = 0`` filters adjacent pairs — no separate anti-join,
+    so the quadratic candidate relation is never sorted or joined.
+    Total: exactly 2 shuffles end to end (was 4 shuffles + an
+    anti-join on the quadratic stream).  A common neighbor has
+    deg ≥ 2 by construction, so ln(deg) is never 0.
     """
     a, b = F.col(src), F.col(dst)
     pairs = (
@@ -228,43 +238,57 @@ def adamic_adar(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # deg-1 nodes can never bridge a wedge (one arm only) — and ln(1)=0
-    # would divide by zero under ANSI semantics, so they exit here.
-    deg = degree_stats(pairs, "a", "b").where(F.col("degree") >= 2)
-    if max_neighbor_degree is not None:
-        deg = deg.where(F.col("degree") <= max_neighbor_degree)
-    nbrs = (
-        pairs.select(F.col("a").alias("node"), F.col("b").alias("v"))
+    adj = pairs.select(F.col("a").alias("node"), F.col("b").alias("v")) \
         .unionByName(
             pairs.select(F.col("b").alias("node"), F.col("a").alias("v"))
         )
-        .join(
-            deg.select(F.col("node").alias("v"), "degree"), "v"
-        )
-        .withColumn("_w", 1.0 / F.log(F.col("degree").cast("double")))
+    # deg-1 nodes can never bridge a wedge (one arm only) — and ln(1)=0
+    # would divide by zero under ANSI semantics, so they exit here.
+    by_v = (
+        adj.groupBy("v")
+        .agg(F.sort_array(F.collect_set("node")).alias("_ns"))
+        .where(F.size("_ns") >= 2)
     )
-    n1 = nbrs.alias("n1")
-    n2 = nbrs.alias("n2")
+    if max_neighbor_degree is not None:
+        by_v = by_v.where(F.size("_ns") <= max_neighbor_degree)
+    # ordered pairs stream directly off the sorted list: the second
+    # explode slices PAST the first element's position, so only u < w
+    # rows are ever generated — half the row volume of
+    # explode×explode + filter, with no per-row pair array materialized
     cand = (
-        n1.join(
-            n2,
-            (F.col("n1.v") == F.col("n2.v"))
-            & (F.col("n1.node") < F.col("n2.node")),
+        by_v.select(
+            (1.0 / F.log(F.size("_ns").cast("double"))).alias("_w"),
+            F.posexplode("_ns").alias("_i", "u"),
+            "_ns",
         )
         .select(
-            F.col("n1.node").alias("u"),
-            F.col("n2.node").alias("w"),
-            F.col("n1._w").alias("_w"),
+            "_w", "u",
+            F.explode(
+                F.slice(
+                    "_ns", F.col("_i") + 2,
+                    F.size("_ns") - F.col("_i") - 1,
+                )
+            ).alias("w"),
+            F.lit(0).alias("_adj"),
         )
     )
-    existing = pairs.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    existing = pairs.select(
+        F.col("a").alias("u"), F.col("b").alias("w"),
+        F.lit(0.0).alias("_w"), F.lit(1).alias("_adj"),
+    )
     return (
-        cand.join(existing, ["u", "w"], "left_anti")
+        cand.unionByName(existing)
         .groupBy("u", "w")
         .agg(
+            # count(*) == wedge-row count for every SURVIVING group: a
+            # group that contains any edge row fails the filter below,
+            # so the edge rows never inflate an emitted `common`
             F.count("*").cast("long").alias("common"),
             F.sum("_w").alias("score"),
+            F.max("_adj").alias("_any_adj"),
         )
+        .where(F.col("_any_adj") == 0)
+        .drop("_any_adj")
     )
 
 

@@ -328,14 +328,15 @@ def image_stats(media: DataFrame) -> DataFrame:
 
     ``mean_luma`` is the pixel mean scaled by 1000 and truncated
     (integer — bit-stable across numpy versions for oracle checks).
-    Non-PNG images are skipped (extend via media_codecs when a pixel
-    decoder exists for them)."""
+    PNG and baseline JPEG payloads decode (media_codecs.decode_image);
+    other image formats are skipped."""
     import numpy as np
 
     from onto_text_tag_spark.functions import media_codecs as mc
 
     src = media.where(
-        (F.col("kind") == "image") & (F.col("format") == "png")
+        (F.col("kind") == "image")
+        & F.col("format").isin("png", "jpeg", "jpg")
     ).select("media_id", "payload")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -343,7 +344,7 @@ def image_stats(media: DataFrame) -> DataFrame:
             rows = []
             for media_id, payload in zip(batch["media_id"],
                                          batch["payload"]):
-                px = mc.decode_png(bytes(payload))
+                px = mc.decode_image(bytes(payload))
                 c = 1 if px.ndim == 2 else px.shape[2]
                 flat = px.reshape(-1).astype(np.int64)
                 rows.append((
@@ -360,10 +361,11 @@ def image_stats(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Decode → nearest-neighbor resize → re-encode, PNG in / PNG out:
-    the thumbnail / model-input-normalization stage, run as a row-local
-    Arrow-batched kernel (no shuffle; payload bytes never leave the
-    task).  Non-PNG rows pass through unchanged."""
+    """Decode → nearest-neighbor resize → re-encode, format-preserving
+    (PNG → PNG, baseline JPEG → baseline JPEG): the thumbnail /
+    model-input-normalization stage, run as a row-local Arrow-batched
+    kernel (no shuffle; payload bytes never leave the task).  Rows in
+    other formats pass through unchanged."""
     from onto_text_tag_spark.functions import media_codecs as mc
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -374,6 +376,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     px = mc.decode_png(bytes(payload))
                     payloads.append(
                         mc.encode_png(mc.resize_nearest(px, width, height))
+                    )
+                elif fmt in ("jpeg", "jpg") and payload is not None:
+                    px = mc.decode_jpeg(bytes(payload))
+                    payloads.append(
+                        mc.encode_jpeg(mc.resize_nearest(px, width, height))
                     )
                 else:
                     payloads.append(payload)

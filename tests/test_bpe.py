@@ -83,3 +83,33 @@ def test_word_frequencies_and_token_counts(spark):
     got0 = {r["doc_id"]: r["bpe_tokens"]
             for r in bpe_token_counts(docs, []).collect()}
     assert got0[2] == len("lowest") + 1 + len("lows") + 1
+
+
+def test_word_frequencies_caps(spark):
+    """min_count / top_n bound the relation before any driver collect —
+    top_n is deterministic (n desc, word asc) and compiles to a
+    distributed partial top-n, not a global sort."""
+    from onto_text_tag_spark.operators.bpe import word_frequencies
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa cc aa bb dd"), (2, "bb cc aa")],
+        ["doc_id", "text"],
+    )
+    full = {r["word"]: r["n"] for r in word_frequencies(docs).collect()}
+    assert full == {"aa": 4, "bb": 3, "cc": 2, "dd": 1}
+
+    floored = {
+        r["word"]: r["n"]
+        for r in word_frequencies(docs, min_count=2).collect()
+    }
+    assert floored == {"aa": 4, "bb": 3, "cc": 2}
+
+    top = [
+        (r["word"], r["n"])
+        for r in word_frequencies(docs, top_n=2).collect()
+    ]
+    assert sorted(top) == [("aa", 4), ("bb", 3)]
+
+    plan = word_frequencies(docs, top_n=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

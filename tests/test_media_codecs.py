@@ -280,3 +280,132 @@ def test_wav_corrupt_fmt_chunk_raises_valueerror():
     zero_bits[34:36] = struct.pack("<H", 0)
     with pytest.raises(ValueError, match="bad WAV fmt chunk"):
         mc.wav_info(bytes(zero_bits))
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_block_roundtrips_exactly():
+    """A flat image quantizes to a DC-only stream whose dequantized IDCT
+    reproduces the input EXACTLY when 8*(v-128) divides the scaled DC
+    quantum — hand-derivable: at quality 90 the Annex K DC step 16
+    scales to (16*20+50)//100 = 3, so v=200 gives DC=round(576/3)=192,
+    decode 192*3/8+128 = 200."""
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    flat = np.full((16, 24), 200, dtype=np.uint8)
+    payload = mc.encode_jpeg(flat, quality=90)
+    assert mc.jpeg_info(payload) == {
+        "width": 24, "height": 16, "channels": 1}
+    out = mc.decode_jpeg(payload)
+    assert out.shape == (16, 24) and (out == 200).all()
+
+
+def test_jpeg_roundtrip_tolerance_gray_rgb_420_and_odd_sizes():
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    smooth = np.stack(
+        [((xx * 2 + yy) % 200 + 20) for _ in range(3)], axis=2
+    ).astype(np.uint8)
+    for kwargs in ({"quality": 92}, {"quality": 92, "subsample": True}):
+        out = mc.decode_jpeg(mc.encode_jpeg(smooth, **kwargs))
+        assert out.shape == smooth.shape
+        d = np.abs(out.astype(int) - smooth.astype(int))
+        assert d.max() <= 8 and d.mean() <= 2.0, (kwargs, d.max())
+
+    odd = ((xx[:13, :19] * 7 + yy[:13, :19] * 3) % 256).astype(np.uint8)
+    out = mc.decode_jpeg(mc.encode_jpeg(odd, quality=95))
+    assert out.shape == (13, 19)  # padding cropped away
+
+
+def test_jpeg_progressive_and_garbage_rejected():
+    import numpy as np
+    import pytest
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    payload = bytearray(mc.encode_jpeg(np.full((8, 8), 99, np.uint8)))
+    sof = payload.find(b"\xFF\xC0")
+    payload[sof + 1] = 0xC2  # rebadge as progressive
+    with pytest.raises(ValueError, match="progressive"):
+        mc.decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        mc.decode_jpeg(b"\x00\x01\x02")
+
+
+def test_decode_image_dispatches_by_signature():
+    import numpy as np
+    import pytest
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    flat = np.full((8, 8), 128, dtype=np.uint8)
+    assert mc.decode_image(mc.encode_jpeg(flat)).shape == (8, 8)
+    assert mc.decode_image(mc.encode_png(flat)).shape == (8, 8)
+    with pytest.raises(ValueError, match="unknown image format"):
+        mc.decode_image(b"GIF89a......")
+
+
+def test_jpeg_chroma_content_survives_420():
+    """Color (not just luma) must survive the subsampled path — a
+    decoder that drops/mixes Cb/Cr would still pass gray tests."""
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, :8] = [200, 40, 40]   # red-ish left half
+    img[:, 8:] = [40, 40, 200]   # blue-ish right half
+    out = mc.decode_jpeg(mc.encode_jpeg(img, quality=95, subsample=True))
+    left = out[4:12, 2:6].reshape(-1, 3).mean(axis=0)
+    right = out[4:12, 10:14].reshape(-1, 3).mean(axis=0)
+    assert left[0] > left[2] + 80   # red dominates
+    assert right[2] > right[0] + 80  # blue dominates
+
+
+def test_image_stats_and_resize_over_jpegs(spark):
+    """The pixel kernels must accept baseline JPEG payloads end-to-end:
+    stats via decode_image, resize re-encoding JPEG → JPEG."""
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+    from onto_text_tag_spark.operators.multimodal import (
+        image_stats,
+        resize_images,
+    )
+
+    flat = np.full((16, 16, 3), 200, dtype=np.uint8)
+    rows = [
+        ("j1", "image", "jpeg", mc.encode_jpeg(flat, quality=90)),
+        ("j2", "image", "jpeg",
+         mc.encode_jpeg(flat, quality=90, subsample=True)),
+        ("p1", "image", "png", mc.encode_png(flat)),
+        ("v1", "video", "mp4", mc.encode_mp4_stub(1000)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, format string, payload binary"
+    )
+    stats = {r["media_id"]: r for r in image_stats(media).collect()}
+    assert set(stats) == {"j1", "j2", "p1"}  # video skipped
+    for mid in ("j1", "j2", "p1"):
+        assert (stats[mid]["width"], stats[mid]["height"]) == (16, 16)
+        assert stats[mid]["channels"] == 3
+        # flat 200 decodes exactly through both codecs at q90
+        assert stats[mid]["min_px"] == stats[mid]["max_px"] == 200
+
+    resized = resize_images(media, 8, 4)
+    out = {r["media_id"]: r for r in resized.collect()}
+    assert mc.jpeg_info(bytes(out["j1"]["payload"]))["width"] == 8
+    assert mc.png_info(bytes(out["p1"]["payload"]))["width"] == 8
+    assert bytes(out["v1"]["payload"]) == rows[3][3]  # passthrough
+
+
+def _jpeg_marker(payload: bytes, m: int) -> bool:
+    return bytes([0xFF, m]) in payload
