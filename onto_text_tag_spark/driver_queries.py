@@ -2721,10 +2721,12 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document subword token counts under a corpus-trained BPE
     merge table (operators/bpe.py): train on the word-frequency
     relation (driver-side, vocab-sized), apply as a row-local Arrow
-    kernel.  The iterative merge loop is not SQL-expressible, so this
-    query has no DuckDB oracle (rows-only driver check); the trainer
-    and the segmenter are pinned by tests/test_bpe.py against
-    hand-derived merges and a pure-python twin."""
+    kernel.  Fully oracled since round 3: ``sql_text_bpe_tokens``
+    replays all 64 training rounds AND the apply in DuckDB (see its
+    docstring for the unroll + the no-self-pair exactness
+    precondition); the trainer and segmenter are additionally pinned
+    by tests/test_bpe.py against hand-derived merges and a
+    pure-python twin."""
     from onto_text_tag_spark.operators.bpe import (
         bpe_token_counts,
         train_bpe,
@@ -2741,6 +2743,90 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = train_bpe(wf, n_merges=64)
     return bpe_token_counts(docs, merges)
+
+
+def sql_text_bpe_tokens() -> str:
+    """FULL SQL replay of corpus-trained BPE — training AND apply.
+
+    64 Lloyd's-style unrolled rounds over the word-frequency relation
+    (the ``kg_pagerank``/``sim_ivf_trained`` device): each round counts
+    adjacent symbol pairs weighted by word frequency, picks
+    ``max((count, a, b))`` (ORDER BY cnt DESC, a DESC, b DESC — binary
+    collation matches Python's code-point compare on this ascii symbol
+    space), and applies the winning pair as a data-dependent
+    chained-``replace`` (patterns built from scalar subqueries; six
+    passes reach fixpoint through shared-delimiter chains).  The
+    ``min_pair_freq=2`` early stop replays as a CASE that freezes the
+    state once the max count drops below 2 — later rounds then no-op
+    exactly like the trainer's break.
+
+    Apply needs no second replay: every document word is in the
+    training vocabulary (trained on the same corpus), and for
+    in-vocabulary words rank-ordered encode reproduces the train-time
+    segmentation (operators/bpe.py:bpe_segment), so per-word token
+    counts read directly off the final training state.
+
+    Exactness precondition: chained replace == greedy merge-all only
+    when every LEARNED pair has a != b (self-pairs make odd-chain
+    pairing ambiguous).  That is a property of the corpus, not the
+    query — tests/test_bpe.py::test_driver_corpus_learns_no_self_pairs
+    pins it for the driver corpus at sf0.001 and sf0.01."""
+    sep = "chr(31)"
+    ctes = [
+        "words AS (\n"
+        "  SELECT doc_id, unnest(list_filter(\n"
+        "    string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t != ''))\n"
+        "    AS word\n"
+        "  FROM documents\n"
+        ")",
+        f"seg0 AS MATERIALIZED (\n"
+        f"  SELECT word, {sep} || array_to_string(\n"
+        f"    list_append(str_split(word, ''), '</w>'), {sep}) || {sep} AS s,\n"
+        f"    count(*) AS n\n"
+        f"  FROM words GROUP BY word\n"
+        f")",
+    ]
+    for i in range(64):
+        ctes.append(f"""
+ pairs{i} AS MATERIALIZED (
+   SELECT list_extract(l, j) AS a, list_extract(l, j + 1) AS b,
+          sum(n) AS cnt
+   FROM (SELECT string_split(trim(s, {sep}), {sep}) AS l, n FROM seg{i}),
+        LATERAL unnest(range(1, len(l))) AS t(j)
+   GROUP BY a, b
+ ),
+ best{i} AS MATERIALIZED (
+   SELECT a, b FROM pairs{i}
+   WHERE cnt >= 2 ORDER BY cnt DESC, a DESC, b DESC LIMIT 1
+ )""")
+        pat = (f"{sep} || (SELECT a FROM best{i}) || {sep} || "
+               f"(SELECT b FROM best{i}) || {sep}")
+        rep = (f"{sep} || (SELECT a FROM best{i}) || "
+               f"(SELECT b FROM best{i}) || {sep}")
+        expr = "s"
+        for _ in range(6):
+            expr = f"replace({expr}, {pat}, {rep})"
+        ctes.append(
+            f"seg{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT word,\n"
+            f"    CASE WHEN EXISTS (SELECT 1 FROM best{i})\n"
+            f"         THEN {expr} ELSE s END AS s, n\n"
+            f"  FROM seg{i}\n"
+            f")"
+        )
+    return f"""
+WITH {','.join(ctes)},
+ tok AS (
+  SELECT word, len(string_split(s, {sep})) - 2 AS t FROM seg64
+ ),
+ per_doc AS (
+  SELECT w.doc_id, sum(t.t) AS n
+  FROM words w JOIN tok t ON t.word = w.word
+  GROUP BY w.doc_id
+ )
+SELECT d.doc_id, coalesce(p.n, 0)::BIGINT AS bpe_tokens
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
 
 
 # The first 24 merges a deterministic train_bpe(n_merges=24) learns on
@@ -2796,7 +2882,7 @@ def sql_text_bpe_tokens_pinned() -> str:
         "    AS word\n"
         "  FROM documents\n"
         ")",
-        f"seg0 AS (\n"
+        f"seg0 AS MATERIALIZED (\n"
         f"  SELECT doc_id, {sep} || array_to_string(\n"
         f"    list_append(str_split(word, ''), '</w>'), {sep}) || {sep} AS s\n"
         f"  FROM words\n"
@@ -4309,6 +4395,7 @@ ORACLES = {
     "text_chunks": sql_text_chunks(),
     "text_packing": sql_text_packing(),
     "text_word_freqs": sql_text_word_freqs(),
+    "text_bpe_tokens": sql_text_bpe_tokens(),
     "text_bpe_tokens_pinned": sql_text_bpe_tokens_pinned(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash_sig": sql_dedup_minhash_sig(),

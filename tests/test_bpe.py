@@ -113,3 +113,26 @@ def test_word_frequencies_caps(spark):
     plan = word_frequencies(docs, top_n=2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_driver_corpus_learns_no_self_pairs(spark):
+    """Exactness precondition of sql_text_bpe_tokens' chained-replace
+    replay: no learned merge may be a self-pair (a == b) — odd chains
+    of a self-pair make left-to-right pairing ambiguous for
+    non-overlapping string replace.  Property of the driver corpus,
+    pinned here at both driver scales."""
+    import os
+
+    from onto_text_tag_spark.operators.bpe import train_bpe, word_frequencies
+
+    for sf in ("0.001", "0.01"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        docs = spark.read.parquet(path)
+        wf = sorted(
+            (r["word"], r["n"]) for r in word_frequencies(docs).collect()
+        )
+        merges = train_bpe(wf, n_merges=64)
+        assert len(merges) == 64
+        assert all(a != b for a, b in merges), sf
