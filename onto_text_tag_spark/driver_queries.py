@@ -2913,6 +2913,76 @@ FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition gates (dup-line fractions +
+    top n-gram character coverage) — the machine-generated-page filter
+    family every web-corpus curation pipeline runs
+    (operators/textstats.py:repetition_signals; pure JVM fold over the
+    sorted gram array, no shuffle)."""
+    from onto_text_tag_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+def sql_text_repetition() -> str:
+    def grams_cte(n: int, name: str) -> str:
+        joins = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
+        return f"""
+ {name}_g AS (
+   SELECT doc_id, g FROM (
+     SELECT doc_id, CASE WHEN len(w) >= {n}
+            THEN list_transform(range(1, len(w) - {n - 2}),
+                                i -> {joins})
+            ELSE [] END AS gs
+     FROM base
+   ), LATERAL unnest(gs) AS t(g)
+ ),
+ {name} AS (
+   SELECT doc_id, cnt * (length(g) - {n - 1}) AS chars FROM (
+     SELECT doc_id, g, count(*) AS cnt,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY count(*) DESC, g ASC) AS rn
+     FROM {name}_g GROUP BY doc_id, g
+   ) WHERE rn = 1
+ )"""
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)),
+                x -> trim(x)), x -> x != '') AS l,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                t -> t != '') AS w
+  FROM documents
+),
+ stats AS (
+  SELECT doc_id, l,
+    coalesce(list_aggregate(list_transform(w, x -> length(x)),
+             'sum'), 0) AS total_wchars,
+    coalesce(list_aggregate(list_transform(l, x -> length(x)),
+             'sum'), 0) AS lchars,
+    coalesce(list_aggregate(list_transform(list_distinct(l),
+             x -> length(x)), 'sum'), 0) AS dchars
+  FROM base
+),{grams_cte(2, "topb")},{grams_cte(3, "topt")}
+SELECT s.doc_id,
+  len(s.l)::BIGINT AS n_lines,
+  round(CASE WHEN len(s.l) > 0
+        THEN 1.0 - len(list_distinct(s.l)) / len(s.l)::DOUBLE
+        ELSE 0.0 END, 4) AS dup_line_frac,
+  round(CASE WHEN s.lchars > 0
+        THEN (s.lchars - s.dchars) / s.lchars::DOUBLE
+        ELSE 0.0 END, 4) AS dup_line_char_frac,
+  round(coalesce(tb.chars / nullif(s.total_wchars, 0)::DOUBLE, 0.0), 4)
+    AS top_bigram_char_frac,
+  round(coalesce(tt.chars / nullif(s.total_wchars, 0)::DOUBLE, 0.0), 4)
+    AS top_trigram_char_frac
+FROM stats s
+LEFT JOIN topb tb ON tb.doc_id = s.doc_id
+LEFT JOIN topt tt ON tt.doc_id = s.doc_id
+"""
+
+
 def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source page-length quantiles — the drift monitor a curation
     pipeline publishes per crawl (operators/textstats.py:group_quantiles;
@@ -3333,6 +3403,91 @@ FROM ranked WHERE rank <= {_TOPK}
 
 _NUM_CENTROIDS = 8
 _NPROBE = 2
+
+
+_SEMDEDUP_SHIFT = 100_000
+
+
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embedding corpus
+    unioned with an id-shifted copy (so duplicate groups exist by
+    construction, the same doubling trick the text-dedup queries use):
+    k-means cells block the pair space, within-cell cosine >= 0.99
+    edges, connected components, keep-farthest-from-centroid
+    (operators/similarity.py:semantic_dedup)."""
+    from onto_text_tag_spark.operators.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + _SEMDEDUP_SHIFT).alias("vec_id"),
+            "embedding",
+        )
+    )
+    return semantic_dedup(doubled, threshold=0.99,
+                          num_centroids=_NUM_CENTROIDS)
+
+
+def sql_emb_semdedup() -> str:
+    cos_ct = (
+        "round(list_dot_product(e.embedding, ct.cvec) / "
+        "(sqrt(list_dot_product(e.embedding, e.embedding)) * "
+        "sqrt(list_dot_product(ct.cvec, ct.cvec))), 4)"
+    )
+    cos_pair = (
+        "round(list_dot_product(a._v, b._v) / "
+        "(sqrt(list_dot_product(a._v, a._v)) * "
+        "sqrt(list_dot_product(b._v, b._v))), 4)"
+    )
+    return f"""
+WITH RECURSIVE doubled AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_SEMDEDUP_SHIFT} AS vec_id, embedding FROM embeddings
+),
+ cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM doubled
+  ORDER BY vec_id LIMIT {_NUM_CENTROIDS}
+ ),
+ cells AS (
+   SELECT vec_id, cell, cscore FROM (
+     SELECT e.vec_id, ct.cid AS cell, {cos_ct} AS cscore,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY {cos_ct} DESC, ct.cid ASC) AS rn
+     FROM doubled e, cents ct
+   ) WHERE rn = 1
+ ),
+ sided AS (
+   SELECT c.vec_id, c.cell, d.embedding AS _v
+   FROM cells c JOIN doubled d ON d.vec_id = c.vec_id
+ ),
+ e AS (
+   SELECT a.vec_id AS id_a, b.vec_id AS id_b
+   FROM sided a JOIN sided b
+     ON a.cell = b.cell AND a.vec_id < b.vec_id
+   WHERE {cos_pair} >= 0.99
+ ),
+ und(x, y) AS (SELECT id_a, id_b FROM e UNION SELECT id_b, id_a FROM e),
+ reach(node, m) AS (
+   SELECT x, x FROM und
+   UNION
+   SELECT r.node, u.y FROM reach r JOIN und u ON r.m = u.x
+ ),
+ comp AS (SELECT node, min(m) AS comp FROM reach GROUP BY node),
+ labeled AS (
+   SELECT c.vec_id, c.cell, c.cscore,
+          coalesce(p.comp, c.vec_id) AS comp
+   FROM cells c LEFT JOIN comp p ON p.node = c.vec_id
+ )
+SELECT vec_id, cell, rep_id, vec_id = rep_id AS keep FROM (
+  SELECT vec_id, cell,
+         first_value(vec_id) OVER (PARTITION BY comp
+           ORDER BY cscore ASC, vec_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS rep_id
+  FROM labeled
+)
+"""
 
 
 def q_sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4303,6 +4458,8 @@ QUERIES = {
     "text_word_freqs": q_text_word_freqs,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_bpe_tokens_pinned": q_text_bpe_tokens_pinned,
+    "text_repetition": q_text_repetition,
+    "emb_semdedup": q_emb_semdedup,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -4397,6 +4554,8 @@ ORACLES = {
     "text_word_freqs": sql_text_word_freqs(),
     "text_bpe_tokens": sql_text_bpe_tokens(),
     "text_bpe_tokens_pinned": sql_text_bpe_tokens_pinned(),
+    "text_repetition": sql_text_repetition(),
+    "emb_semdedup": sql_emb_semdedup(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash_sig": sql_dedup_minhash_sig(),
     "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
@@ -4435,7 +4594,8 @@ ORACLES = {
 # padded with three flagship kg queries.
 _PRIORITY_KEYS = [
     "corpus_rollup", "text_packing", "emb_quantize", "text_bpe_tokens",
-    "text_bpe_tokens_pinned", "sim_ivf_trained",
+    "text_bpe_tokens_pinned", "text_repetition", "emb_semdedup",
+    "sim_ivf_trained",
     "top_orders", "sim_topk_quantized",
     "kg_cooccur_dict_delta", "kg_cooccur_window", "kg_mention_contexts",
     "kg_chord", "kg_degree", "kg_triangles", "kg_disambig", "kg_pagerank",

@@ -659,3 +659,81 @@ def quantize_embeddings(
             qvec.alias("qvec"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    assignment: str = "auto",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse
+    k-means cells block the pair space, within-cell cosine >= threshold
+    defines duplicate edges, connected components group transitive
+    duplicates, and each group keeps the member FARTHEST from its cell
+    centroid (the paper's keep rule — low-centroid-similarity examples
+    carry the most information; ties break to the smallest id).
+
+    Output ``(vec_id, cell, rep_id, keep)`` — one row per input vector;
+    ``keep`` marks the retained representative (singletons keep
+    themselves).
+
+    Scale shape: the only quadratic object is per-cell (the SemDeDup
+    blocking argument: O(Σ cell²) « O(n²) when the quantizer spreads
+    the corpus), generated by a cell equi-join with the same round-4
+    score contract as ``ivf_topk``; components run on the (sparse)
+    duplicate edge set only; every other step is a narrow map or a
+    broadcast-scale join.  Centroids default to the deterministic
+    first-``num_centroids`` vectors (SQL-replayable), or pass a
+    ``kmeans_centroids(...)`` set for the trained path.
+    """
+    from onto_text_tag_spark.operators.components import (
+        connected_components,
+    )
+
+    cent_rows = centroids if centroids is not None else [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(num_centroids)
+        .collect()
+    ]
+    cells = ivf_cell_assignments(
+        embeddings, cent_rows, id_col=id_col, vec_col=vec_col,
+        assignment=assignment,
+    ).localCheckpoint(eager=True)
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    )
+    sided = cells.select("vec_id", "cell").join(vecs, "vec_id")
+    a = sided.select(
+        F.col("vec_id").alias("id_a"), "cell", F.col("_v").alias("_va")
+    )
+    b = sided.select(
+        F.col("vec_id").alias("id_b"), "cell", F.col("_v").alias("_vb")
+    )
+    edges = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine_similarity_col("_va", "_vb"))
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(edges, src="id_a", dst="id_b")
+    labeled = (
+        cells.select("vec_id", "cell", "cscore")
+        .join(comps.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .withColumn("comp", F.coalesce(F.col("comp"), F.col("vec_id")))
+    )
+    w = (
+        Window.partitionBy("comp")
+        .orderBy(F.col("cscore").asc(), F.col("vec_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return labeled.withColumn("rep_id", F.first("vec_id").over(w)).select(
+        "vec_id", "cell", "rep_id",
+        (F.col("vec_id") == F.col("rep_id")).alias("keep"),
+    )

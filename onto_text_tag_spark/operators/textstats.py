@@ -303,3 +303,113 @@ def group_quantiles(df: DataFrame, group_col: str, value_col: str,
         for i, q in enumerate(qs)
     ]
     return out.select(*cols)
+
+
+def repetition_signals(documents: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document repetition quality gates — the Gopher-style filter
+    family (Rae et al. 2021, Table A1) a web-corpus curation pipeline
+    runs before training: machine-generated and boilerplate pages give
+    themselves away by repeating lines and n-grams.
+
+    Columns (all fractions rounded to 4, 0.0 on empty inputs):
+
+    * ``n_lines`` — non-empty lines.
+    * ``dup_line_frac`` — fraction of lines that are repeat occurrences
+      (1 - distinct/total).
+    * ``dup_line_char_frac`` — fraction of line characters contained in
+      repeat occurrences beyond each line's first.
+    * ``top_bigram_char_frac`` / ``top_trigram_char_frac`` — fraction
+      of word characters covered by occurrences of the single most
+      frequent word 2-gram / 3-gram (ties break to the
+      lexicographically smallest gram).
+
+    Scale shape: pure per-row JVM column expressions (the top-gram scan
+    is a LINEAR fold over the sorted gram array — no per-doc quadratic
+    distinct×occurrence loop), whole-stage codegen, no shuffle; the
+    operator pipelines with the corpus scan like ``text_profile``.
+    n-gram counting follows [[spark-graft-pitfalls]]' sequence guard:
+    ``sequence(1, size-n+1)`` DESCENDS when size < n, so every gram
+    builder branches on size first.
+    """
+    lines = (
+        f"filter(transform(split({text_col}, '\\n'), x -> trim(x)), "
+        f"x -> x != '')"
+    )
+    words = (
+        f"filter(split(lower({text_col}), '[^a-z0-9\\']+'), t -> t != '')"
+    )
+
+    def grams(n: int) -> str:
+        joins = ", ' ', ".join(f"element_at(w, i + {k})" for k in range(n))
+        return (
+            f"CASE WHEN size(w) >= {n} THEN "
+            f"transform(sequence(1, size(w) - {n - 1}), "
+            f"i -> concat({joins})) ELSE array() END"
+        )
+
+    def top_gram_frac(n: int) -> str:
+        # linear fold over the SORTED gram array: track the current run
+        # and the best run; strict > keeps the FIRST maximal run, which
+        # on a sorted array IS the lexicographically smallest tie-winner
+        return (
+            f"CASE WHEN size(w) >= {n} AND total_wchars > 0 THEN round("
+            f"aggregate(array_sort({grams(n)}), "
+            f"struct(cast('' as string) AS prev, cast(0 as bigint) AS run, "
+            f"cast(0 as bigint) AS best, cast('' as string) AS bestg), "
+            f"(acc, g) -> CASE WHEN g = acc.prev THEN "
+            f"  CASE WHEN acc.run + 1 > acc.best "
+            f"       THEN struct(g AS prev, acc.run + 1 AS run, "
+            f"                   acc.run + 1 AS best, g AS bestg) "
+            f"       ELSE struct(g AS prev, acc.run + 1 AS run, "
+            f"                   acc.best AS best, acc.bestg AS bestg) END "
+            f" ELSE CASE WHEN cast(1 as bigint) > acc.best "
+            f"       THEN struct(g AS prev, cast(1 as bigint) AS run, "
+            f"                   cast(1 as bigint) AS best, g AS bestg) "
+            f"       ELSE struct(g AS prev, cast(1 as bigint) AS run, "
+            f"                   acc.best AS best, acc.bestg AS bestg) END "
+            f"END, "
+            f"acc -> acc.best * (length(acc.bestg) - {n - 1})) "
+            f"/ cast(total_wchars as double), 4) ELSE 0.0 END"
+        )
+
+    base = documents.select(
+        F.col(id_col),
+        F.expr(lines).alias("l"),
+        F.expr(words).alias("w"),
+    ).select(
+        id_col, "l", "w",
+        F.expr(
+            "aggregate(w, cast(0 as bigint), (a, x) -> a + length(x))"
+        ).alias("total_wchars"),
+    )
+    return base.select(
+        id_col,
+        F.size("l").cast("long").alias("n_lines"),
+        F.round(
+            F.when(
+                F.size("l") > 0,
+                1.0 - F.size(F.array_distinct("l"))
+                / F.size("l").cast("double"),
+            ).otherwise(0.0),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(
+                F.expr(
+                    "aggregate(l, cast(0 as bigint), (a, x) -> a + length(x))"
+                ) > 0,
+                (
+                    F.expr("aggregate(l, cast(0 as bigint), "
+                           "(a, x) -> a + length(x))")
+                    - F.expr("aggregate(array_distinct(l), "
+                             "cast(0 as bigint), (a, x) -> a + length(x))")
+                ).cast("double")
+                / F.expr("aggregate(l, cast(0 as bigint), "
+                         "(a, x) -> a + length(x))"),
+            ).otherwise(0.0),
+            4,
+        ).alias("dup_line_char_frac"),
+        F.expr(top_gram_frac(2)).alias("top_bigram_char_frac"),
+        F.expr(top_gram_frac(3)).alias("top_trigram_char_frac"),
+    )

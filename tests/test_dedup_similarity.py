@@ -858,3 +858,43 @@ def test_zero_norm_vectors_unassignable_in_both_kernels(spark):
     }
     assert expr_cells[0] == -1 and numpy_cells[0] == -1
     assert expr_cells[1] == numpy_cells[1] == 0  # tie -> first centroid
+
+
+def test_semantic_dedup_groups_and_keep_rule(spark):
+    """Planted semantic-dup groups: exact copies and a near-copy chain
+    collapse into one component per group; the kept representative is
+    the member FARTHEST from its cell centroid (lowest cscore, ties to
+    smallest id); singletons keep themselves."""
+    from onto_text_tag_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # centroid 0 (first-2 init)
+        (1, [0.0, 1.0, 0.0, 0.0]),    # centroid 1
+        # group A: two exact copies + a very close neighbor of c0
+        (10, [0.9, 0.1, 0.0, 0.0]),
+        (11, [0.9, 0.1, 0.0, 0.0]),
+        (12, [0.9, 0.11, 0.0, 0.0]),
+        # group B: exact pair near c1
+        (20, [0.1, 0.9, 0.05, 0.0]),
+        (21, [0.1, 0.9, 0.05, 0.0]),
+        # singleton, its own direction but lands in some cell
+        (30, [0.5, 0.5, 0.7, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, threshold=0.999, num_centroids=2
+        ).collect()
+    }
+    assert len(out) == len(rows)
+    # group A is one component; 12 is the farthest from centroid 0
+    assert out[10]["rep_id"] == out[11]["rep_id"] == out[12]["rep_id"]
+    rep_a = out[10]["rep_id"]
+    assert rep_a == 12 and out[12]["keep"] and not out[10]["keep"]
+    # group B keeps exactly one of the identical pair (tie -> min id)
+    assert out[20]["rep_id"] == out[21]["rep_id"] == 20
+    assert out[20]["keep"] and not out[21]["keep"]
+    # singleton + the two centroid vectors keep themselves
+    for vid in (0, 1, 30):
+        assert out[vid]["rep_id"] == vid and out[vid]["keep"]

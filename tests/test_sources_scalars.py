@@ -310,3 +310,50 @@ def test_owl_multilingual_labels_route_tagging(spark):
         ("u2", "ADDICTO:900001", "verlangen"),
         ("u2", "ADDICTO:900001", "begierde"),
     }
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher-style repetition gates against hand-derived values.
+
+    Doc 1: lines [a b, a b, c d] -> dup_line 1-2/3; chars 3/9.  Words
+    a b a b c d (6 chars): top bigram 'a b' x2 covers 2 chars each ->
+    4/6; top trigram count-1 tie breaks to smallest 'a b a' -> 3/6.
+    Doc 2: 'the cat' x2 and 'cat the' x2 tie on count, each covering
+    12 of 18 word chars; trigram 'the cat the' x2 covers all 18.
+    Doc 5: 'one two' x3 -> 18/32; 'one two three' x2 -> 22/32."""
+    from onto_text_tag_spark.operators.textstats import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),
+            (2, "the cat the cat the dog"),
+            (3, ""),
+            (4, "x"),
+            (5, "one two three one two three one two four"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_signals(docs).collect()
+    }
+    assert got[1] == {
+        "doc_id": 1, "n_lines": 3, "dup_line_frac": 0.3333,
+        "dup_line_char_frac": 0.3333, "top_bigram_char_frac": 0.6667,
+        "top_trigram_char_frac": 0.5,
+    }
+    assert got[2]["top_bigram_char_frac"] == 0.6667
+    assert got[2]["top_trigram_char_frac"] == 1.0
+    assert got[3] == {
+        "doc_id": 3, "n_lines": 0, "dup_line_frac": 0.0,
+        "dup_line_char_frac": 0.0, "top_bigram_char_frac": 0.0,
+        "top_trigram_char_frac": 0.0,
+    }
+    assert got[4]["top_bigram_char_frac"] == 0.0
+    assert got[5]["top_bigram_char_frac"] == 0.5625
+    assert got[5]["top_trigram_char_frac"] == 0.6875
+
+    # no Python stages: the whole operator must stay in codegen
+    plan = repetition_signals(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
