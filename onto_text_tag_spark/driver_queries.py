@@ -2143,6 +2143,71 @@ WHERE doc_count >= 0.5 * n_docs
 """
 
 
+_DSIR_BUCKETS = 512
+_DSIR_TARGET_SOURCE = "src0"
+
+
+def q_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection (operators/
+    curation.py:dsir_importance): hashed-n-gram bucket distributions of
+    a target slice (one source) vs the whole corpus; per-doc
+    log-importance = Σ log p_target(bucket) − log p_raw(bucket).  The
+    resampling knob that skews a web crawl toward a curated domain."""
+    from onto_text_tag_spark.operators.curation import dsir_importance
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("source") == _DSIR_TARGET_SOURCE)
+    return dsir_importance(docs, target, num_buckets=_DSIR_BUCKETS)
+
+
+def sql_curation_dsir() -> str:
+    from onto_text_tag_spark.functions.hashing import md5_long_sql
+
+    k = _DSIR_BUCKETS
+    bucket = f"{md5_long_sql('g')} % {k}"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                t -> t != '') AS w
+  FROM documents
+),
+ g AS (
+   SELECT doc_id, source, unnest(
+     w || CASE WHEN len(w) >= 2
+          THEN list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i + 1])
+          ELSE [] END) AS g
+   FROM base
+ ),
+ b AS (SELECT doc_id, source, {bucket} AS bucket FROM g),
+ t_counts AS (
+   SELECT bucket, count(*) AS t_n FROM b
+   WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY bucket
+ ),
+ r_counts AS (SELECT bucket, count(*) AS r_n FROM b GROUP BY bucket),
+ tot AS (
+   SELECT (SELECT count(*) FROM b
+           WHERE source = '{_DSIR_TARGET_SOURCE}') AS t_tot,
+          (SELECT count(*) FROM b) AS r_tot
+ ),
+ ratios AS (
+   SELECT r.bucket,
+          ln((coalesce(t.t_n, 0) + 1) / (tot.t_tot + {k})::DOUBLE)
+          - ln((r.r_n + 1) / (tot.r_tot + {k})::DOUBLE) AS log_ratio
+   FROM r_counts r LEFT JOIN t_counts t ON t.bucket = r.bucket, tot
+ ),
+ scored AS (
+   SELECT b.doc_id, count(*) AS n_grams,
+          round(sum(rt.log_ratio), 4) AS log_weight
+   FROM b JOIN ratios rt ON rt.bucket = b.bucket GROUP BY b.doc_id
+ )
+SELECT d.doc_id, coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(s.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
 def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing sample: deterministic per-language keep rates
     (operators/curation.py:stratified_sample — hash-gated scan-local
@@ -4460,6 +4525,7 @@ QUERIES = {
     "text_bpe_tokens_pinned": q_text_bpe_tokens_pinned,
     "text_repetition": q_text_repetition,
     "emb_semdedup": q_emb_semdedup,
+    "curation_dsir": q_curation_dsir,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -4556,6 +4622,7 @@ ORACLES = {
     "text_bpe_tokens_pinned": sql_text_bpe_tokens_pinned(),
     "text_repetition": sql_text_repetition(),
     "emb_semdedup": sql_emb_semdedup(),
+    "curation_dsir": sql_curation_dsir(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash_sig": sql_dedup_minhash_sig(),
     "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
@@ -4595,8 +4662,9 @@ ORACLES = {
 _PRIORITY_KEYS = [
     "corpus_rollup", "text_packing", "emb_quantize", "text_bpe_tokens",
     "text_bpe_tokens_pinned", "text_repetition", "emb_semdedup",
+    "curation_dsir",
     "sim_ivf_trained",
-    "top_orders", "sim_topk_quantized",
+    "top_orders",
     "kg_cooccur_dict_delta", "kg_cooccur_window", "kg_mention_contexts",
     "kg_chord", "kg_degree", "kg_triangles", "kg_disambig", "kg_pagerank",
     "kg_assoc", "kg_link_predict", "kg_communities", "kg_motif",

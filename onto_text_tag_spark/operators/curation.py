@@ -389,3 +389,108 @@ def assign_splits(
         .when(rk <= test_n + valid_n, F.lit("valid"))
         .otherwise(F.lit("train")),
     )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    num_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data selection weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw-corpus document by how target-domain-like its hashed
+    n-gram profile is.  ``log_weight`` = Σ over the document's grams of
+    ``log p_target(bucket) − log p_raw(bucket)`` — resample the raw
+    corpus ∝ exp(weight) to skew a web crawl toward a quality target
+    (the Pile/Wikipedia in the paper; any curated slice here).
+
+    Mechanics (all deterministic, fully SQL-replayable):
+
+    * grams = word unigrams + bigrams (the engine's standard
+      ``[a-z0-9']`` tokenization), hashed into ``num_buckets`` buckets
+      via the portable md5 hash — the fixed feature space that makes
+      two corpus distributions comparable without a vocabulary.
+    * bucket distributions are Laplace-smoothed:
+      ``(count + 1) / (total + num_buckets)`` — zero-count buckets
+      stay finite on both sides.
+    * documents with no grams score 0.0.
+
+    Scale shape: one gram-explode + bucket count per corpus (map-side
+    combined, output is ``num_buckets`` rows), the per-bucket
+    log-ratio table broadcasts back, and the per-doc sum is one hash
+    aggregate keyed on the document id.  The raw corpus is touched
+    twice (counts + scoring), the target once — no joins above
+    broadcast scale.
+    """
+    from onto_text_tag_spark.functions.hashing import md5_long
+
+    def grams(df: DataFrame) -> DataFrame:
+        w = f"filter(split(lower({text_col}), '[^a-z0-9\\']+'), t -> t != '')"
+        bi = (
+            f"CASE WHEN size(w) >= 2 THEN transform(sequence(1, "
+            f"size(w) - 1), i -> concat(element_at(w, i), ' ', "
+            f"element_at(w, i + 1))) ELSE array() END"
+        )
+        return (
+            df.select(F.col(id_col), F.expr(w).alias("w"))
+            .select(
+                id_col,
+                F.explode(F.expr(f"concat(w, {bi})")).alias("g"),
+            )
+            .select(
+                id_col,
+                F.pmod(md5_long(F.col("g")), F.lit(num_buckets))
+                .alias("bucket"),
+            )
+        )
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        return grams(df).groupBy("bucket").agg(
+            F.count("*").cast("long").alias(name)
+        )
+
+    t_counts = bucket_counts(target, "t_n")
+    r_counts = bucket_counts(raw, "r_n")
+    ratios = (
+        t_counts.join(r_counts, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("t_n", F.lit(0)).alias("t_n"),
+            F.coalesce("r_n", F.lit(0)).alias("r_n"),
+        )
+        .crossJoin(
+            F.broadcast(
+                t_counts.agg(F.sum("t_n").alias("t_tot"))
+                .crossJoin(r_counts.agg(F.sum("r_n").alias("r_tot")))
+            )
+        )
+        .select(
+            "bucket",
+            (
+                F.log((F.col("t_n") + 1)
+                      / (F.col("t_tot") + num_buckets).cast("double"))
+                - F.log((F.col("r_n") + 1)
+                        / (F.col("r_tot") + num_buckets).cast("double"))
+            ).alias("log_ratio"),
+        )
+    )
+    scored = (
+        grams(raw)
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(F.sum("log_ratio"), 4).alias("log_weight"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )

@@ -316,3 +316,81 @@ def test_assign_splits_exact_counts_and_determinism(spark):
     # no strata: one global ranking
     g = assign_splits(docs, test_n=3, valid_n=0)
     assert [r.split for r in g.collect()].count("test") == 3
+
+
+def test_dsir_importance_separates_target_domain(spark):
+    """Hand-checkable DSIR math on a two-domain corpus: docs made of
+    target-domain vocabulary must outscore off-domain docs, weights
+    replay the Laplace-smoothed log-ratio exactly, and gram-less docs
+    score 0.0."""
+    import math
+
+    from onto_text_tag_spark.operators.curation import dsir_importance
+
+    rows = [
+        (1, "alpha beta alpha beta", "t"),
+        (2, "alpha beta", "t"),
+        (3, "gamma delta gamma delta", "r"),
+        (4, "alpha beta alpha", "r"),   # target-like raw doc
+        (5, "", "r"),                   # gram-less
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    target = docs.where("source = 't'")
+    k = 64
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(docs, target, num_buckets=k).collect()
+    }
+    assert len(out) == 5
+    # n_grams = unigrams + bigrams
+    assert out[1]["n_grams"] == 7 and out[5]["n_grams"] == 0
+    assert out[5]["log_weight"] == 0.0
+    # target-vocab docs above off-domain docs (absolute sign is not
+    # meaningful at toy scale: Laplace smoothing with t_tot << r_tot
+    # shifts every weight by a corpus-level constant)
+    assert out[4]["log_weight"] > out[3]["log_weight"]
+    assert out[1]["log_weight"] > out[3]["log_weight"]
+    assert out[2]["log_weight"] > out[3]["log_weight"]
+
+    # exact replay for doc 3 (all grams off-target): every gram bucket
+    # has t_n = 0; raw counts per gram of doc 3 are its own occurrences
+    # (no collisions assumed across this tiny vocab is NOT safe, so
+    # recompute from first principles with the same hash)
+    from onto_text_tag_spark.functions.hashing import md5_long
+
+    gram_rows = (
+        docs.selectExpr(
+            "doc_id",
+            "explode(concat("
+            " filter(split(lower(text), '[^a-z0-9\\']+'), t -> t != ''),"
+            " CASE WHEN size(filter(split(lower(text), '[^a-z0-9\\']+'),"
+            "      t -> t != '')) >= 2 THEN transform(sequence(1,"
+            "      size(filter(split(lower(text), '[^a-z0-9\\']+'),"
+            "      t -> t != '')) - 1), i -> concat("
+            "      element_at(filter(split(lower(text),"
+            "      '[^a-z0-9\\']+'), t -> t != ''), i), ' ',"
+            "      element_at(filter(split(lower(text),"
+            "      '[^a-z0-9\\']+'), t -> t != ''), i + 1)))"
+            " ELSE array() END)) AS g",
+        )
+        .select("doc_id", F.pmod(md5_long(F.col("g")), F.lit(k))
+                .alias("bucket"))
+        .collect()
+    )
+    t_ids = {1, 2}
+    t_counts: dict = {}
+    r_counts: dict = {}
+    doc3 = []
+    for r in gram_rows:
+        r_counts[r["bucket"]] = r_counts.get(r["bucket"], 0) + 1
+        if r["doc_id"] in t_ids:
+            t_counts[r["bucket"]] = t_counts.get(r["bucket"], 0) + 1
+        if r["doc_id"] == 3:
+            doc3.append(r["bucket"])
+    t_tot, r_tot = sum(t_counts.values()), sum(r_counts.values())
+    expect = sum(
+        math.log((t_counts.get(b, 0) + 1) / (t_tot + k))
+        - math.log((r_counts[b] + 1) / (r_tot + k))
+        for b in doc3
+    )
+    assert abs(out[3]["log_weight"] - round(expect, 4)) <= 1e-9

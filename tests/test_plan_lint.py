@@ -55,6 +55,10 @@ BNLJ_ALLOWED = {
                            # same intent as sim_topk
     "sim_ivf_recall",  # composes the sim_topk brute-force baseline
                        # (the exact side of the recall measurement)
+    "curation_dsir",   # 1-ROW broadcast scalar (corpus gram totals)
+                       # crossed onto the num_buckets-sized ratio table
+                       # — the kg_assoc shape; both sides bounded by
+                       # num_buckets regardless of corpus size
 }
 
 
