@@ -3470,6 +3470,43 @@ _NUM_CENTROIDS = 8
 _NPROBE = 2
 
 
+def q_text_unigram_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality signal: per-document mean
+    unigram cross-entropy against the corpus's own Laplace-smoothed
+    unigram LM (operators/textstats.py:unigram_logloss) — curation
+    gates cut both tails (too-fluent boilerplate, rare-word noise)."""
+    from onto_text_tag_spark.operators.textstats import unigram_logloss
+
+    return unigram_logloss(_docs(spark, sf_dir))
+
+
+def sql_text_unigram_ll() -> str:
+    return """
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t != ''))
+    AS word
+  FROM documents
+),
+ counts AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+ tot AS (SELECT sum(n) AS tot, count(*) AS n_distinct FROM counts),
+ lm AS (
+   SELECT word,
+          -ln((n + 1) / (tot.tot + tot.n_distinct)::DOUBLE) AS ll
+   FROM counts, tot
+ ),
+ scored AS (
+   SELECT w.doc_id, count(*) AS n_words,
+          round(avg(l.ll), 4) AS mean_logloss
+   FROM words w JOIN lm l ON l.word = w.word
+   GROUP BY w.doc_id
+ )
+SELECT d.doc_id, coalesce(s.n_words, 0)::BIGINT AS n_words,
+       coalesce(s.mean_logloss, 0.0) AS mean_logloss
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
 _SEMDEDUP_SHIFT = 100_000
 
 
@@ -4526,6 +4563,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "emb_semdedup": q_emb_semdedup,
     "curation_dsir": q_curation_dsir,
+    "text_unigram_ll": q_text_unigram_ll,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -4623,6 +4661,7 @@ ORACLES = {
     "text_repetition": sql_text_repetition(),
     "emb_semdedup": sql_emb_semdedup(),
     "curation_dsir": sql_curation_dsir(),
+    "text_unigram_ll": sql_text_unigram_ll(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash_sig": sql_dedup_minhash_sig(),
     "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
@@ -4655,16 +4694,17 @@ ORACLES = {
 # the dedup/similarity/events/TPC-H/multimodal tail its external oracle rows;
 # the 50 already-green keys follow in their original order.
 # Round-3 rotation: the driver checks a 50-key prefix.  Head = the five
-# round-2 non-green rows (now fixed / oracled), then the two queries whose
-# shape changed this round, then the 40 queries whose only driver-green
-# row is r1 (so no query's external verification goes >1 round stale),
-# padded with three flagship kg queries.
+# round-2 non-green rows (now fixed / oracled) plus the five queries NEW
+# this round, then the 40 queries whose only driver-green row is r1 (so
+# no query's external verification goes >1 round stale) — exactly 50.
+# top_orders / sim_topk_quantized changed shape this round but stay
+# outside the prefix (r2-green; re-verified by the local sf0.01 replica
+# of the driver's pandas hash gate).
 _PRIORITY_KEYS = [
     "corpus_rollup", "text_packing", "emb_quantize", "text_bpe_tokens",
     "text_bpe_tokens_pinned", "text_repetition", "emb_semdedup",
-    "curation_dsir",
+    "curation_dsir", "text_unigram_ll",
     "sim_ivf_trained",
-    "top_orders",
     "kg_cooccur_dict_delta", "kg_cooccur_window", "kg_mention_contexts",
     "kg_chord", "kg_degree", "kg_triangles", "kg_disambig", "kg_pagerank",
     "kg_assoc", "kg_link_predict", "kg_communities", "kg_motif",

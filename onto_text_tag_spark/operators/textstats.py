@@ -413,3 +413,58 @@ def repetition_signals(documents: DataFrame, id_col: str = "doc_id",
         F.expr(top_gram_frac(2)).alias("top_bigram_char_frac"),
         F.expr(top_gram_frac(3)).alias("top_trigram_char_frac"),
     )
+
+
+def unigram_logloss(documents: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own
+    unigram LM — the CCNet-style perplexity quality signal (Wenzek et
+    al. 2020 rank pages by LM perplexity; the unigram LM is the
+    honest in-container proxy for KenLM).  Low mean log-loss = made of
+    common words (fluent boilerplate risk), high = rare-word soup
+    (OCR noise, spam, wrong-language fragments) — curation gates cut both
+    tails.
+
+    ``p(word) = (count + 1) / (total + n_distinct)`` (Laplace), and
+    ``mean_logloss`` = mean over the document's words of ``-ln p``,
+    rounded to 4 (0.0 for word-less docs).
+
+    Scale shape: one word-count shuffle down to the vocabulary relation
+    (map-side combined), one shuffle join of the exploded corpus
+    against it keyed on the word (NOT broadcast — a web vocabulary is
+    not broadcast-scale), one doc-keyed aggregate.
+    """
+    w = f"filter(split(lower({text_col}), '[^a-z0-9\\']+'), t -> t != '')"
+    words = documents.select(
+        F.col(id_col), F.explode(F.expr(w)).alias("word")
+    )
+    counts = words.groupBy("word").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("tot"),
+        F.count("*").alias("n_distinct"),
+    )
+    lm = counts.crossJoin(F.broadcast(totals)).select(
+        "word",
+        (-F.log((F.col("n") + 1)
+                / (F.col("tot") + F.col("n_distinct")).cast("double"))
+         ).alias("ll"),
+    )
+    scored = (
+        words.join(lm, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(F.avg("ll"), 4).alias("mean_logloss"),
+        )
+    )
+    return (
+        documents.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("mean_logloss", F.lit(0.0)).alias("mean_logloss"),
+        )
+    )

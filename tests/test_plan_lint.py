@@ -59,6 +59,9 @@ BNLJ_ALLOWED = {
                        # crossed onto the num_buckets-sized ratio table
                        # — the kg_assoc shape; both sides bounded by
                        # num_buckets regardless of corpus size
+    "text_unigram_ll", # 1-ROW broadcast scalar (vocab total + distinct)
+                       # crossed onto the vocabulary relation — same
+                       # kg_assoc constant-probe shape
 }
 
 

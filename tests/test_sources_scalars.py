@@ -357,3 +357,27 @@ def test_repetition_signals_hand_computed(spark):
     plan = repetition_signals(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_unigram_logloss_hand_computed(spark):
+    """Laplace-smoothed unigram cross-entropy replayed from first
+    principles: corpus 'a a b' + 'a c' -> counts a:3 b:1 c:1, tot 5,
+    distinct 3; p(a)=4/8, p(b)=p(c)=2/8."""
+    import math
+
+    from onto_text_tag_spark.operators.textstats import unigram_logloss
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r for r in unigram_logloss(docs).collect()
+    }
+    pa, pb = -math.log(4 / 8), -math.log(2 / 8)
+    assert out[1]["n_words"] == 3
+    assert out[1]["mean_logloss"] == round((2 * pa + pb) / 3, 4)
+    assert out[2]["mean_logloss"] == round((pa + pb) / 2, 4)
+    assert out[3].asDict() == {"doc_id": 3, "n_words": 0,
+                               "mean_logloss": 0.0}
+    # rare-word docs must score above common-word docs
+    assert out[2]["mean_logloss"] > out[1]["mean_logloss"]
