@@ -3149,6 +3149,201 @@ GROUP BY 1 HAVING count(*) > 1
 """
 
 
+_PD_BANNER = "please accept all cookies to continue"
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup (operators/dedup.py:
+    paragraph_dedup): drop every paragraph already seen earlier in the
+    corpus, first occurrence in (doc_id, position) order survives.
+    The flat driver documents carry no newlines, so the page structure
+    is constructed deterministically in the query — a shared cookie
+    banner (case-varied to exercise the digest normalization), the
+    document body, a footer shared by each doc_id % 4 cohort — and the
+    oracle replays the identical construction."""
+    from onto_text_tag_spark.operators.dedup import paragraph_dedup
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 2 == 0, F.upper(F.lit(_PD_BANNER)))
+            .otherwise(F.lit(_PD_BANNER)),
+            F.col("text"),
+            F.concat(
+                F.lit("footer variant "),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit(" all rights reserved"),
+            ),
+        ).alias("text"),
+    )
+    return paragraph_dedup(pages)
+
+
+def sql_dedup_paragraphs() -> str:
+    from onto_text_tag_spark.functions.hashing import md5_long_sql
+
+    b = _PD_BANNER
+    dg = md5_long_sql(
+        "regexp_replace(trim(lower(para)), '\\s+', ' ', 'g')"
+    )
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN upper('{b}') ELSE '{b}' END)
+    || chr(10) || text || chr(10)
+    || 'footer variant ' || (doc_id % 4)::VARCHAR
+    || ' all rights reserved' AS text
+  FROM documents
+),
+ base AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)),
+                x -> trim(x)), x -> x != '') AS l
+  FROM pages
+),
+ p AS (
+  SELECT doc_id, i AS pos, l[i] AS para
+  FROM base, LATERAL unnest(range(1, len(l) + 1)) AS t(i)
+),
+ r AS (
+  SELECT doc_id, pos, para,
+    row_number() OVER (PARTITION BY {dg}
+                       ORDER BY doc_id, pos) AS rn
+  FROM p
+),
+ k AS (
+  SELECT doc_id, count(*) AS n_paragraphs,
+    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+    string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+               ORDER BY pos) AS text
+  FROM r GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(k.text, '') AS text,
+  coalesce(k.n_paragraphs, 0)::BIGINT AS n_paragraphs,
+  coalesce(k.n_kept, 0)::BIGINT AS n_kept
+FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id
+"""
+
+
+_SPAN_W = 8
+
+
+def q_dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring detection (operators/dedup.py:
+    duplicate_ngram_spans): per-doc fraction of tokens covered by an
+    8-token window that also occurs in another document — the scalable
+    token-granular approximation of Lee et al. 2022's suffix-array
+    exact-substring dedup."""
+    from onto_text_tag_spark.operators.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(_docs(spark, sf_dir), w=_SPAN_W)
+
+
+def sql_dedup_ngram_spans() -> str:
+    from onto_text_tag_spark.functions.hashing import md5_long_sql
+
+    w = _SPAN_W
+    gram = " || ' ' || ".join(f"w[i + {k}]" for k in range(w))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                t -> t != '') AS w
+  FROM documents
+),
+ g AS (
+  SELECT doc_id, i AS s, {md5_long_sql(gram)} AS gh
+  FROM base, LATERAL unnest(range(1, len(w) - {w - 2})) AS t(i)
+  WHERE len(w) >= {w}
+),
+ dup AS (
+  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+),
+ ds AS (SELECT g.doc_id, g.s FROM g JOIN dup USING (gh)),
+ agg AS (SELECT doc_id, count(*) AS n_dup_grams FROM ds GROUP BY doc_id),
+ cov AS (
+  SELECT doc_id, count(DISTINCT p) AS dup_tokens
+  FROM (SELECT doc_id, unnest(range(s, s + {w})) AS p FROM ds)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, len(b.w)::BIGINT AS n_tokens,
+  coalesce(a.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+  coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+  round(coalesce(c.dup_tokens, 0)
+        / greatest(len(b.w), 1)::DOUBLE, 4) AS dup_frac
+FROM base b
+LEFT JOIN agg a ON a.doc_id = b.doc_id
+LEFT JOIN cov c ON c.doc_id = b.doc_id
+"""
+
+
+def q_curation_nbquality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form Naive-Bayes quality classifier (operators/
+    curation.py:nb_quality_score): posterior log-odds + MAP keep/drop
+    label for every document, positive class = the curated source
+    slice — the GPT-3-style quality-classifier gate in a
+    SQL-replayable closed form."""
+    from onto_text_tag_spark.operators.curation import nb_quality_score
+
+    return nb_quality_score(
+        _docs(spark, sf_dir),
+        F.col("source") == _DSIR_TARGET_SOURCE,
+        num_buckets=_DSIR_BUCKETS,
+    )
+
+
+def sql_curation_nbquality() -> str:
+    from onto_text_tag_spark.functions.hashing import md5_long_sql
+
+    k = _DSIR_BUCKETS
+    src = _DSIR_TARGET_SOURCE
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                t -> t != '') AS w
+  FROM documents
+),
+ b AS (
+  SELECT doc_id, source, {md5_long_sql('tok')} % {k} AS bucket
+  FROM (SELECT doc_id, source, unnest(w) AS tok FROM base)
+),
+ counts AS (
+  SELECT bucket,
+    sum(CASE WHEN source = '{src}' THEN 1 ELSE 0 END) AS t_n,
+    sum(CASE WHEN source = '{src}' THEN 0 ELSE 1 END) AS o_n
+  FROM b GROUP BY bucket
+),
+ tot AS (
+  SELECT (SELECT coalesce(sum(t_n), 0) FROM counts) AS t_tot,
+         (SELECT coalesce(sum(o_n), 0) FROM counts) AS o_tot,
+         (SELECT count(*) FROM documents
+          WHERE source = '{src}') AS t_docs,
+         (SELECT count(*) FROM documents
+          WHERE source != '{src}') AS o_docs
+ ),
+ llr AS (
+  SELECT bucket,
+    ln((t_n + 1) / (tot.t_tot + {k})::DOUBLE)
+    - ln((o_n + 1) / (tot.o_tot + {k})::DOUBLE) AS llr
+  FROM counts, tot
+ ),
+ scored AS (
+  SELECT b.doc_id, count(*) AS n_tokens, sum(llr.llr) AS s
+  FROM b JOIN llr USING (bucket) GROUP BY b.doc_id
+ )
+SELECT d.doc_id,
+  coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+  round(coalesce(s.s, 0.0)
+        + ln(tot.t_docs / tot.o_docs::DOUBLE), 4) AS nb_logodds,
+  (coalesce(s.s, 0.0) + ln(tot.t_docs / tot.o_docs::DOUBLE)) > 0
+    AS pred_target
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id, tot
+"""
+
+
 _NUM_HASHES = 16
 _BANDS = 4
 _SHINGLE_K = 5
@@ -4565,6 +4760,9 @@ QUERIES = {
     "curation_dsir": q_curation_dsir,
     "text_unigram_ll": q_text_unigram_ll,
     "dedup_exact": q_dedup_exact,
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "dedup_ngram_spans": q_dedup_ngram_spans,
+    "curation_nbquality": q_curation_nbquality,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_jaccard": q_dedup_jaccard,
@@ -4663,6 +4861,9 @@ ORACLES = {
     "curation_dsir": sql_curation_dsir(),
     "text_unigram_ll": sql_text_unigram_ll(),
     "dedup_exact": sql_dedup_exact(),
+    "dedup_paragraphs": sql_dedup_paragraphs(),
+    "dedup_ngram_spans": sql_dedup_ngram_spans(),
+    "curation_nbquality": sql_curation_nbquality(),
     "dedup_minhash_sig": sql_dedup_minhash_sig(),
     "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
     "dedup_jaccard": sql_dedup_jaccard(),
@@ -4701,6 +4902,7 @@ ORACLES = {
 # outside the prefix (r2-green; re-verified by the local sf0.01 replica
 # of the driver's pandas hash gate).
 _PRIORITY_KEYS = [
+    "dedup_paragraphs", "dedup_ngram_spans", "curation_nbquality",
     "corpus_rollup", "text_packing", "emb_quantize", "text_bpe_tokens",
     "text_bpe_tokens_pinned", "text_repetition", "emb_semdedup",
     "curation_dsir", "text_unigram_ll",

@@ -494,3 +494,110 @@ def dsir_importance(
             F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
         )
     )
+
+
+def nb_quality_score(
+    documents: DataFrame,
+    is_target: Column,
+    num_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Closed-form Naive-Bayes quality classifier — the
+    "high-quality-document classifier" gate of GPT-3-era curation
+    (Brown et al. 2020 filtered Common Crawl with a classifier trained
+    positive = curated corpora, negative = raw crawl; fastText linear
+    classifiers fill the same role in CCNet/RedPajama).  SGD-trained
+    classifiers are not replayable in SQL, so this uses the multinomial
+    Naive-Bayes closed form — pure count arithmetic, deterministic,
+    bit-reproducible by the DuckDB oracle — over the same hashed
+    word-bucket feature space as `dsir_importance`.
+
+    ``is_target`` labels the positive (curated) slice; everything else
+    is the negative class.  Per document:
+
+        nb_logodds = ln(P(target)/P(other))              [doc-count prior]
+                   + Σ_tokens ln(P(bucket|target)/P(bucket|other))
+
+    with Laplace-smoothed per-class bucket likelihoods
+    ``(count + 1) / (class_total + num_buckets)``.  ``pred_target``
+    is the MAP decision (logodds > 0) — the keep/drop gate.  Token-less
+    documents score exactly the prior.
+
+    Where DSIR answers "how should I RESAMPLE the crawl toward the
+    target distribution" (importance ratio, no prior, no decision),
+    this answers "is this page high-quality, yes or no" (posterior
+    odds + MAP label) — the two gates curation stacks use together.
+
+    Scale shape: one token-explode + per-class bucket count (map-side
+    combined to ≤ 2·num_buckets rows), the log-likelihood-ratio table
+    and the scalar priors broadcast back, one doc-keyed aggregate.
+    No join above broadcast scale; the corpus is scanned twice
+    (counting, scoring).
+    """
+    from onto_text_tag_spark.functions.hashing import md5_long
+
+    toks = (
+        f"filter(split(lower({text_col}), '[^a-z0-9\\']+'), "
+        "t -> t != '')"
+    )
+    labeled = documents.select(
+        F.col(id_col), is_target.alias("_t"), F.expr(toks).alias("_w")
+    )
+    buckets = labeled.select(
+        id_col,
+        "_t",
+        F.explode("_w").alias("tok"),
+    ).select(
+        id_col, "_t", F.pmod(md5_long(F.col("tok")), F.lit(num_buckets)).alias("bucket")
+    )
+    counts = (
+        buckets.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("t_n"),
+            F.sum(F.when(F.col("_t"), 0).otherwise(1)).alias("o_n"),
+        )
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("t_n").alias("t_tot"), F.sum("o_n").alias("o_tot")
+        ).crossJoin(
+            labeled.agg(
+                F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("t_docs"),
+                F.sum(F.when(F.col("_t"), 0).otherwise(1)).alias("o_docs"),
+            )
+        )
+    )
+    llr = counts.crossJoin(totals).select(
+        "bucket",
+        (
+            F.log((F.col("t_n") + 1)
+                  / (F.col("t_tot") + num_buckets).cast("double"))
+            - F.log((F.col("o_n") + 1)
+                    / (F.col("o_tot") + num_buckets).cast("double"))
+        ).alias("llr"),
+    )
+    prior = F.log(F.col("t_docs") / F.col("o_docs").cast("double"))
+    scored = (
+        buckets.join(F.broadcast(llr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("llr").alias("_sum_llr"),
+        )
+    )
+    return (
+        labeled.select(id_col)
+        .join(scored, id_col, "left")
+        .crossJoin(totals.select("t_docs", "o_docs"))
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long")
+            .alias("n_tokens"),
+            F.round(
+                F.coalesce("_sum_llr", F.lit(0.0)) + prior, 4
+            ).alias("nb_logodds"),
+            (F.coalesce("_sum_llr", F.lit(0.0)) + prior > 0)
+            .alias("pred_target"),
+        )
+    )

@@ -736,3 +736,180 @@ def simhash_duplicates(documents: DataFrame, id_col: str = "doc_id",
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+def paragraph_dedup(documents: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2020):
+    drop every paragraph whose normalized content already appeared
+    earlier in the corpus, keeping the FIRST occurrence in
+    (``id_col``, position) order.  Web boilerplate — cookie banners,
+    nav blocks, license footers — repeats across pages that are NOT
+    document-level duplicates, so doc-level dedup never touches it;
+    paragraph-level dedup removes it corpus-wide in one pass.
+
+    Paragraphs are newline-split, trimmed, empty lines dropped (the
+    engine's standard line convention, `repetition_signals`); the dedup
+    key is the whitespace-collapsed lowercase paragraph hashed with the
+    portable md5 (`content_digest` normalization), so case/indent
+    variants of the same banner collapse together and the DuckDB
+    oracle reproduces identical survivor sets.
+
+    Output: one row per input document — ``text`` rebuilt from the
+    surviving paragraphs (newline-joined, original order),
+    ``n_paragraphs`` (pre-dedup), ``n_kept``.  Documents whose every
+    paragraph was seen before collapse to ``text = ''``.
+
+    Scale shape: posexplode to the paragraph stream, ONE digest-keyed
+    shuffle for the first-occurrence window (map-side nothing to
+    combine, but hot digests — the empty-page banner — are bounded by
+    the window's streaming rank), one doc-keyed shuffle to reassemble.
+    No joins above the corpus relation; the 100 TB plan is two
+    exchanges over the paragraph stream.
+    """
+    paras = (
+        documents.select(
+            F.col(id_col),
+            F.expr(
+                f"filter(transform(split({text_col}, '\\n'), "
+                "x -> trim(x)), x -> x != '')"
+            ).alias("_paras"),
+        )
+        .select(
+            id_col, F.posexplode_outer("_paras").alias("pos", "para")
+        )
+    )
+    w = Window.partitionBy("digest").orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    ranked = (
+        paras.where(F.col("para").isNotNull())
+        .withColumn("digest", content_digest("para"))
+        .withColumn("_rk", F.row_number().over(w))
+    )
+    rebuilt = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_paragraphs"),
+            F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN _rk = 1 "
+                    "THEN struct(pos, para) END)), x -> x.para)"
+                ),
+            ).alias("text"),
+        )
+    )
+    return (
+        documents.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_paragraphs", F.lit(0)).cast("long")
+            .alias("n_paragraphs"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def duplicate_ngram_spans(documents: DataFrame, w: int = 8,
+                          min_docs: int = 2, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Cross-document repeated-substring detection at token-n-gram
+    granularity — the scalable approximation of suffix-array
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", which removes 50-token runs
+    shared between documents).  A token position is *duplicated* when
+    some ``w``-token window covering it also occurs in at least
+    ``min_docs`` distinct documents; the per-document duplicated-token
+    fraction is the gate score (and the covered spans are exactly what
+    a removal pass would excise).
+
+    Mechanics (deterministic, fully SQL-replayable):
+
+    * tokens = the engine's standard ``[a-z0-9']`` word stream;
+      w-token windows taken at every start, hashed with portable md5.
+    * a window hash is duplicated iff it appears in ≥ ``min_docs``
+      distinct documents (count-distinct over ONE gram-keyed shuffle).
+    * covered tokens per doc = union length of the [start, start+w)
+      intervals of its duplicated windows — computed as a single JVM
+      ``aggregate`` fold over the sorted start list, NOT by exploding
+      w positions per window (the fold is O(windows), the explode
+      would be w× the stream; the oracle uses the explode form since
+      both compute the same interval-union cardinality).
+
+    Scale shape: one gram-keyed shuffle for the distinct-doc counts
+    (map-side partial agg absorbs boilerplate mega-grams), one
+    gram-keyed equi-join of the gram stream against the duplicated-hash
+    set (AQE broadcasts it when small), one doc-keyed aggregate.
+    Never any pairwise document comparison.
+    """
+    toks = (
+        f"filter(split(lower({text_col}), '[^a-z0-9\\']+'), "
+        "t -> t != '')"
+    )
+    base = documents.select(
+        F.col(id_col), F.expr(toks).alias("_toks")
+    ).select(
+        id_col, F.col("_toks"), F.size("_toks").alias("n_tokens")
+    )
+    grams = base.select(
+        id_col,
+        "n_tokens",
+        F.posexplode_outer(
+            F.expr(
+                f"CASE WHEN size(_toks) >= {w} THEN "
+                f"transform(sequence(1, size(_toks) - {w} + 1), "
+                f"i -> concat_ws(' ', slice(_toks, i, {w}))) "
+                "ELSE array() END"
+            )
+        ).alias("start", "gram"),
+    ).select(
+        id_col, "n_tokens", "start", md5_long(F.col("gram")).alias("gh")
+    )
+    dup_hashes = (
+        grams.where(F.col("gh").isNotNull())
+        .groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    dup_starts = (
+        grams.join(dup_hashes, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_dup_grams"),
+            F.array_sort(F.collect_list("start")).alias("_starts"),
+        )
+        .select(
+            id_col,
+            "n_dup_grams",
+            F.expr(
+                f"aggregate(_starts, struct(0L AS last_end, 0L AS cov), "
+                f"(acc, s) -> struct(greatest(acc.last_end, s + {w}L), "
+                f"acc.cov + greatest(0L, s + {w}L "
+                f"- greatest(acc.last_end, cast(s AS BIGINT)))), "
+                "acc -> acc.cov)"
+            ).alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(dup_starts, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long")
+            .alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

@@ -1,6 +1,7 @@
 """Training-data curation (operators/curation.py): gate order,
 survivor-only dedup, deterministic sampling, audit rollup."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from onto_text_tag_spark.operators.curation import (
@@ -394,3 +395,61 @@ def test_dsir_importance_separates_target_domain(spark):
         for b in doc3
     )
     assert abs(out[3]["log_weight"] - round(expect, 4)) <= 1e-9
+
+
+def test_nb_quality_score_first_principles(spark):
+    from onto_text_tag_spark.operators.curation import nb_quality_score
+
+    rows = [
+        (1, "wiki", "encyclopedic prose citations structure"),
+        (2, "wiki", "encyclopedic article citations neutral"),
+        (3, "crawl", "buy now free free winner"),
+        (4, "crawl", "click buy winner offer"),
+        (5, "crawl", "encyclopedic citations neutral"),
+        (6, "crawl", ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    k = 64
+    out = {
+        r["doc_id"]: r
+        for r in nb_quality_score(
+            docs, F.col("source") == "wiki", num_buckets=k
+        ).collect()
+    }
+
+    # pure-python replay of the closed form (same md5 bucketing)
+    import hashlib
+    import math
+    import re
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % k
+
+    t_counts, o_counts = {}, {}
+    docs_toks = {}
+    for doc_id, source, text in rows:
+        toks = [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
+        docs_toks[doc_id] = (source, toks)
+        tgt = t_counts if source == "wiki" else o_counts
+        for t in toks:
+            tgt[bucket(t)] = tgt.get(bucket(t), 0) + 1
+    t_tot, o_tot = sum(t_counts.values()), sum(o_counts.values())
+    prior = math.log(2 / 4)
+    for doc_id, (source, toks) in docs_toks.items():
+        expected = prior + sum(
+            math.log((t_counts.get(bucket(t), 0) + 1) / (t_tot + k))
+            - math.log((o_counts.get(bucket(t), 0) + 1) / (o_tot + k))
+            for t in toks
+        )
+        assert out[doc_id]["nb_logodds"] == pytest.approx(
+            round(expected, 4), abs=1e-4
+        ), doc_id
+        assert out[doc_id]["pred_target"] == (expected > 0)
+        assert out[doc_id]["n_tokens"] == len(toks)
+
+    # the classifier separates the domains and recognizes the
+    # wiki-looking crawl page; the empty doc scores exactly the prior
+    assert out[1]["pred_target"] and out[2]["pred_target"]
+    assert not out[3]["pred_target"] and not out[4]["pred_target"]
+    assert out[5]["pred_target"]
+    assert out[6]["nb_logodds"] == pytest.approx(round(prior, 4))

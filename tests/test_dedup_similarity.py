@@ -898,3 +898,98 @@ def test_semantic_dedup_groups_and_keep_rule(spark):
     # singleton + the two centroid vectors keep themselves
     for vid in (0, 1, 30):
         assert out[vid]["rep_id"] == vid and out[vid]["keep"]
+
+
+def test_paragraph_dedup_first_occurrence_and_normalization(spark):
+    from onto_text_tag_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "Accept all cookies\nunique alpha body\n\n  ACCEPT ALL   cookies  "),
+        (2, "accept all cookies\nsecond doc body"),
+        (3, ""),
+        (4, "fresh paragraph only"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert len(out) == 4
+    # doc 1: banner kept (first corpus-wide), body kept, its own
+    # case/whitespace variant of the banner dropped
+    assert out[1]["text"] == "Accept all cookies\nunique alpha body"
+    assert (out[1]["n_paragraphs"], out[1]["n_kept"]) == (3, 2)
+    # doc 2: banner already seen in doc 1 (normalization collapses case)
+    assert out[2]["text"] == "second doc body"
+    assert (out[2]["n_paragraphs"], out[2]["n_kept"]) == (2, 1)
+    # doc 3: no paragraphs at all
+    assert out[3]["text"] == ""
+    assert (out[3]["n_paragraphs"], out[3]["n_kept"]) == (0, 0)
+    assert out[4]["text"] == "fresh paragraph only"
+
+
+def test_paragraph_dedup_survivor_is_min_doc_position(spark):
+    from onto_text_tag_spark.operators.dedup import paragraph_dedup
+
+    # the same paragraph appears twice inside doc 5 AND in doc 6: only
+    # the earliest (doc 5, pos 0) occurrence survives corpus-wide
+    rows = [
+        (5, "shared line\nmiddle\nshared line"),
+        (6, "shared line\nother"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[5]["text"] == "shared line\nmiddle"
+    assert out[6]["text"] == "other"
+
+
+def test_duplicate_ngram_spans_hand_values(spark):
+    from onto_text_tag_spark.operators.dedup import duplicate_ngram_spans
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    rows = [
+        (1, shared + " and then some extra words"),
+        (2, "intro words " + shared + " closing words"),
+        (3, "nothing shared at all in this one document text body"),
+        (4, "tiny"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_ngram_spans(docs, w=4).collect()
+    }
+    # 9 shared tokens → 6 duplicated 4-gram windows, covering exactly
+    # the 9-token run after interval union (overlaps merged, not summed)
+    for d in (1, 2):
+        assert out[d]["n_dup_grams"] == 6
+        assert out[d]["dup_tokens"] == 9
+    assert out[1]["n_tokens"] == 14
+    assert out[1]["dup_frac"] == round(9 / 14, 4)
+    assert out[2]["n_tokens"] == 13
+    # doc 3 shares words but no 4-token window; doc 4 is below w tokens
+    assert out[3]["dup_tokens"] == 0 and out[3]["n_dup_grams"] == 0
+    assert out[4]["n_tokens"] == 1 and out[4]["dup_frac"] == 0.0
+
+
+def test_duplicate_ngram_spans_min_docs_and_disjoint_spans(spark):
+    from onto_text_tag_spark.operators.dedup import duplicate_ngram_spans
+
+    a = "alpha beta gamma delta"          # run A (4 tokens)
+    b = "epsilon zeta eta theta"          # run B (4 tokens)
+    rows = [
+        (1, a + " filler one two " + b),  # both runs + 3 fillers
+        (2, a + " unrelated tail words here"),
+        (3, b + " different middle chunk entirely"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_ngram_spans(docs, w=4).collect()
+    }
+    # doc 1 carries TWO disjoint duplicated spans → 8 covered tokens
+    assert out[1]["dup_tokens"] == 8 and out[1]["n_dup_grams"] == 2
+    assert out[2]["dup_tokens"] == 4
+    assert out[3]["dup_tokens"] == 4
+    # min_docs=3: neither run appears in 3 distinct docs
+    strict = {
+        r["doc_id"]: r
+        for r in duplicate_ngram_spans(docs, w=4, min_docs=3).collect()
+    }
+    assert all(strict[d]["dup_tokens"] == 0 for d in (1, 2, 3))
