@@ -402,6 +402,120 @@ def run_scaling_dedup(low: int = 2, high: int = 8) -> dict:
     }
 
 
+def run_substring_bench(low: int = 2, high: int = 8) -> dict:
+    """Paragraph-level dedup + repeated-substring span detection
+    (operators/dedup.py:paragraph_dedup / duplicate_ngram_spans) at two
+    parallelism levels over the SAME dup-planted synthetic crawl — the
+    north_rule two-cluster-size evidence for the two newest curation
+    operators.
+
+    The extractor's byte-identity contract flattens paragraph breaks,
+    so the paragraph stream is derived by sentence-splitting the
+    extracted text (deterministic regexp, same relation at every
+    level); the span op runs on the raw text with w=20 tokens —
+    boilerplate sentences shared across the template corpus give both
+    operators real duplication to find.  Interleaved repeats,
+    min-of-N per level (see run_scaling for why)."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.dedup import (
+        duplicate_ngram_spans,
+        paragraph_dedup,
+    )
+
+    corpus = os.path.join(
+        SCALING_DIR,
+        f"corpus_{DEDUP_SCALING_DOCS}_dup{DEDUP_DUP_FRAC}.parquet",
+    )
+    if not os.path.exists(corpus):
+        _spark_submit(
+            f"local[{high}]", "jobs/gen_corpus.py",
+            "--n-docs", str(DEDUP_SCALING_DOCS), "--output", corpus,
+            "--dup-frac", DEDUP_DUP_FRAC,
+            "--partitions", str(high * 4),
+        )
+
+    span_w = int(os.environ.get("SPARK_GRAFT_SPAN_W", "20"))
+    best: dict[int, dict] = {}
+    content: dict = {}
+    for _rep in range(SCALING_REPEATS):
+        for cores in (low, high):  # interleaved: see run_scaling
+            spark = _session(cores)
+            spark.range(1_000_000).select(
+                F.bit_xor(F.xxhash64("id"))).collect()
+            pages = spark.read.parquet(corpus).select("url", "text")
+            lines = pages.select(
+                "url",
+                F.regexp_replace("text", "\\.\\s+", ".\n").alias("text"),
+            )
+            t0 = time.perf_counter()
+            n_para = _force(paragraph_dedup(lines, id_col="url"))
+            para_sec = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            n_span = _force(
+                duplicate_ngram_spans(pages, w=span_w, id_col="url")
+            )
+            span_sec = round(time.perf_counter() - t0, 2)
+            if not content:
+                para_stats = paragraph_dedup(lines, id_col="url").agg(
+                    F.sum("n_paragraphs").alias("n_paragraphs"),
+                    F.sum("n_kept").alias("n_kept"),
+                ).collect()[0]
+                span_stats = duplicate_ngram_spans(
+                    pages, w=span_w, id_col="url"
+                ).agg(
+                    F.sum("n_tokens").alias("n_tokens"),
+                    F.sum("dup_tokens").alias("dup_tokens"),
+                ).collect()[0]
+                content = {
+                    "n_paragraphs": para_stats["n_paragraphs"],
+                    "paragraphs_kept": para_stats["n_kept"],
+                    "paragraph_drop_frac": round(
+                        1 - para_stats["n_kept"]
+                        / para_stats["n_paragraphs"], 4),
+                    "n_tokens": span_stats["n_tokens"],
+                    "dup_tokens": span_stats["dup_tokens"],
+                    "dup_token_frac": round(
+                        span_stats["dup_tokens"]
+                        / span_stats["n_tokens"], 4),
+                }
+            spark.stop()
+            rec = {
+                "para_sec": para_sec,
+                "span_sec": span_sec,
+                "para_docs_per_sec": round(
+                    DEDUP_SCALING_DOCS / para_sec, 1),
+                "span_docs_per_sec": round(
+                    DEDUP_SCALING_DOCS / span_sec, 1),
+                "rows": {"paragraph_dedup": n_para,
+                         "ngram_spans": n_span},
+            }
+            if cores not in best or (
+                rec["para_sec"] + rec["span_sec"]
+                < best[cores]["para_sec"] + best[cores]["span_sec"]
+            ):
+                best[cores] = rec
+    para_speedup = best[low]["para_sec"] / best[high]["para_sec"]
+    span_speedup = best[low]["span_sec"] / best[high]["span_sec"]
+    return {
+        "job": "paragraph_dedup + duplicate_ngram_spans (in-process)",
+        "corpus_docs": DEDUP_SCALING_DOCS,
+        "dup_frac": float(DEDUP_DUP_FRAC),
+        "span_w": span_w,
+        "low_cores": low,
+        "high_cores": high,
+        "results": {str(c): b for c, b in best.items()},
+        "content": content,
+        "para_speedup": round(para_speedup, 3),
+        "para_scaling_efficiency": round(para_speedup / (high / low), 3),
+        "span_speedup": round(span_speedup, 3),
+        "span_scaling_efficiency": round(span_speedup / (high / low), 3),
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 def run_scaling_pipeline(low: int = 1, high: int = 4) -> dict:
     """The CHAINED production pipeline — dedup the raw dup-planted
     corpus (jobs/dedup_corpus.py), then build the KG over the deduped
@@ -2937,6 +3051,47 @@ def main() -> None:
                 f"{json.dumps(cap)}\n"
             )
         print(json.dumps(scaling))
+        return
+    if "--bench-substring" in sys.argv:
+        low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
+        high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
+        rep = run_substring_bench(low=low, high=high)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            c = rep["content"]
+            fh.write(
+                f"\n## Substring-dedup run — {rep['job']}, "
+                f"{rep['corpus_docs']} docs, dup_frac={rep['dup_frac']}, "
+                f"span w={rep['span_w']} tokens\n\n"
+                f"| cores | paragraph_dedup sec | docs/sec | "
+                f"ngram_spans sec | docs/sec |\n|---|---|---|---|---|\n"
+            )
+            for cores, r in rep["results"].items():
+                fh.write(
+                    f"| local[{cores}] | {r['para_sec']} | "
+                    f"{r['para_docs_per_sec']} | {r['span_sec']} | "
+                    f"{r['span_docs_per_sec']} |\n"
+                )
+            fh.write(
+                f"\nparagraph_dedup speedup {rep['low_cores']}->"
+                f"{rep['high_cores']}: {rep['para_speedup']}x, "
+                f"efficiency {rep['para_scaling_efficiency']}; "
+                f"ngram_spans speedup: {rep['span_speedup']}x, "
+                f"efficiency {rep['span_scaling_efficiency']}\n"
+                f"\nContent: {c['n_paragraphs']} paragraphs, "
+                f"{c['paragraphs_kept']} kept (drop frac "
+                f"{c['paragraph_drop_frac']}); {c['n_tokens']} tokens, "
+                f"{c['dup_tokens']} inside cross-doc duplicated "
+                f"{rep['span_w']}-token spans (frac "
+                f"{c['dup_token_frac']}).  Outputs bit-identical at "
+                f"both levels (row hashes via _force).\n"
+            )
+            cap = rep["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, "
+                f"units/sec by process count):\n\n{json.dumps(cap)}\n"
+            )
+        print(json.dumps(rep))
         return
     if "--scaling-dedup" in sys.argv:
         low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
