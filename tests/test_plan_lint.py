@@ -62,6 +62,11 @@ BNLJ_ALLOWED = {
     "text_unigram_ll", # 1-ROW broadcast scalar (vocab total + distinct)
                        # crossed onto the vocabulary relation — same
                        # kg_assoc constant-probe shape
+    "curation_nbquality",  # 1-ROW broadcast scalar (class priors /
+                           # token totals) crossed onto the per-doc
+                           # score relation — the kg_assoc
+                           # constant-probe shape; the corpus-sized
+                           # work is the broadcast equi-join on bucket
 }
 
 
