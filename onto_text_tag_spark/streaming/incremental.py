@@ -449,3 +449,56 @@ def start_dedup_update_sink(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def start_paragraph_update_sink(
+    documents: DataFrame,
+    para_root: str,
+    checkpoint_path: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    compact_every: int | None = None,
+):
+    """Continuous paragraph-level dedup ingestion: absorb every
+    micro-batch of pages into a ``plans/paragraph_absorb.py`` root —
+    the streaming deployment of CCNet-style paragraph dedup.  Each
+    epoch's paragraphs are first-occurrence-ranked within the batch,
+    anti-joined against the accumulated paragraph-digest store, and the
+    rebuilt documents file-append into ``deduped``; the digest store
+    grows by exactly the batch's newly-claimed paragraphs.
+
+    Exactly-once commits under at-least-once ``foreachBatch`` delivery:
+    the batch fingerprint is keyed by the epoch id (stable across
+    failure replays), so a replayed epoch hits the already-committed
+    no-op.  Streaming state is EMPTY — the dedup state is the digest
+    store on storage, so state size is bounded by storage, not executor
+    memory.  Bootstrap an empty root with ``init_paragraph_root``.
+
+    ``compact_every=N`` folds small-files maintenance into the sink
+    exactly as in ``start_dedup_update_sink``."""
+    from onto_text_tag_spark.plans.kg_absorb import compact_stage
+    from onto_text_tag_spark.plans.paragraph_absorb import (
+        absorb_paragraph_batch,
+    )
+    from onto_text_tag_spark.sinks import read_manifest
+
+    def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        result = absorb_paragraph_batch(
+            batch_df.sparkSession, para_root, batch_df,
+            batch_fp=f"stream-epoch-{epoch_id}",
+            id_col=id_col, text_col=text_col,
+        )
+        if (
+            compact_every
+            and result["status"] == "committed"
+            and (epoch_id + 1) % compact_every == 0
+        ):
+            for stage in ("para_digests", "deduped"):
+                if read_manifest(para_root, stage).get("n_files", 0) > 1:
+                    compact_stage(batch_df.sparkSession, para_root, stage)
+
+    return (
+        documents.writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

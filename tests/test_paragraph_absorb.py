@@ -99,3 +99,46 @@ def test_within_batch_duplicates_collapse(spark, tmp_path):
     live = {r["url"]: r for r in read_para_deduped(spark, root).collect()}
     assert live["c01"]["text"] == "same line\nother line"
     assert live["c02"]["text"] == "second doc"
+
+
+def test_streaming_paragraph_sink_equals_batch(spark, tmp_path):
+    from onto_text_tag_spark.operators.dedup import paragraph_dedup
+    from onto_text_tag_spark.plans.paragraph_absorb import (
+        init_paragraph_root,
+        read_para_deduped,
+    )
+    from onto_text_tag_spark.sinks import read_manifest
+    from onto_text_tag_spark.streaming.incremental import (
+        start_paragraph_update_sink,
+    )
+
+    root = str(tmp_path / "para_stream_root")
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    init_paragraph_root(spark, root, DOC_SCHEMA)
+
+    _docs(spark, BATCH_A).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    q = start_paragraph_update_sink(stream, root, ckpt,
+                                    compact_every=1)
+    try:
+        q.processAllAvailable()
+        assert read_para_deduped(spark, root).count() == len(BATCH_A)
+        _docs(spark, BATCH_B).coalesce(1).write.mode("append") \
+            .parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union = _docs(spark, BATCH_A + BATCH_B)
+    expected = {
+        r["url"]: r
+        for r in paragraph_dedup(union, id_col="url").collect()
+    }
+    live = {r["url"]: r for r in read_para_deduped(spark, root).collect()}
+    assert set(live) == set(expected)
+    for url, exp in expected.items():
+        assert live[url]["text"] == exp["text"], url
+        assert live[url]["n_kept"] == exp["n_kept"], url
+    # compact_every=1 folded the appends back to single-file stages
+    assert read_manifest(root, "deduped").get("n_files", 0) == 1
