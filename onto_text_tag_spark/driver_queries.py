@@ -2208,6 +2208,42 @@ FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 """
 
 
+def q_curation_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR step 2 — deterministic importance RESAMPLING (operators/
+    curation.py:importance_resample): Gumbel-top-k over the DSIR
+    log-weights draws 150 documents without replacement with
+    probability proportional to exp(log_weight), with all noise from
+    the seeded portable md5 — rerun/cluster-size identical and
+    bit-replayable in SQL."""
+    from onto_text_tag_spark.operators.curation import (
+        dsir_importance,
+        importance_resample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("source") == _DSIR_TARGET_SOURCE)
+    weights = dsir_importance(docs, target, num_buckets=_DSIR_BUCKETS)
+    return importance_resample(weights, n=150).select(
+        "doc_id", "log_weight", "sample_key"
+    )
+
+
+def sql_curation_resample() -> str:
+    from onto_text_tag_spark.functions.hashing import md5_long_sql
+
+    dsir = sql_curation_dsir().strip()
+    seeded = md5_long_sql("'7:' || doc_id::VARCHAR")
+    u = f"(({seeded}) + 1) / 1152921504606846977.0"
+    return f"""
+WITH dsir AS ({dsir})
+SELECT doc_id, log_weight,
+       round(log_weight - ln(-ln({u})), 6) AS sample_key
+FROM dsir
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT 150
+"""
+
+
 def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing sample: deterministic per-language keep rates
     (operators/curation.py:stratified_sample — hash-gated scan-local
@@ -4758,6 +4794,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "emb_semdedup": q_emb_semdedup,
     "curation_dsir": q_curation_dsir,
+    "curation_resample": q_curation_resample,
     "text_unigram_ll": q_text_unigram_ll,
     "dedup_exact": q_dedup_exact,
     "dedup_paragraphs": q_dedup_paragraphs,
@@ -4859,6 +4896,7 @@ ORACLES = {
     "text_repetition": sql_text_repetition(),
     "emb_semdedup": sql_emb_semdedup(),
     "curation_dsir": sql_curation_dsir(),
+    "curation_resample": sql_curation_resample(),
     "text_unigram_ll": sql_text_unigram_ll(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_paragraphs": sql_dedup_paragraphs(),
@@ -4903,6 +4941,7 @@ ORACLES = {
 # of the driver's pandas hash gate).
 _PRIORITY_KEYS = [
     "dedup_paragraphs", "dedup_ngram_spans", "curation_nbquality",
+    "curation_resample",
     "corpus_rollup", "text_packing", "emb_quantize", "text_bpe_tokens",
     "text_bpe_tokens_pinned", "text_repetition", "emb_semdedup",
     "curation_dsir", "text_unigram_ll",

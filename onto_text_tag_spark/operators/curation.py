@@ -601,3 +601,47 @@ def nb_quality_score(
             .alias("pred_target"),
         )
     )
+
+
+def importance_resample(
+    documents: DataFrame,
+    n: int,
+    weight_col: str = "log_weight",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic importance resampling — step 2 of DSIR (Xie et al.
+    2023 resample the raw corpus ∝ exp(log_weight); the same Gumbel
+    trick implements Efraimidis–Spirakis weighted reservoir sampling):
+    draw n documents WITHOUT replacement with probability proportional
+    to their importance weight, using the Gumbel-top-k identity
+
+        key = log_weight − ln(−ln(u)),   u = portable-md5 uniform(0,1)
+
+    — the n largest keys are exactly a weighted sample.  All noise
+    comes from the seeded md5 hash of the document id, so reruns and
+    any cluster size select the IDENTICAL subset (no ``rand()``), and
+    the DuckDB oracle replays the draw bit-for-bit.  The key is rounded
+    to 6 decimals before ranking (deterministic id tie-break), so an
+    ulp-level libm divergence between engines cannot flip the selected
+    set except on a ~1e-16-wide rounding boundary.
+
+    Scale shape: one scan computing the key, then a global top-n —
+    Catalyst executes ``orderBy().limit(n)`` as TakeOrderedAndProject
+    (per-partition heaps + driver merge of n rows), never a full sort.
+    """
+    from onto_text_tag_spark.functions.hashing import md5_long
+
+    denom = float((1 << 60) + 1)
+    u = (
+        md5_long(
+            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        )
+        + 1
+    ) / F.lit(denom)
+    key = F.round(F.col(weight_col) - F.log(-F.log(u)), 6)
+    return (
+        documents.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(n)
+    )

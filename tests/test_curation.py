@@ -453,3 +453,62 @@ def test_nb_quality_score_first_principles(spark):
     assert not out[3]["pred_target"] and not out[4]["pred_target"]
     assert out[5]["pred_target"]
     assert out[6]["nb_logodds"] == pytest.approx(round(prior, 4))
+
+
+def test_importance_resample_gumbel_replay_and_determinism(spark):
+    from onto_text_tag_spark.operators.curation import importance_resample
+
+    rows = [(i, float(w)) for i, w in
+            [(1, 2.0), (2, -1.0), (3, 0.5), (4, -3.0), (5, 1.5),
+             (6, 0.0), (7, -0.5), (8, 3.0)]]
+    docs = spark.createDataFrame(rows, ["doc_id", "log_weight"])
+    got = importance_resample(docs, n=3).collect()
+    assert len(got) == 3
+
+    # pure-python replay of the Gumbel-top-k draw (same seeded md5)
+    import hashlib
+    import math
+
+    def key(doc_id, w, seed=7):
+        h = int(hashlib.md5(f"{seed}:{doc_id}".encode())
+                .hexdigest()[:15], 16)
+        u = (h + 1) / float((1 << 60) + 1)
+        return round(w - math.log(-math.log(u)), 6)
+
+    expected = sorted(
+        ((key(i, w), i, w) for i, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    assert [(r["doc_id"], r["sample_key"]) for r in got] == [
+        (i, k) for k, i, _ in expected
+    ]
+
+    # rerun-deterministic; n >= corpus selects everything
+    again = importance_resample(docs, n=3).collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in got]
+    assert importance_resample(docs, n=100).count() == len(rows)
+    # a different seed draws different noise (and so may select a
+    # different subset) but stays internally deterministic
+    alt = importance_resample(docs, n=3, seed=11).collect()
+    assert [r["doc_id"] for r in alt] == [
+        r["doc_id"]
+        for r in importance_resample(docs, n=3, seed=11).collect()
+    ]
+
+
+def test_importance_resample_weight_proportionality(spark):
+    from onto_text_tag_spark.operators.curation import importance_resample
+
+    # 200 low-weight docs + 5 overwhelming-weight docs: Gumbel noise has
+    # stdev ~1.28, so a +30 log-weight gap makes the heavy docs all but
+    # certain to win every seed — check a handful of seeds
+    rows = [(i, 0.0) for i in range(200)] + [
+        (900 + i, 30.0) for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "log_weight"])
+    for seed in (1, 2, 3):
+        picked = {
+            r["doc_id"]
+            for r in importance_resample(docs, n=5, seed=seed).collect()
+        }
+        assert picked == {900, 901, 902, 903, 904}, seed
