@@ -67,6 +67,12 @@ def main() -> None:
                     "(combined with --decontam)")
     ap.add_argument("--decontam-n", type=int, default=2,
                     help="token n-gram size of the benchmark set")
+    ap.add_argument("--paragraph-dedup", action="store_true",
+                    help="add a 'para_deduped' stage: curated docs "
+                    "with every paragraph already seen earlier in the "
+                    "curated corpus removed (CCNet-style, first "
+                    "occurrence survives; operators/dedup.py:"
+                    "paragraph_dedup)")
     ap.add_argument("--redact", action="store_true",
                     help="add a 'redacted' stage: curated docs with "
                     "emails/IPs/phone runs replaced by typed "
@@ -177,6 +183,33 @@ def main() -> None:
             input_fingerprint=mix_fp,
         ))
         report["n_mix"] = read_manifest(args.output, "mix")["total_rows"]
+
+    if args.paragraph_dedup:
+        from onto_text_tag_spark.operators.dedup import paragraph_dedup
+        from onto_text_tag_spark.sinks import read_stage as _rs
+
+        pd_fp = fp + ":paradedup=1"
+
+        def _pd():
+            cur = _rs(spark, args.output, "curated")
+            out = paragraph_dedup(
+                cur, id_col=args.id_col, text_col=args.text_col
+            )
+            return cur.drop(args.text_col).join(out, args.id_col)
+
+        timed("para_deduped", lambda: run_stage(
+            spark, args.output, "para_deduped", _pd,
+            input_fingerprint=pd_fp,
+        ))
+        report["n_para_deduped"] = read_manifest(
+            args.output, "para_deduped")["total_rows"]
+        from onto_text_tag_spark.sinks import read_stage as _rs2
+        pstat = _rs2(spark, args.output, "para_deduped").agg(
+            F.sum("n_paragraphs").alias("np"),
+            F.sum("n_kept").alias("nk"),
+        ).collect()[0]
+        report["n_paragraphs"] = pstat["np"]
+        report["n_paragraphs_kept"] = pstat["nk"]
 
     if args.redact:
         from onto_text_tag_spark.operators.curation import redact_pii

@@ -172,3 +172,41 @@ def test_curate_job_decontam_and_redact(job_tmp, corpus, spark):
         for s in ("flags", "curated", "stats", "redacted")
     }
     assert logs_after == logs_before  # resume: no new snapshots
+
+
+def test_curate_job_paragraph_dedup_stage(job_tmp, corpus, spark):
+    from onto_text_tag_spark.operators.dedup import paragraph_dedup
+    from onto_text_tag_spark.sinks import read_stage
+
+    out_dir = os.path.join(job_tmp, "cur_pd_out")
+    rep = _submit(
+        job_tmp, "--input", corpus, "--output", out_dir,
+        "--paragraph-dedup",
+    )
+    assert rep["n_para_deduped"] == rep["n_curated"]
+    assert rep["n_paragraphs_kept"] <= rep["n_paragraphs"]
+
+    # stage content == operator applied to the curated stage directly
+    cur = read_stage(spark, out_dir, "curated")
+    expected = {
+        r["url"]: r
+        for r in paragraph_dedup(cur, id_col="url").collect()
+    }
+    got = {
+        r["url"]: r
+        for r in read_stage(spark, out_dir, "para_deduped").collect()
+    }
+    assert set(got) == set(expected)
+    for url in expected:
+        assert got[url]["text"] == expected[url]["text"], url
+        assert got[url]["n_kept"] == expected[url]["n_kept"], url
+    # ride-along metadata survives
+    assert "lang" in read_stage(spark, out_dir, "para_deduped").columns
+
+    # re-submit is a stage-level no-op (fingerprint resume)
+    rep2 = _submit(
+        job_tmp, "--input", corpus, "--output", out_dir,
+        "--paragraph-dedup",
+    )
+    assert rep2["n_para_deduped"] == rep["n_para_deduped"]
+    assert rep2["stage_sec"]["para_deduped"] < rep["stage_sec"]["para_deduped"]
