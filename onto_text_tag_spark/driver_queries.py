@@ -2063,6 +2063,63 @@ FROM grams
 """
 
 
+_BLOOM_M_BITS = 4096
+_BLOOM_K = 3
+
+
+def q_curation_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/curation.py:
+    bloom_decontaminate) — the 100 TB form of the benchmark n-gram
+    gate: the eval gram set folds into a constant bitset probed per
+    gram by seeded md5, one scan, no join/shuffle/Python; small m here
+    so the oracle's list literal stays compact (no false positives on
+    this gram set, asserted by the unit test)."""
+    from onto_text_tag_spark.operators.curation import bloom_decontaminate
+
+    return bloom_decontaminate(
+        _docs(spark, sf_dir), _DECONTAM_BENCH, n=2,
+        m_bits=_BLOOM_M_BITS, k=_BLOOM_K,
+    ).select("doc_id", "n_bloom_hits", "bloom_contaminated")
+
+
+def sql_curation_bloom_decontam() -> str:
+    from onto_text_tag_spark.functions.hashing import md5_long_sql
+    from onto_text_tag_spark.operators.curation import bloom_bits
+
+    words = bloom_bits(_DECONTAM_BENCH, m_bits=_BLOOM_M_BITS, k=_BLOOM_K)
+    bits = "[" + ", ".join(str(w) for w in words) + "]"
+
+    def probe(seed: int) -> str:
+        prefixed = "'" + str(seed) + ":' || g"
+        h = f"({md5_long_sql(prefixed)} % {_BLOOM_M_BITS})"
+        return (
+            f"(({bits}[({h} // 32 + 1)::INTEGER] >> "
+            f"({h} % 32)::INTEGER) & 1) = 1"
+        )
+
+    member = " AND ".join(probe(s) for s in range(_BLOOM_K))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+ grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l)),
+                       i -> l[i] || ' ' || l[i + 1])) AS gs
+  FROM docs
+ ),
+ g AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+ hits AS (
+  SELECT doc_id, count(*) AS n FROM g
+  WHERE {member}
+  GROUP BY doc_id
+ )
+SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_bloom_hits,
+       coalesce(h.n, 0) > 0 AS bloom_contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
 def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/curation.py:redact_pii) over
     deterministically constructed PII-bearing text (the driver corpus is
@@ -4795,6 +4852,7 @@ QUERIES = {
     "emb_semdedup": q_emb_semdedup,
     "curation_dsir": q_curation_dsir,
     "curation_resample": q_curation_resample,
+    "curation_bloom_decontam": q_curation_bloom_decontam,
     "text_unigram_ll": q_text_unigram_ll,
     "dedup_exact": q_dedup_exact,
     "dedup_paragraphs": q_dedup_paragraphs,
@@ -4897,6 +4955,7 @@ ORACLES = {
     "emb_semdedup": sql_emb_semdedup(),
     "curation_dsir": sql_curation_dsir(),
     "curation_resample": sql_curation_resample(),
+    "curation_bloom_decontam": sql_curation_bloom_decontam(),
     "text_unigram_ll": sql_text_unigram_ll(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_paragraphs": sql_dedup_paragraphs(),
@@ -4941,7 +5000,7 @@ ORACLES = {
 # of the driver's pandas hash gate).
 _PRIORITY_KEYS = [
     "dedup_paragraphs", "dedup_ngram_spans", "curation_nbquality",
-    "curation_resample",
+    "curation_resample", "curation_bloom_decontam",
     "corpus_rollup", "text_packing", "emb_quantize", "text_bpe_tokens",
     "text_bpe_tokens_pinned", "text_repetition", "emb_semdedup",
     "curation_dsir", "text_unigram_ll",

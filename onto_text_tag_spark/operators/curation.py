@@ -645,3 +645,88 @@ def importance_resample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def bloom_bits(grams: list[str], m_bits: int = 1 << 15,
+               k: int = 3) -> list[int]:
+    """Driver-side Bloom bitset over a benchmark n-gram set: ``k``
+    seeded portable-md5 probes per gram, packed 32 bits per BIGINT word
+    (all words < 2^32, so ``>>`` agrees between the JVM and every SQL
+    engine — no signed-shift divergence at bit 63).  Pure function of
+    the gram set, so tests and the DuckDB oracle rebuild it exactly."""
+    import hashlib
+
+    words = [0] * (m_bits // 32)
+    for g in sorted({x.strip().lower() for x in grams if x.strip()}):
+        for s in range(k):
+            h = int(
+                hashlib.md5(f"{s}:{g}".encode()).hexdigest()[:15], 16
+            ) % m_bits
+            words[h // 32] |= 1 << (h % 32)
+    return words
+
+
+def bloom_decontaminate(
+    documents: DataFrame,
+    benchmark_ngrams: list[str],
+    text_col: str = "text",
+    n: int = 2,
+    m_bits: int = 1 << 15,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter — the 100 TB
+    form of ``decontaminate``: a full eval-suite gram set (10^6-10^7
+    grams) is too big to ship as an ``array_intersect`` literal or to
+    broadcast-join per doc-gram, but its Bloom bitset is a few MB of
+    longs that constant-folds into the scan.  Detection stays one
+    corpus scan with a per-row JVM fold — no shuffle, no Python, no
+    join — at a documented false-positive cost:
+
+        fp_rate ≈ (1 − e^(−k·|grams| / m_bits))^k
+
+    (≈0.1% for 10^5 grams at m=2^21, k=3).  Bloom NEVER misses a real
+    contaminated gram (no false negatives), so the gate is safe in the
+    drop direction; flagged docs can be re-checked against the exact
+    set off the hot path when the FP cost matters.
+
+    Same tokenization and gram normalization as ``decontaminate``;
+    output adds ``n_bloom_hits`` (distinct doc grams hitting the
+    filter) and ``bloom_contaminated``.
+    """
+    words = bloom_bits(benchmark_ngrams, m_bits=m_bits, k=k)
+    # also validates gram sizes (raises on a gram that can never match)
+    _normalize_grams(
+        sorted({g.strip().lower() for g in benchmark_ngrams
+                if g.strip()}), n
+    )
+    bits = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    toks = f"filter(split(lower({text_col}), '[^a-z0-9_]+'), t -> t != '')"
+    doc_grams = (
+        f"if(size({toks}) >= {n},"
+        f" array_distinct(transform("
+        f"  sequence(1, size({toks}) - {n - 1}),"
+        f"  i -> concat_ws(' ', slice({toks}, i, {n})))),"
+        f" array())"
+    )
+
+    def probe(seed: int) -> str:
+        h = (
+            f"pmod(cast(conv(substring(md5(cast(concat('{seed}:', g) "
+            f"as binary)), 1, 15), 16, 10) as bigint), {m_bits})"
+        )
+        return (
+            f"(shiftright(element_at({bits}, "
+            f"cast({h} div 32 as int) + 1), "
+            f"cast({h} % 32 as int)) & 1) = 1"
+        )
+
+    member = " AND ".join(probe(s) for s in range(k))
+    return (
+        documents.withColumn(
+            "n_bloom_hits",
+            F.expr(
+                f"size(filter({doc_grams}, g -> {member}))"
+            ).cast("long"),
+        )
+        .withColumn("bloom_contaminated", F.col("n_bloom_hits") > 0)
+    )

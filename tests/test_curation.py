@@ -512,3 +512,63 @@ def test_importance_resample_weight_proportionality(spark):
             for r in importance_resample(docs, n=5, seed=seed).collect()
         }
         assert picked == {900, 901, 902, 903, 904}, seed
+
+
+def test_bloom_decontaminate_matches_exact_and_python_twin(spark):
+    from onto_text_tag_spark.operators.curation import (
+        bloom_bits,
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    rows = [
+        (1, "the hash join beats the table scan on big inputs"),
+        (2, "nothing remotely benchmark shaped here at all"),
+        (3, "stream batch pipelines and vector spark together"),
+        (4, ""),
+        (5, "hash Join with case variation and table SCAN again"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = ["hash join", "table scan", "stream batch", "vector spark"]
+
+    bloom = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(docs, bench).collect()
+    }
+    exact = {
+        r["doc_id"]: r for r in decontaminate(docs, bench).collect()
+    }
+    # Bloom has no false negatives; at 2^15 bits / 4 grams it has no
+    # false positives on this corpus either — the two gates agree
+    for d in bloom:
+        assert bloom[d]["n_bloom_hits"] == \
+            exact[d]["n_contaminated_grams"], d
+        assert bloom[d]["bloom_contaminated"] == \
+            exact[d]["contaminated"], d
+
+    # python twin of the bitset: every benchmark gram's k probes are set
+    import hashlib
+
+    m, k = 1 << 15, 3
+    words = bloom_bits(bench, m_bits=m, k=k)
+    for g in bench:
+        for s in range(k):
+            h = int(hashlib.md5(f"{s}:{g}".encode())
+                    .hexdigest()[:15], 16) % m
+            assert (words[h // 32] >> (h % 32)) & 1 == 1, (g, s)
+    # all words fit 32 bits (the signed-shift-safety packing contract)
+    assert all(0 <= w < (1 << 32) for w in words)
+    # occupancy sanity: k probes per gram, at most k*len(bench) bits set
+    set_bits = sum(bin(w).count("1") for w in words)
+    assert 0 < set_bits <= k * len(bench)
+
+
+def test_bloom_decontaminate_no_eval_python_in_plan(spark):
+    from onto_text_tag_spark.operators.curation import bloom_decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "hash join here")], ["doc_id", "text"]
+    )
+    plan = bloom_decontaminate(docs, ["hash join"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
