@@ -4781,6 +4781,131 @@ FROM px GROUP BY doc_id, w, h
 # driver-green CORRECTNESS row first, so every query earns an external
 # oracle row across rounds.
 
+_PQ_M = 8
+_PQ_KSUB = 16
+_PQ_SUBDIM = 8  # embeddings are 64-dim
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    from onto_text_tag_spark.operators.similarity import (
+        pq_default_codebooks,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return pq_default_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+
+
+def _pq_sql_parts() -> tuple[str, str]:
+    """(cb CTE, per-(vec, s, c) distance expression) — the codebooks are
+    derived IN SQL from the table itself (subvectors of the first
+    _PQ_KSUB vectors in id order), so the oracle is self-contained."""
+    d = _PQ_SUBDIM
+    cb = f"""cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {_PQ_KSUB}
+ )"""
+    diff = f"(x[t.s * {d} + i]::DOUBLE - c.cv[t.s * {d} + i]::DOUBLE)"
+    dist = (
+        f"list_sum(list_transform(range(1, {d + 1}), "
+        f"i -> {diff} * {diff}))"
+    )
+    return cb, dist
+
+
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (operators/similarity.py:pq_encode,
+    Jégou et al. 2011): every embedding compressed to m=8 subspace
+    codes against deterministic codebooks (subvectors of the first 16
+    vectors in id order — the semantic_dedup default-centroid device,
+    SQL-replayable; swap in per-subspace k-means for the trained path).
+    Codes ride as a comma-joined string (the emb_quantize flattening
+    lesson: the driver's canonicalizer can't sort list cells)."""
+    from onto_text_tag_spark.operators.similarity import pq_encode
+
+    emb = _parallel(_read(spark, sf_dir, "embeddings"))
+    return pq_encode(emb, _pq_codebooks(spark, sf_dir)).select(
+        "vec_id", F.array_join("codes", ",").alias("codes")
+    )
+
+
+def sql_emb_pq_codes() -> str:
+    cb, dist = _pq_sql_parts()
+    return f"""
+WITH {cb},
+ sub AS (
+  SELECT e.vec_id, t.s, c.c, {dist.replace('x[', 'e.embedding[')} AS dist
+  FROM embeddings e, LATERAL unnest(range(0, {_PQ_M})) AS t(s), cb c
+ ),
+ best AS (
+  SELECT vec_id, s, c,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY dist ASC, c ASC) AS rn
+  FROM sub
+ )
+SELECT vec_id, string_agg(c::VARCHAR, ',' ORDER BY s) AS codes
+FROM best WHERE rn = 1 GROUP BY vec_id
+"""
+
+
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/similarity.py:pq_topk):
+    each probe query expands once into its m×k_sub distance lookup
+    table and every stored code is scored by m lookups + adds — the
+    FAISS ADC loop as one scan of the compressed store, compared
+    directly against sim_topk's exact ranking by the recall eval in
+    tests."""
+    from onto_text_tag_spark.operators.similarity import pq_topk
+
+    emb = _parallel(_read(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(
+        emb, queries, _pq_codebooks(spark, sf_dir), k=_TOPK
+    )
+
+
+def sql_sim_pq_topk() -> str:
+    cb, dist = _pq_sql_parts()
+    return f"""
+WITH {cb},
+ sub AS (
+  SELECT e.vec_id, t.s, c.c, {dist.replace('x[', 'e.embedding[')} AS dist
+  FROM embeddings e, LATERAL unnest(range(0, {_PQ_M})) AS t(s), cb c
+ ),
+ best AS (
+  SELECT vec_id, s, c AS code, dist,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY dist ASC, c ASC) AS rn
+  FROM sub
+ ),
+ codes AS (SELECT vec_id, s, code FROM best WHERE rn = 1),
+ q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id < {_N_QUERIES}
+ ),
+ lut AS (
+  SELECT q.query_id, t.s, c.c,
+         {dist.replace('x[', 'q.embedding[')} AS dist
+  FROM q, LATERAL unnest(range(0, {_PQ_M})) AS t(s), cb c
+ ),
+ scored AS (
+  SELECT l.query_id, cd.vec_id, round(sum(l.dist), 4) AS adist
+  FROM codes cd
+  JOIN lut l ON l.s = cd.s AND l.c = cd.code
+  GROUP BY l.query_id, cd.vec_id
+ ),
+ ranked AS (
+  SELECT query_id, vec_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM scored
+ )
+SELECT query_id, vec_id, adist, rank::INT AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
 QUERIES = {
     "kg_dictionary": q_kg_dictionary,
     "kg_mentions": q_kg_mentions,
@@ -4872,6 +4997,8 @@ QUERIES = {
     "emb_neardup": q_emb_neardup,
     "emb_quantize": q_emb_quantize,
     "sim_topk_quantized": q_sim_topk_quantized,
+    "emb_pq_codes": q_emb_pq_codes,
+    "sim_pq_topk": q_sim_pq_topk,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "events_rolling": q_events_rolling,
@@ -4975,6 +5102,8 @@ ORACLES = {
     "emb_neardup": sql_emb_neardup(),
     "emb_quantize": sql_emb_quantize(),
     "sim_topk_quantized": sql_sim_topk_quantized(),
+    "emb_pq_codes": sql_emb_pq_codes(),
+    "sim_pq_topk": sql_sim_pq_topk(),
     "events_tumbling": sql_events_tumbling(),
     "events_sessionize": sql_events_sessionize(),
     "events_rolling": sql_events_rolling(),
@@ -5001,6 +5130,7 @@ ORACLES = {
 _PRIORITY_KEYS = [
     "dedup_paragraphs", "dedup_ngram_spans", "curation_nbquality",
     "curation_resample", "curation_bloom_decontam",
+    "emb_pq_codes", "sim_pq_topk",
     "corpus_rollup", "text_packing", "emb_quantize", "text_bpe_tokens",
     "text_bpe_tokens_pinned", "text_repetition", "emb_semdedup",
     "curation_dsir", "text_unigram_ll",

@@ -737,3 +737,156 @@ def semantic_dedup(
         "vec_id", "cell", "rep_id",
         (F.col("vec_id") == F.col("rep_id")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): split the vector into m subspaces, quantize
+# each against its own k_sub-centroid codebook.  An encoded vector is m
+# small codes (m bytes at k_sub<=256) instead of dim floats — the memory
+# form billion-scale ANN stores (FAISS IVFPQ) keep in RAM — and
+# asymmetric distance (ADC) scores a query against codes through m
+# lookup tables without ever reconstructing the vectors.
+# ---------------------------------------------------------------------------
+
+
+def pq_default_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic untrained codebooks: subspace s's centroids are the
+    s-th subvectors of the first ``ksub`` vectors in id order — the same
+    SQL-replayable device as ``semantic_dedup``'s default centroids (a
+    k-means-trained set can be substituted per subspace exactly like
+    ``sim_ivf_trained``; the ENCODE/ADC algebra is codebook-agnostic).
+    Returns ``codebooks[s][c] = list of dim/m floats``."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(ksub)
+        .collect()
+    )
+    dim = len(rows[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [
+        [[float(x) for x in r[1][s * d:(s + 1) * d]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_dist_expr(sub_expr: str, centroid: list[float]) -> str:
+    """Squared L2 distance of a sub-vector expression to a literal
+    centroid — zip_with + left-to-right aggregate, bit-stable across
+    engines (float inputs widen to double exactly; fixed fold order)."""
+    cent = "array(" + ", ".join(f"cast({c!r} as double)" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with({sub_expr}, {cent}, "
+        f"(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
+        f"cast(0 as double), (s, v) -> s + v)"
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — per-subspace nearest-centroid codes, entirely JVM
+    expressions (no UDF, no shuffle, row-parallel).  Ties break to the
+    smallest code index (strict ``<`` in the running-min fold), so the
+    encoding is deterministic and the SQL twin reproduces it exactly.
+
+    At 100 TB this is the at-rest compression pass: dim×4 bytes → m
+    codes per row, one scan, pipelined with whatever wrote the
+    embeddings.  The expression tree is m×k_sub small folds; for very
+    large m·k_sub a numpy ``mapInPandas`` kernel is the drop-in
+    (``ivf_cell_numpy`` pattern) — at the default 8×16 codegen wins.
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    d = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        sub = f"slice({vec_col}, {s * d + 1}, {d})"
+        cands = ", ".join(
+            f"named_struct('c', {c}, 'd', {_pq_dist_expr(sub, codebooks[s][c])})"
+            for c in range(ksub)
+        )
+        argmin = (
+            f"aggregate(array({cands}), "
+            f"named_struct('c', -1, 'd', cast('Infinity' as double)), "
+            f"(acc, x) -> if(x.d < acc.d, x, acc)).c"
+        )
+        codes.append(argmin)
+    return embeddings.select(
+        F.col(id_col),
+        F.expr("array(" + ", ".join(codes) + ")").alias("codes"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query is expanded
+    ONCE into its m×k_sub lookup table of subspace distances (a
+    query-side map — k_sub folds per subspace over the raw query
+    vector), and scoring a stored code is m array lookups + adds.
+    Approximate distance is rounded to 4 decimals (the engine's score
+    contract) with id tie-break, so ranking is engine-stable.
+
+    Scale shape: codes table × broadcast query LUTs — one scan of the
+    compressed store, no shuffle besides the per-query top-k
+    (TakeOrderedAndProject per query via window over the tiny query
+    partition count).  This is the FAISS ADC loop as a Spark plan.
+
+    Returns (query_id, vec_id, adist, rank) for the k nearest (smallest
+    approximate distance) per query.
+    """
+    from pyspark.sql.window import Window
+
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    d = len(codebooks[0][0])
+    codes = pq_encode(embeddings, codebooks, id_col=id_col,
+                      vec_col=vec_col)
+    luts = []
+    for s in range(m):
+        sub = f"slice({vec_col}, {s * d + 1}, {d})"
+        entries = ", ".join(
+            _pq_dist_expr(sub, codebooks[s][c]) for c in range(ksub)
+        )
+        luts.append(f"array({entries})")
+    q = queries.select(
+        F.col(query_id_col),
+        F.expr("array(" + ", ".join(luts) + ")").alias("_lut"),
+    )
+    adist = F.round(
+        sum(
+            F.expr(f"element_at(element_at(_lut, {s + 1}), "
+                   f"element_at(codes, {s + 1}) + 1)")
+            for s in range(m)
+        ),
+        4,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .withColumn("adist", adist)
+        .select(query_id_col, id_col, "adist")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

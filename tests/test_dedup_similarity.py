@@ -993,3 +993,67 @@ def test_duplicate_ngram_spans_min_docs_and_disjoint_spans(spark):
         for r in duplicate_ngram_spans(docs, w=4, min_docs=3).collect()
     }
     assert all(strict[d]["dup_tokens"] == 0 for d in (1, 2, 3))
+
+
+def test_pq_encode_and_adc_match_numpy_twin(spark):
+    import numpy as np
+
+    from onto_text_tag_spark.operators.similarity import (
+        pq_default_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m, ksub, k = 8, 16, 5
+    cbs = pq_default_codebooks(emb, m=m, ksub=ksub)
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+    dim = len(next(iter(vecs.values())))
+    d = dim // m
+    cb = np.asarray(cbs, dtype=np.float64)          # (m, ksub, d)
+    assert cb.shape == (m, ksub, d)
+
+    # numpy twin of encode: per-subspace argmin of squared L2
+    def np_codes(v):
+        return [
+            int(np.argmin(((cb[s] - v[s * d:(s + 1) * d]) ** 2).sum(1)))
+            for s in range(m)
+        ]
+
+    got = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(emb, cbs).collect()}
+    assert got == {i: np_codes(v) for i, v in vecs.items()}
+    # the first ksub vectors ARE the codebooks: they encode to their
+    # own index in every subspace (zero reconstruction error)
+    for i in range(ksub):
+        assert got[i] == [i] * m
+
+    # ADC twin: adist(q, x) = sum over subspaces of the LUT entry of
+    # x's code — compare the full ranking for 2 probe queries
+    probes = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = pq_topk(emb, probes, cbs, k=k).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["adist"])
+        )
+    for qid in (0, 1):
+        qv = vecs[qid]
+        lut = np.stack([
+            ((cb[s] - qv[s * d:(s + 1) * d]) ** 2).sum(1)
+            for s in range(m)
+        ])                                           # (m, ksub)
+        adists = {
+            i: round(float(sum(lut[s, c] for s, c in
+                               enumerate(np_codes(v)))), 4)
+            for i, v in vecs.items()
+        }
+        expect = sorted(adists.items(), key=lambda t: (t[1], t[0]))[:k]
+        gotq = sorted(by_q[qid])
+        assert [(i, a) for _, i, a in gotq] == expect
+        # self-query against its own codebook entry scores exactly 0
+        assert adists[qid] == 0.0 if qid < 16 else True

@@ -62,6 +62,12 @@ BNLJ_ALLOWED = {
     "text_unigram_ll", # 1-ROW broadcast scalar (vocab total + distinct)
                        # crossed onto the vocabulary relation — same
                        # kg_assoc constant-probe shape
+    "curation_resample",  # composes curation_dsir (the 1-row gram-total
+                          # broadcast scalar above); the resample itself
+                          # adds only a scan + TakeOrderedAndProject
+    "sim_pq_topk",     # PQ ADC: tiny probe-LUT set x compressed
+                       # store — the sim_topk brute-force shape over
+                       # codes instead of raw vectors
     "curation_nbquality",  # 1-ROW broadcast scalar (class priors /
                            # token totals) crossed onto the per-doc
                            # score relation — the kg_assoc
