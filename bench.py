@@ -456,29 +456,6 @@ def run_substring_bench(low: int = 2, high: int = 8) -> dict:
                 duplicate_ngram_spans(pages, w=span_w, id_col="url")
             )
             span_sec = round(time.perf_counter() - t0, 2)
-            if not content:
-                para_stats = paragraph_dedup(lines, id_col="url").agg(
-                    F.sum("n_paragraphs").alias("n_paragraphs"),
-                    F.sum("n_kept").alias("n_kept"),
-                ).collect()[0]
-                span_stats = duplicate_ngram_spans(
-                    pages, w=span_w, id_col="url"
-                ).agg(
-                    F.sum("n_tokens").alias("n_tokens"),
-                    F.sum("dup_tokens").alias("dup_tokens"),
-                ).collect()[0]
-                content = {
-                    "n_paragraphs": para_stats["n_paragraphs"],
-                    "paragraphs_kept": para_stats["n_kept"],
-                    "paragraph_drop_frac": round(
-                        1 - para_stats["n_kept"]
-                        / para_stats["n_paragraphs"], 4),
-                    "n_tokens": span_stats["n_tokens"],
-                    "dup_tokens": span_stats["dup_tokens"],
-                    "dup_token_frac": round(
-                        span_stats["dup_tokens"]
-                        / span_stats["n_tokens"], 4),
-                }
             spark.stop()
             rec = {
                 "para_sec": para_sec,
@@ -495,6 +472,35 @@ def run_substring_bench(low: int = 2, high: int = 8) -> dict:
                 < best[cores]["para_sec"] + best[cores]["span_sec"]
             ):
                 best[cores] = rec
+    # content stats once, OUTSIDE the timed loop (they re-run both
+    # operators and would otherwise double the first measured level)
+    spark = _session(high)
+    pages = spark.read.parquet(corpus).select("url", "text")
+    lines = pages.select(
+        "url",
+        F.regexp_replace("text", "\\.\\s+", ".\n").alias("text"),
+    )
+    para_stats = paragraph_dedup(lines, id_col="url").agg(
+        F.sum("n_paragraphs").alias("n_paragraphs"),
+        F.sum("n_kept").alias("n_kept"),
+    ).collect()[0]
+    span_stats = duplicate_ngram_spans(
+        pages, w=span_w, id_col="url"
+    ).agg(
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("dup_tokens").alias("dup_tokens"),
+    ).collect()[0]
+    content = {
+        "n_paragraphs": para_stats["n_paragraphs"],
+        "paragraphs_kept": para_stats["n_kept"],
+        "paragraph_drop_frac": round(
+            1 - para_stats["n_kept"] / para_stats["n_paragraphs"], 4),
+        "n_tokens": span_stats["n_tokens"],
+        "dup_tokens": span_stats["dup_tokens"],
+        "dup_token_frac": round(
+            span_stats["dup_tokens"] / span_stats["n_tokens"], 4),
+    }
+    spark.stop()
     para_speedup = best[low]["para_sec"] / best[high]["para_sec"]
     span_speedup = best[low]["span_sec"] / best[high]["span_sec"]
     return {

@@ -3338,7 +3338,18 @@ def sql_dedup_ngram_spans() -> str:
     from onto_text_tag_spark.functions.hashing import md5_long_sql
 
     w = _SPAN_W
-    gram = " || ' ' || ".join(f"w[i + {k}]" for k in range(w))
+    th = f"list_transform(w, t -> {md5_long_sql('t')})"
+
+    def poly(p: int, m: int) -> str:
+        # same fold as the Spark side: init 0, (acc*m + h%p) % p over
+        # the w token hashes (list_reduce seeds from the first element,
+        # so the 0 init is prepended)
+        return (
+            f"list_reduce(list_prepend(0, th[i : i + {w - 1}]), "
+            f"(acc, h) -> (acc * {m} + h % {p}) % {p})"
+        )
+
+    gh = f"{poly(2147483647, 131)} * 2147483648 + {poly(2147483629, 137)}"
     return f"""
 WITH base AS (
   SELECT doc_id,
@@ -3346,10 +3357,11 @@ WITH base AS (
                 t -> t != '') AS w
   FROM documents
 ),
+ hashed AS (SELECT doc_id, w, {th} AS th FROM base),
  g AS (
-  SELECT doc_id, i AS s, {md5_long_sql(gram)} AS gh
-  FROM base, LATERAL unnest(range(1, len(w) - {w - 2})) AS t(i)
-  WHERE len(w) >= {w}
+  SELECT doc_id, i AS s, {gh} AS gh
+  FROM hashed, LATERAL unnest(range(1, len(th) - {w - 2})) AS t(i)
+  WHERE len(th) >= {w}
 ),
  dup AS (
   SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2

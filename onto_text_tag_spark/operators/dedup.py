@@ -830,10 +830,19 @@ def duplicate_ngram_spans(documents: DataFrame, w: int = 8,
 
     Mechanics (deterministic, fully SQL-replayable):
 
-    * tokens = the engine's standard ``[a-z0-9']`` word stream;
-      w-token windows taken at every start, hashed with portable md5.
-    * a window hash is duplicated iff it appears in ≥ ``min_docs``
-      distinct documents (count-distinct over ONE gram-keyed shuffle).
+    * tokens = the engine's standard ``[a-z0-9']`` word stream; each
+      token is md5-hashed ONCE, and a w-token window's key is a pair of
+      independent polynomial hashes folded over the token hashes mod
+      two 31-bit primes, packed into one 62-bit long.  No w-token gram
+      STRING is ever materialized — the naive ``concat_ws`` form blows
+      the token stream up w× through the shuffle (at w=20 that is a
+      ~150-byte string plus an md5 per window; the fold is ~2w integer
+      ops on already-hashed tokens).  A 62-bit key makes an accidental
+      window collision (a false duplicated-window mark) a
+      ~n²/2^63 event — negligible at any shard size, and identical in
+      the oracle, so parity is exact.
+    * a window key is duplicated iff it appears in ≥ ``min_docs``
+      distinct documents (count-distinct over ONE key-keyed shuffle).
     * covered tokens per doc = union length of the [start, start+w)
       intervals of its duplicated windows — computed as a single JVM
       ``aggregate`` fold over the sorted start list, NOT by exploding
@@ -841,16 +850,29 @@ def duplicate_ngram_spans(documents: DataFrame, w: int = 8,
       would be w× the stream; the oracle uses the explode form since
       both compute the same interval-union cardinality).
 
-    Scale shape: one gram-keyed shuffle for the distinct-doc counts
-    (map-side partial agg absorbs boilerplate mega-grams), one
-    gram-keyed equi-join of the gram stream against the duplicated-hash
-    set (AQE broadcasts it when small), one doc-keyed aggregate.
-    Never any pairwise document comparison.
+    Scale shape: one key-keyed shuffle of (id, start, 62-bit key) rows
+    for the distinct-doc counts (map-side partial agg absorbs
+    boilerplate mega-windows), one key equi-join of that stream against
+    the duplicated-key set (AQE broadcasts it when small), one
+    doc-keyed aggregate.  Never any pairwise document comparison.
     """
+    p1, m1 = 2147483647, 131
+    p2, m2 = 2147483629, 137
     toks = (
         f"filter(split(lower({text_col}), '[^a-z0-9\\']+'), "
         "t -> t != '')"
     )
+    th = (
+        "transform(_toks, t -> cast(conv(substring(md5("
+        "cast(t as binary)), 1, 15), 16, 10) as bigint))"
+    )
+
+    def poly(p: int, m: int) -> str:
+        return (
+            f"aggregate(slice(_th, i, {w}), 0L, "
+            f"(acc, h) -> pmod(acc * {m} + pmod(h, {p}), {p}))"
+        )
+
     base = documents.select(
         F.col(id_col), F.expr(toks).alias("_toks")
     ).select(
@@ -859,16 +881,18 @@ def duplicate_ngram_spans(documents: DataFrame, w: int = 8,
     grams = base.select(
         id_col,
         "n_tokens",
+        F.expr(th).alias("_th"),
+    ).select(
+        id_col,
+        "n_tokens",
         F.posexplode_outer(
             F.expr(
-                f"CASE WHEN size(_toks) >= {w} THEN "
-                f"transform(sequence(1, size(_toks) - {w} + 1), "
-                f"i -> concat_ws(' ', slice(_toks, i, {w}))) "
+                f"CASE WHEN size(_th) >= {w} THEN "
+                f"transform(sequence(1, size(_th) - {w} + 1), "
+                f"i -> {poly(p1, m1)} * 2147483648L + {poly(p2, m2)}) "
                 "ELSE array() END"
             )
-        ).alias("start", "gram"),
-    ).select(
-        id_col, "n_tokens", "start", md5_long(F.col("gram")).alias("gh")
+        ).alias("start", "gh"),
     )
     dup_hashes = (
         grams.where(F.col("gh").isNotNull())
