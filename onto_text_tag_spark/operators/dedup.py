@@ -760,12 +760,15 @@ def paragraph_dedup(documents: DataFrame, id_col: str = "doc_id",
     ``n_paragraphs`` (pre-dedup), ``n_kept``.  Documents whose every
     paragraph was seen before collapse to ``text = ''``.
 
-    Scale shape: posexplode to the paragraph stream, ONE digest-keyed
-    shuffle for the first-occurrence window (map-side nothing to
-    combine, but hot digests — the empty-page banner — are bounded by
-    the window's streaming rank), one doc-keyed shuffle to reassemble.
-    No joins above the corpus relation; the 100 TB plan is two
-    exchanges over the paragraph stream.
+    Scale shape: posexplode_outer to the paragraph stream (empty docs
+    keep their null row, so NO join back to the corpus is ever needed —
+    an earlier revision left-joined the rebuilt relation onto the
+    document ids and Catalyst broadcast the full rebuilt corpus at
+    100k docs, overflowing spark.driver.maxResultSize), ONE digest-keyed
+    shuffle for the first-occurrence window (null-paragraph rows get a
+    per-document digest so empty docs can never pile into one hot NULL
+    partition), one doc-keyed shuffle to reassemble.  The 100 TB plan
+    is exactly two exchanges over the paragraph stream.
     """
     paras = (
         documents.select(
@@ -782,35 +785,33 @@ def paragraph_dedup(documents: DataFrame, id_col: str = "doc_id",
     w = Window.partitionBy("digest").orderBy(
         F.col(id_col).asc(), F.col("pos").asc()
     )
-    ranked = (
-        paras.where(F.col("para").isNotNull())
-        .withColumn("digest", content_digest("para"))
-        .withColumn("_rk", F.row_number().over(w))
-    )
-    rebuilt = (
+    ranked = paras.withColumn(
+        "digest",
+        F.when(
+            F.col("para").isNotNull(), content_digest("para")
+        ).otherwise(md5_long(F.concat(F.lit("empty:"),
+                                      F.col(id_col).cast("string")))),
+    ).withColumn("_rk", F.row_number().over(w))
+    return (
         ranked.groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_paragraphs"),
-            F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0))
-            .cast("long").alias("n_kept"),
+            F.count("para").cast("long").alias("n_paragraphs"),
+            F.sum(
+                F.when(
+                    (F.col("_rk") == 1) & F.col("para").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_kept"),
             F.concat_ws(
                 "\n",
                 F.expr(
                     "transform(array_sort(collect_list(CASE WHEN _rk = 1 "
-                    "THEN struct(pos, para) END)), x -> x.para)"
+                    "AND para IS NOT NULL THEN struct(pos, para) END)), "
+                    "x -> x.para)"
                 ),
             ).alias("text"),
         )
-    )
-    return (
-        documents.select(id_col)
-        .join(rebuilt, id_col, "left")
         .select(
-            id_col,
-            F.coalesce("text", F.lit("")).alias("text"),
-            F.coalesce("n_paragraphs", F.lit(0)).cast("long")
-            .alias("n_paragraphs"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            id_col, "text", "n_paragraphs", "n_kept",
         )
     )
 
@@ -901,15 +902,28 @@ def duplicate_ngram_spans(documents: DataFrame, w: int = 8,
         .where(F.col("nd") >= min_docs)
         .select("gh")
     )
-    dup_starts = (
-        grams.join(dup_hashes, "gh")
-        .groupBy(id_col)
+    # LEFT-join the dup flag onto the gram stream and aggregate once per
+    # doc: every document keeps at least one gram row (posexplode_outer
+    # emits a null-key row for sub-w docs), so no join back to the
+    # corpus relation is ever needed — the earlier two-relation doc-id
+    # join invited Catalyst to broadcast a corpus-sized side (the
+    # paragraph_dedup driver-overflow failure mode).
+    flagged = grams.join(
+        dup_hashes.withColumn("_dup", F.lit(1)), "gh", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_dup_grams"),
-            F.array_sort(F.collect_list("start")).alias("_starts"),
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_dup") == 1, 1).otherwise(0))
+            .cast("long").alias("n_dup_grams"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("_dup") == 1, F.col("start")))
+            ).alias("_starts"),
         )
         .select(
             id_col,
+            "n_tokens",
             "n_dup_grams",
             F.expr(
                 f"aggregate(_starts, struct(0L AS last_end, 0L AS cov), "
@@ -918,20 +932,14 @@ def duplicate_ngram_spans(documents: DataFrame, w: int = 8,
                 f"- greatest(acc.last_end, cast(s AS BIGINT)))), "
                 "acc -> acc.cov)"
             ).alias("dup_tokens"),
-        )
-    )
-    return (
-        base.select(id_col, "n_tokens")
-        .join(dup_starts, id_col, "left")
-        .select(
-            id_col,
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.coalesce("n_dup_grams", F.lit(0)).cast("long")
-            .alias("n_dup_grams"),
-            F.coalesce("dup_tokens", F.lit(0)).cast("long")
-            .alias("dup_tokens"),
             F.round(
-                F.coalesce("dup_tokens", F.lit(0))
+                F.expr(
+                    f"aggregate(_starts, struct(0L AS last_end, 0L AS cov), "
+                    f"(acc, s) -> struct(greatest(acc.last_end, s + {w}L), "
+                    f"acc.cov + greatest(0L, s + {w}L "
+                    f"- greatest(acc.last_end, cast(s AS BIGINT)))), "
+                    "acc -> acc.cov)"
+                )
                 / F.greatest(F.col("n_tokens"), F.lit(1)),
                 4,
             ).alias("dup_frac"),
