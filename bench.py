@@ -2549,6 +2549,7 @@ def run_pq_bench(
         pq_default_codebooks,
         pq_encode,
         pq_topk,
+        pq_trained_codebooks,
     )
 
     spark = _session(cores)
@@ -2591,8 +2592,14 @@ def run_pq_bench(
     exact_sec = round(time.perf_counter() - t0, 2)
 
     curve = []
-    for m in (4, 8, 16):
-        cbs = pq_default_codebooks(emb, m=m, ksub=ksub)
+    for mode, m in (("default", 4), ("default", 8), ("default", 16),
+                    ("trained", 8), ("trained", 16)):
+        t0 = time.perf_counter()
+        if mode == "trained":
+            cbs = pq_trained_codebooks(emb, m=m, ksub=ksub, iterations=5)
+        else:
+            cbs = pq_default_codebooks(emb, m=m, ksub=ksub)
+        train_sec = round(time.perf_counter() - t0, 2)
         t0 = time.perf_counter()
         _force(pq_encode(emb, cbs))
         encode_sec = round(time.perf_counter() - t0, 2)
@@ -2621,6 +2628,8 @@ def run_pq_bench(
         )
         curve.append({
             "m": m,
+            "mode": mode,
+            "train_sec": train_sec,
             "compression": f"{dim * 4}B->{m}B",
             "encode_sec": encode_sec,
             "adc_sec": round(time.perf_counter() - t0, 2),
@@ -2696,10 +2705,12 @@ def main() -> None:
                 f"planted clusters, noise {rep['noise']}), "
                 f"{rep['n_queries']} queries, k={rep['k']}, "
                 f"ksub={rep['ksub']}, local[{rep['cores']}]\n\n"
-                f"| m | compression | encode sec | ADC top-k sec | "
-                f"recall@{rep['k']} |\n|---|---|---|---|---|\n"
+                f"| m | codebooks | train sec | compression | "
+                f"encode sec | ADC top-k sec | recall@{rep['k']} |\n"
+                f"|---|---|---|---|---|---|---|\n"
                 + "".join(
-                    f"| {c['m']} | {c['compression']} | "
+                    f"| {c['m']} | {c['mode']} | {c['train_sec']} | "
+                    f"{c['compression']} | "
                     f"{c['encode_sec']} | {c['adc_sec']} | "
                     f"{c['recall_at_k']} |\n"
                     for c in rep["curve"]

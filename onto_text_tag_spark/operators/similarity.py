@@ -890,3 +890,82 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def pq_trained_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace L2 k-means codebooks — the trained PQ path (FAISS
+    trains exactly this: plain Lloyd's on each subspace independently;
+    NOT the spherical variant `kmeans_centroids` uses for IVF, because
+    ADC ranks by subspace L2 distance, not cosine).
+
+    All m subspaces train in the SAME distributed pass per iteration:
+    one scan computes every subspace's argmin code (the `pq_encode`
+    fold), explodes to (subspace, code, component) partial sums —
+    m·k_sub·(dim/m) = k_sub·dim driver-sized result rows — and the
+    driver updates the means.  Deterministic: init = the
+    `pq_default_codebooks` subvectors, empty cells keep their
+    centroid, fixed iteration count (no data-dependent stopping beyond
+    exact convergence).
+    """
+    cbs = pq_default_codebooks(
+        embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+    )
+    d = len(cbs[0][0])
+    for _it in range(iterations):
+        subs = ", ".join(
+            f"slice({vec_col}, {s * d + 1}, {d})" for s in range(m)
+        )
+        argmins = []
+        for s in range(m):
+            sub = f"slice({vec_col}, {s * d + 1}, {d})"
+            cands = ", ".join(
+                f"named_struct('c', {c}, 'd', "
+                f"{_pq_dist_expr(sub, cbs[s][c])})"
+                for c in range(ksub)
+            )
+            argmins.append(
+                f"aggregate(array({cands}), "
+                f"named_struct('c', -1, 'd', cast('Infinity' as double)), "
+                f"(acc, x) -> if(x.d < acc.d, x, acc)).c"
+            )
+        assigned = embeddings.select(
+            F.expr("array(" + ", ".join(argmins) + ")").alias("_codes"),
+            F.expr(f"array({subs})").alias("_subs"),
+        ).select(
+            F.posexplode(F.expr("arrays_zip(_codes, _subs)"))
+            .alias("s", "z")
+        ).select(
+            "s",
+            F.col("z._codes").alias("code"),
+            F.posexplode(F.col("z._subs")).alias("pos", "comp"),
+        )
+        stats = (
+            assigned.groupBy("s", "code", "pos")
+            .agg(F.sum("comp").alias("sum"), F.count("*").alias("n"))
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in stats:
+            means.setdefault((int(r["s"]), int(r["code"])), {})[
+                int(r["pos"])
+            ] = float(r["sum"]) / int(r["n"])
+        new_cbs = []
+        for s in range(m):
+            row = []
+            for c in range(ksub):
+                mean = means.get((s, c))
+                row.append(
+                    [mean[i] for i in range(d)] if mean else cbs[s][c]
+                )
+            new_cbs.append(row)
+        if new_cbs == cbs:
+            break
+        cbs = new_cbs
+    return cbs

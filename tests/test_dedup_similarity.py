@@ -1057,3 +1057,42 @@ def test_pq_encode_and_adc_match_numpy_twin(spark):
         assert [(i, a) for _, i, a in gotq] == expect
         # self-query against its own codebook entry scores exactly 0
         assert adists[qid] == 0.0 if qid < 16 else True
+
+
+def test_pq_trained_codebooks_reduce_quantization_error(spark):
+    import numpy as np
+
+    from onto_text_tag_spark.operators.similarity import (
+        pq_default_codebooks,
+        pq_encode,
+        pq_trained_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m, ksub = 4, 8
+    default = pq_default_codebooks(emb, m=m, ksub=ksub)
+    trained = pq_trained_codebooks(emb, m=m, ksub=ksub, iterations=4)
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+    d = len(next(iter(vecs.values()))) // m
+
+    def sq_err(cbs):
+        cb = np.asarray(cbs, dtype=np.float64)
+        codes = {r["vec_id"]: list(r["codes"])
+                 for r in pq_encode(emb, cbs).collect()}
+        total = 0.0
+        for i, v in vecs.items():
+            for s, c in enumerate(codes[i]):
+                total += float(
+                    ((v[s * d:(s + 1) * d] - cb[s][c]) ** 2).sum()
+                )
+        return total
+
+    e_default, e_trained = sq_err(default), sq_err(trained)
+    # Lloyd's can only reduce total within-cell squared error
+    assert e_trained < e_default
+    # shape + determinism of the trained set
+    assert len(trained) == m and all(len(r) == ksub for r in trained)
+    again = pq_trained_codebooks(emb, m=m, ksub=ksub, iterations=4)
+    assert again == trained
