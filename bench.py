@@ -2635,10 +2635,57 @@ def run_pq_bench(
             "adc_sec": round(time.perf_counter() - t0, 2),
             "recall_at_k": round(float(recall), 4),
         })
+    # production pattern: ADC generates a 10x-k candidate shortlist
+    # from the compressed store, exact cosine re-ranks the shortlist —
+    # recall of the final top-k is what a deployment ships
+    from onto_text_tag_spark.operators.similarity import (
+        cosine_similarity_col,
+        pq_trained_codebooks,
+    )
+
+    t0 = time.perf_counter()
+    cbs16 = pq_trained_codebooks(emb, m=16, ksub=ksub, iterations=5)
+    shortlist = (
+        pq_topk(emb, queries, cbs16, k=10 * k + 1)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    rer = (
+        shortlist
+        .join(emb.select(F.col("vec_id"),
+                         F.col("embedding").alias("_cv")), "vec_id")
+        .join(F.broadcast(queries.select(
+            "query_id", F.col("embedding").alias("_qv"))), "query_id")
+        .withColumn("score", cosine_similarity_col("_qv", "_cv"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .where(F.col("_rk") <= k)
+        .select("query_id", F.col("vec_id").alias("cand_id"),
+                F.lit(1).alias("hit"))
+    )
+    rerank_recall = (
+        exact.join(rer, ["query_id", "cand_id"], "left")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+              / F.count("*")).alias("r"))
+        .collect()[0]["r"]
+    )
+    rerank = {
+        "m": 16,
+        "mode": "trained+rerank",
+        "shortlist": 10 * k,
+        "sec": round(time.perf_counter() - t0, 2),
+        "recall_at_k": round(float(rerank_recall), 4),
+    }
     spark.stop()
     return {
         "job": "bench.run_pq_bench (operators/similarity.py pq_topk "
                "ADC vs cosine_topk)",
+        "rerank": rerank,
         "cores": cores,
         "n_vecs": n_vecs,
         "dim": dim,
@@ -2719,6 +2766,17 @@ def main() -> None:
                 "Deterministic first-ksub-vector codebooks (the "
                 "SQL-replayable default); per-subspace k-means lifts "
                 "recall further at identical ADC cost.\n"
+                + (
+                    f"\nDeployment form (ADC shortlist -> exact "
+                    f"re-rank): m=16 trained codes generate a "
+                    f"{rep['rerank']['shortlist']}-candidate shortlist, "
+                    f"exact cosine re-ranks it — recall@{rep['k']} "
+                    f"{rep['rerank']['recall_at_k']} in "
+                    f"{rep['rerank']['sec']} s end-to-end (train + "
+                    f"encode + ADC + re-rank), vs "
+                    f"{rep['exact_sec']} s exact brute force over raw "
+                    f"vectors.\n"
+                )
             )
         print(json.dumps(rep))
         return
