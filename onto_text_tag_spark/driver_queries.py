@@ -3071,6 +3071,57 @@ FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
 
+def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility diagnostics under the pinned merge table —
+    the health metrics a tokenizer ships with (HF/SentencePiece report
+    exactly these): subword tokens per word (``fertility``, ~1.0 means
+    the vocab covers the corpus, >>1 means words shatter) and source
+    chars per subword token (compression).  Same single scan as
+    ``bpe_token_counts`` (keep_cols passthrough — no join back to the
+    corpus)."""
+    from onto_text_tag_spark.operators.bpe import bpe_token_counts
+
+    counts = bpe_token_counts(
+        _docs(spark, sf_dir), _PINNED_MERGES,
+        keep_cols=("n_chars",), with_word_counts=True,
+    )
+    return counts.select(
+        "doc_id",
+        "n_words",
+        "bpe_tokens",
+        F.round(
+            F.col("bpe_tokens")
+            / F.greatest(F.col("n_words"), F.lit(1)).cast("double"),
+            4,
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars")
+            / F.greatest(F.col("bpe_tokens"), F.lit(1)).cast("double"),
+            4,
+        ).alias("chars_per_token"),
+    )
+
+
+def sql_text_fertility() -> str:
+    base = sql_text_bpe_tokens_pinned()
+    marker = "SELECT d.doc_id, coalesce(p.n, 0)::BIGINT AS bpe_tokens"
+    head = base[: base.index(marker)]
+    return head + """, wc AS (
+  SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id
+ )
+SELECT d.doc_id,
+  coalesce(w.n_words, 0)::BIGINT AS n_words,
+  coalesce(p.n, 0)::BIGINT AS bpe_tokens,
+  round(coalesce(p.n, 0)
+        / greatest(coalesce(w.n_words, 0), 1)::DOUBLE, 4) AS fertility,
+  round(d.n_chars
+        / greatest(coalesce(p.n, 0), 1)::DOUBLE, 4) AS chars_per_token
+FROM documents d
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+LEFT JOIN wc w ON w.doc_id = d.doc_id
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document repetition gates (dup-line fractions +
     top n-gram character coverage) — the machine-generated-page filter
@@ -4985,6 +5036,7 @@ QUERIES = {
     "text_word_freqs": q_text_word_freqs,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_bpe_tokens_pinned": q_text_bpe_tokens_pinned,
+    "text_fertility": q_text_fertility,
     "text_repetition": q_text_repetition,
     "emb_semdedup": q_emb_semdedup,
     "curation_dsir": q_curation_dsir,
@@ -5090,6 +5142,7 @@ ORACLES = {
     "text_word_freqs": sql_text_word_freqs(),
     "text_bpe_tokens": sql_text_bpe_tokens(),
     "text_bpe_tokens_pinned": sql_text_bpe_tokens_pinned(),
+    "text_fertility": sql_text_fertility(),
     "text_repetition": sql_text_repetition(),
     "emb_semdedup": sql_emb_semdedup(),
     "curation_dsir": sql_curation_dsir(),
@@ -5142,7 +5195,7 @@ ORACLES = {
 _PRIORITY_KEYS = [
     "dedup_paragraphs", "dedup_ngram_spans", "curation_nbquality",
     "curation_resample", "curation_bloom_decontam",
-    "emb_pq_codes", "sim_pq_topk",
+    "emb_pq_codes", "sim_pq_topk", "text_fertility",
     "corpus_rollup", "text_packing", "emb_quantize", "text_bpe_tokens",
     "text_bpe_tokens_pinned", "text_repetition", "emb_semdedup",
     "curation_dsir", "text_unigram_ll",

@@ -222,6 +222,8 @@ def bpe_token_counts(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple = (),
+    with_word_counts: bool = False,
 ) -> DataFrame:
     """``(doc_id, bpe_tokens)`` — per-document subword token counts
     under a trained merge table: the sequence-length accounting a
@@ -229,10 +231,16 @@ def bpe_token_counts(
 
     Row-local Arrow kernel: the merge ranks ride in the closure
     (vocab-sized), each batch keeps a word→token-count cache (Zipf:
-    the same words recur), no shuffle."""
+    the same words recur), no shuffle.
+
+    ``keep_cols`` passes source columns through (same single scan — no
+    join back to the corpus); ``with_word_counts=True`` adds
+    ``n_words`` (the pre-subword token count from the same
+    tokenization), which is what fertility diagnostics divide by."""
     ranks = {pair: i for i, pair in enumerate(merges)}
     src = documents.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.expr(
             f"filter(split(lower({text_col}), \"[^a-z0-9']+\"), "
             "t -> t != '')"
@@ -255,4 +263,13 @@ def bpe_token_counts(
 
         return words.map(doc_count)
 
-    return src.select(id_col, _count(F.col("_words")).alias("bpe_tokens"))
+    extra = (
+        [F.size("_words").cast("long").alias("n_words")]
+        if with_word_counts else []
+    )
+    return src.select(
+        id_col,
+        *[F.col(c) for c in keep_cols],
+        *extra,
+        _count(F.col("_words")).alias("bpe_tokens"),
+    )
