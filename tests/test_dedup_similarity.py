@@ -1096,3 +1096,89 @@ def test_pq_trained_codebooks_reduce_quantization_error(spark):
     assert len(trained) == m and all(len(r) == ksub for r in trained)
     again = pq_trained_codebooks(emb, m=m, ksub=ksub, iterations=4)
     assert again == trained
+
+
+def test_paragraph_dedup_properties_random(spark):
+    """Property sweep on seeded random corpora: kept paragraphs are a
+    subset of the input in original order, normalized kept paragraphs
+    are corpus-wide unique, counts reconcile, and the operator is
+    idempotent (a deduped corpus re-dedups to itself)."""
+    import random
+
+    from onto_text_tag_spark.operators.dedup import paragraph_dedup
+
+    rng = random.Random(77)
+    pool = [f"para {i} body" for i in range(12)] + ["", "  "]
+    rows = [
+        (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(0, 6))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = paragraph_dedup(docs).collect()
+    assert len(out) == len(rows)
+
+    def paras(text):
+        return [p.strip() for p in text.split("\n") if p.strip()]
+
+    seen = set()
+    by_id = dict(rows)
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        inp = paras(by_id[r["doc_id"]])
+        kept = paras(r["text"]) if r["text"] else []
+        assert r["n_paragraphs"] == len(inp)
+        assert r["n_kept"] == len(kept)
+        # kept is a subsequence of the input paragraphs
+        it = iter(inp)
+        assert all(any(p == q for q in it) for p in kept)
+        for p in kept:
+            key = " ".join(p.lower().split())
+            assert key not in seen, p
+            seen.add(key)
+    # idempotence
+    once = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in out], ["doc_id", "text"]
+    )
+    twice = {r["doc_id"]: r for r in paragraph_dedup(once).collect()}
+    for r in out:
+        assert twice[r["doc_id"]]["text"] == r["text"]
+        assert twice[r["doc_id"]]["n_kept"] == twice[r["doc_id"]]["n_paragraphs"]
+
+
+def test_duplicate_ngram_spans_brute_force_random(spark):
+    """Random-corpus differential: dup_tokens equals a brute-force
+    python recomputation of the interval union over duplicated windows."""
+    import random
+    import re
+
+    from onto_text_tag_spark.operators.dedup import duplicate_ngram_spans
+
+    rng = random.Random(123)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(30)
+    ]
+    w = 3
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in duplicate_ngram_spans(docs, w=w).collect()}
+
+    toks = {
+        i: [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
+        for i, text in rows
+    }
+    grams: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for s in range(len(ts) - w + 1):
+            grams.setdefault(tuple(ts[s:s + w]), set()).add(i)
+    for i, ts in toks.items():
+        starts = [
+            s for s in range(len(ts) - w + 1)
+            if len(grams[tuple(ts[s:s + w])]) >= 2
+        ]
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + w))
+        assert out[i]["n_tokens"] == len(ts), i
+        assert out[i]["n_dup_grams"] == len(starts), i
+        assert out[i]["dup_tokens"] == len(covered), i
