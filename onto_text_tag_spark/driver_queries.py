@@ -2084,9 +2084,16 @@ def q_curation_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_curation_bloom_decontam() -> str:
     from onto_text_tag_spark.functions.hashing import md5_long_sql
-    from onto_text_tag_spark.operators.curation import bloom_bits
+    from onto_text_tag_spark.operators.curation import (
+        _normalize_grams, bloom_bits,
+    )
 
-    words = bloom_bits(_DECONTAM_BENCH, m_bits=_BLOOM_M_BITS, k=_BLOOM_K)
+    # same normalization as bloom_decontaminate: the bitset is built
+    # from the canonical tokenized grams the doc side probes with
+    words = bloom_bits(
+        _normalize_grams(sorted(_DECONTAM_BENCH), 2),
+        m_bits=_BLOOM_M_BITS, k=_BLOOM_K,
+    )
     bits = "[" + ", ".join(str(w) for w in words) + "]"
 
     def probe(seed: int) -> str:
@@ -3404,8 +3411,8 @@ def sql_dedup_ngram_spans() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id,
-    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
-                t -> t != '') AS w
+    coalesce(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                         t -> t != ''), []) AS w
   FROM documents
 ),
  hashed AS (SELECT doc_id, w, {th} AS th FROM base),

@@ -18,6 +18,8 @@ determinism the resumability contract requires.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from onto_text_tag_spark.operators.dedup import content_digest
@@ -544,6 +546,23 @@ def nb_quality_score(
     labeled = documents.select(
         F.col(id_col), is_target.alias("_t"), F.expr(toks).alias("_w")
     )
+    # fail loud on a degenerate training slice: with zero docs in
+    # either class the prior ln(t_docs/o_docs) is NULL and every row's
+    # nb_logodds / pred_target silently nulls out — a misconfigured
+    # is_target would otherwise pass unnoticed through the gate
+    # (same convention as _normalize_grams; the check scans only the
+    # label column, so column pruning keeps it cheap)
+    _cls = labeled.agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("t"),
+        F.sum(F.when(F.col("_t"), 0).otherwise(1)).alias("o"),
+    ).collect()[0]
+    if not _cls["t"] or not _cls["o"]:
+        raise ValueError(
+            f"nb_quality_score: both classes need at least one "
+            f"document (target={_cls['t'] or 0}, "
+            f"other={_cls['o'] or 0}) — is_target labels a "
+            "degenerate training slice"
+        )
     buckets = labeled.select(
         id_col,
         "_t",
@@ -671,7 +690,7 @@ def bloom_decontaminate(
     benchmark_ngrams: list[str],
     text_col: str = "text",
     n: int = 2,
-    m_bits: int = 1 << 15,
+    m_bits: int | None = None,
     k: int = 3,
 ) -> DataFrame:
     """Benchmark decontamination through a Bloom filter — the 100 TB
@@ -692,13 +711,33 @@ def bloom_decontaminate(
     Same tokenization and gram normalization as ``decontaminate``;
     output adds ``n_bloom_hits`` (distinct doc grams hitting the
     filter) and ``bloom_contaminated``.
+
+    ``m_bits=None`` (the default) sizes the filter from the gram set:
+    ~16 bits per gram rounded up to a power of two (fp ≈ 0.4% at k=3),
+    floored at 2^15 — a fixed small default silently saturates on a
+    real 10^6-gram eval suite and flags every document.  An explicit
+    ``m_bits`` that implies fp > 1% raises: a decontamination gate
+    that mostly fires on noise is a misconfiguration, not a setting.
     """
-    words = bloom_bits(benchmark_ngrams, m_bits=m_bits, k=k)
-    # also validates gram sizes (raises on a gram that can never match)
-    _normalize_grams(
+    # the bitset MUST be built from the NORMALIZED grams (the exact
+    # strings the doc side probes with) — hashing raw 'hash-join' while
+    # probing 'hash join' is a silent false negative, violating the
+    # no-false-negative safety claim above
+    norm = _normalize_grams(
         sorted({g.strip().lower() for g in benchmark_ngrams
                 if g.strip()}), n
     )
+    if m_bits is None:
+        m_bits = max(1 << 15, 1 << (16 * max(len(norm), 1) - 1).bit_length())
+    fp_rate = (1.0 - math.exp(-k * len(norm) / m_bits)) ** k
+    if fp_rate > 0.01:
+        raise ValueError(
+            f"bloom_decontaminate: m_bits={m_bits} with {len(norm)} "
+            f"grams at k={k} implies fp_rate≈{fp_rate:.3f} (> 1%); "
+            "the filter is saturated — raise m_bits (or leave it None "
+            "to auto-size at ~16 bits/gram)"
+        )
+    words = bloom_bits(norm, m_bits=m_bits, k=k)
     bits = "array(" + ", ".join(f"{w}L" for w in words) + ")"
     toks = f"filter(split(lower({text_col}), '[^a-z0-9_]+'), t -> t != '')"
     doc_grams = (

@@ -859,9 +859,12 @@ def duplicate_ngram_spans(documents: DataFrame, w: int = 8,
     """
     p1, m1 = 2147483647, 131
     p2, m2 = 2147483629, 137
+    # coalesce to array(): a NULL text would otherwise flow size(NULL)
+    # = -1 into n_tokens (and NULL in the DuckDB oracle — a parity
+    # divergence); a null/missing document has zero tokens
     toks = (
-        f"filter(split(lower({text_col}), '[^a-z0-9\\']+'), "
-        "t -> t != '')"
+        f"coalesce(filter(split(lower({text_col}), '[^a-z0-9\\']+'), "
+        "t -> t != ''), array())"
     )
     th = (
         "transform(_toks, t -> cast(conv(substring(md5("

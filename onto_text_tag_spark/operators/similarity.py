@@ -769,6 +769,15 @@ def pq_default_codebooks(
         .limit(ksub)
         .collect()
     )
+    if len(rows) < ksub:
+        # an empty table would raise an opaque IndexError below, and a
+        # short one would silently train ksub' < ksub centroids that
+        # downstream pq_encode/pq_topk treat as the effective ksub
+        raise ValueError(
+            f"pq_default_codebooks: embeddings table has {len(rows)} "
+            f"rows but ksub={ksub} centroids per subspace are needed "
+            "— lower ksub or provide trained codebooks"
+        )
     dim = len(rows[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -76,3 +76,23 @@ def test_urls_unique_even_for_exact_dups():
     rows = [synth_row(i, **GEN, dup_frac=0.3) for i in range(500)]
     urls = {r["url"] for r in rows}
     assert len(urls) == 500
+
+
+def test_ngram_spans_null_text_zero_tokens(spark):
+    """ADVICE r3 (low): a NULL text used to emit n_tokens = size(NULL)
+    = -1 (and NULL in the DuckDB oracle) — both sides now report 0."""
+    from onto_text_tag_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (2, None),
+         (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in duplicate_ngram_spans(docs, w=8).collect()
+    }
+    assert rows[2]["n_tokens"] == 0 and rows[2]["dup_frac"] == 0.0
+    assert rows[3]["n_tokens"] == 0
+    assert rows[1]["n_tokens"] == 9

@@ -572,3 +572,83 @@ def test_bloom_decontaminate_no_eval_python_in_plan(spark):
     plan = bloom_decontaminate(docs, ["hash join"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_bloom_decontaminate_non_canonical_grams(spark):
+    """ADVICE r3 (high): grams like 'hash  join' / 'hash-join' pass the
+    n-token validation but were hashed UNNORMALIZED into the bitset
+    while the doc side probes canonical 'hash join' — a silent false
+    negative.  The bitset must be built from the normalized grams."""
+    from onto_text_tag_spark.operators.curation import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    rows = [
+        (1, "the hash join beats everything"),
+        (2, "no benchmark material whatsoever"),
+        (3, "a table scan walks the heap"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # double space + hyphen: both normalize to canonical 2-token grams
+    bench = ["hash  join", "table-scan"]
+
+    bloom = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(docs, bench).collect()
+    }
+    exact = {
+        r["doc_id"]: r for r in decontaminate(docs, bench).collect()
+    }
+    assert bloom[1]["bloom_contaminated"] and exact[1]["contaminated"]
+    assert bloom[3]["bloom_contaminated"] and exact[3]["contaminated"]
+    assert not bloom[2]["bloom_contaminated"]
+    for d in bloom:
+        assert bloom[d]["n_bloom_hits"] == \
+            exact[d]["n_contaminated_grams"], d
+
+
+def test_bloom_decontaminate_saturated_filter_raises(spark):
+    """An explicit m_bits implying fp > 1% is a misconfigured gate
+    (it fires on noise) — fail loud instead of flagging everything."""
+    import pytest
+
+    from onto_text_tag_spark.operators.curation import bloom_decontaminate
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    grams = [f"gram number{i}" for i in range(200)]
+    with pytest.raises(ValueError, match="fp_rate"):
+        bloom_decontaminate(docs, grams, m_bits=512)
+
+
+def test_bloom_decontaminate_auto_sizes_m_bits():
+    """m_bits=None derives ~16 bits/gram rounded to a power of two,
+    floored at 2^15 — a fixed default saturates on a real eval suite."""
+    from onto_text_tag_spark.operators.curation import bloom_bits
+
+    # pure sizing arithmetic twin of the operator's derivation
+    for n_grams, expected in [(10, 1 << 15), (4096, 1 << 16),
+                              (100_000, 1 << 21)]:
+        m = max(1 << 15, 1 << (16 * max(n_grams, 1) - 1).bit_length())
+        assert m >= 16 * n_grams and m == expected, n_grams
+        # and the packing contract holds at any derived size
+        words = bloom_bits(["alpha beta"], m_bits=m)
+        assert len(words) == m // 32
+
+
+def test_nb_quality_score_degenerate_class_raises(spark):
+    """ADVICE r3 (medium): with zero docs in either class the prior
+    ln(t/o) silently NULLed every score; now it raises."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.curation import nb_quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        nb_quality_score(docs, F.lit(True))
+    with pytest.raises(ValueError, match="degenerate"):
+        nb_quality_score(docs, F.lit(False))

@@ -1182,3 +1182,24 @@ def test_duplicate_ngram_spans_brute_force_random(spark):
         assert out[i]["n_tokens"] == len(ts), i
         assert out[i]["n_dup_grams"] == len(starts), i
         assert out[i]["dup_tokens"] == len(covered), i
+
+
+def test_pq_default_codebooks_short_table_raises(spark):
+    """ADVICE r3 (low): an empty table raised an opaque IndexError and
+    a short one silently trained < ksub centroids."""
+    import pytest
+
+    from onto_text_tag_spark.operators.similarity import (
+        pq_default_codebooks,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="ksub"):
+        pq_default_codebooks(empty, m=2, ksub=4)
+    short = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3, 0.4])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="ksub"):
+        pq_default_codebooks(short, m=2, ksub=4)
