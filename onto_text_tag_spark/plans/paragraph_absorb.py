@@ -41,7 +41,6 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from onto_text_tag_spark.operators.dedup import content_digest
 from onto_text_tag_spark.plans.kg_absorb import _append_batch_files
@@ -131,15 +130,37 @@ def absorb_paragraph_batch(
         .select(id_col, F.posexplode("_paras").alias("pos", "para"))
         .withColumn("digest", content_digest("para"))
     )
-    w = Window.partitionBy("digest").orderBy(
-        F.col(id_col).asc(), F.col("pos").asc()
+    # first occurrence per digest within the batch: min(struct(id,
+    # pos, para)) — same de-skewed shape as the batch operator.  The
+    # struct carries para, so the aggregate output IS the batch
+    # survivor relation (no join back to the paragraph stream); a
+    # digest-partitioned row_number window would sort every occurrence
+    # of a mega-boilerplate paragraph in ONE task at mega-batch sizes,
+    # while the aggregate's map-side partials absorb the hot key
+    batch_first = (
+        paras.groupBy("digest")
+        .agg(
+            F.min(F.col(id_col)).alias("_id"),
+            # min_by not min(struct): ObjectHashAggregate vs
+            # SortAggregate (see operators/dedup.py:paragraph_dedup)
+            F.min_by(
+                F.struct(F.col("pos").alias("pos"),
+                         F.col("para").alias("para")),
+                F.struct(F.col(id_col), F.col("pos")),
+            ).alias("_vp"),
+        )
+        .select(
+            "digest",
+            F.col("_id").alias(id_col),
+            F.col("_vp.pos").alias("pos"),
+            F.col("_vp.para").alias("para"),
+        )
     )
-    batch_first = paras.withColumn("_rk", F.row_number().over(w))
     stored = read_stage(spark, root, "para_digests")
 
     new_digests = run_stage(
         spark, staging, "para_digests",
-        lambda: batch_first.where(F.col("_rk") == 1)
+        lambda: batch_first
         .join(stored, "digest", "left_anti")
         .select("digest"),
         input_fingerprint=batch_fp,
@@ -147,7 +168,7 @@ def absorb_paragraph_batch(
 
     def _rebuild() -> DataFrame:
         kept = (
-            batch_first.where(F.col("_rk") == 1)
+            batch_first
             .join(stored, "digest", "left_anti")
             .groupBy(id_col)
             .agg(
