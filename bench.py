@@ -2896,6 +2896,143 @@ def run_pq_bench(
     }
 
 
+def run_ivfpq_bench(
+    cores: int = 8,
+    n_vecs: int = 200_000,
+    dim: int = 32,
+    n_planted: int = 96,
+    n_queries: int = 50,
+    k: int = 10,
+    noise: float = 0.9,
+    ksub: int = 16,
+    n_centroids: int = 64,
+) -> dict:
+    """IVFPQ deployment measurement (operators/similarity.py:
+    ivfpq_topk): IVF-probe routing → ADC within probed cells → exact
+    re-rank, vs the round-3 full-store ADC-shortlist→re-rank baseline
+    (recall 0.924 published in BENCH/BASELINE.md) on the SAME 200k
+    adversarial clustered corpus.  The composition must reach at least
+    the baseline recall at lower cost than scanning every code —
+    routing prunes the scored store by ~n_centroids/nprobe.
+
+    Trained everything: spherical-k-means coarse centroids, per-
+    subspace Lloyd's codebooks — the production configuration.
+    Interleaved per-nprobe timings in one session (plans warmed by
+    the baseline run), min-of-N not needed since all variants share
+    the session and relative cost is the measurement."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from onto_text_tag_spark.operators.similarity import (
+        cosine_similarity_col,
+        cosine_topk,
+        ivfpq_topk,
+        kmeans_centroids,
+        pq_topk,
+        pq_trained_codebooks,
+    )
+
+    spark = _session(cores)
+    path = os.path.join(
+        SCALING_DIR,
+        f"ann_bench_{n_vecs}x{dim}_c{n_planted}_n{noise}.parquet",
+    )
+    if not os.path.exists(path):
+        raise SystemExit("run --bench-pq first to build the ANN corpus")
+    emb = spark.read.parquet(path)
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    t0 = time.perf_counter()
+    exact = cosine_topk(emb, queries, k=k).select(
+        "query_id", "cand_id").persist()
+    n_exact = exact.count()
+    exact_sec = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    cbs = pq_trained_codebooks(emb, m=16, ksub=ksub, iterations=5)
+    train_pq_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    cents = kmeans_centroids(emb, k=n_centroids, iterations=5)
+    train_ivf_sec = round(time.perf_counter() - t0, 2)
+
+    def _recall(approx) -> float:
+        r = (
+            exact.join(approx, ["query_id", "cand_id"], "left")
+            .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                  / F.count("*")).alias("r"))
+            .collect()[0]["r"]
+        )
+        return round(float(r), 4)
+
+    # baseline: full-store ADC shortlist (10k) -> exact re-rank (the
+    # round-3 deployment measurement, re-run here for an in-session
+    # interleaved comparison)
+    t0 = time.perf_counter()
+    shortlist = (
+        pq_topk(emb, queries, cbs, k=10 * k + 1)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    rer = (
+        shortlist
+        .join(emb.select(F.col("vec_id"),
+                         F.col("embedding").alias("_cv")), "vec_id")
+        .join(F.broadcast(queries.select(
+            "query_id", F.col("embedding").alias("_qv"))), "query_id")
+        .withColumn("score", cosine_similarity_col("_qv", "_cv"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .where(F.col("_rk") <= k)
+        .select("query_id", F.col("vec_id").alias("cand_id"),
+                F.lit(1).alias("hit"))
+    )
+    base_recall = _recall(rer)
+    base_sec = round(time.perf_counter() - t0, 2)
+
+    curve = []
+    for nprobe in (1, 2, 4, 8):
+        t0 = time.perf_counter()
+        approx = ivfpq_topk(
+            emb, queries, cbs, k=k, num_centroids=n_centroids,
+            nprobe=nprobe, shortlist=10 * k, centroids=cents,
+        ).select("query_id", "cand_id", F.lit(1).alias("hit"))
+        rec = _recall(approx)
+        curve.append({
+            "nprobe": nprobe,
+            "store_frac_scored": round(nprobe / n_centroids, 4),
+            "sec": round(time.perf_counter() - t0, 2),
+            "recall_at_k": rec,
+        })
+    spark.stop()
+    return {
+        "job": "bench.run_ivfpq_bench (operators/similarity.py "
+               "ivfpq_topk vs full-store ADC+rerank)",
+        "cores": cores,
+        "n_vecs": n_vecs,
+        "dim": dim,
+        "n_planted": n_planted,
+        "noise": noise,
+        "n_queries": n_queries,
+        "k": k,
+        "ksub": ksub,
+        "n_centroids": n_centroids,
+        "exact_rows": n_exact,
+        "exact_sec": exact_sec,
+        "train_pq_sec": train_pq_sec,
+        "train_ivf_sec": train_ivf_sec,
+        "fullstore_adc_rerank": {
+            "sec": base_sec, "recall_at_k": base_recall},
+        "ivfpq_curve": curve,
+    }
+
+
 def main() -> None:
     if "--pr" in sys.argv:
         rep = run_pr_eval()
@@ -2973,6 +3110,39 @@ def main() -> None:
                     f"{rep['exact_sec']} s exact brute force over raw "
                     f"vectors.\n"
                 )
+            )
+        print(json.dumps(rep))
+        return
+    if "--bench-ivfpq" in sys.argv:
+        rep = run_ivfpq_bench(
+            cores=int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", "8")))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            base = rep["fullstore_adc_rerank"]
+            fh.write(
+                f"\n## IVFPQ deployment curve — {rep['job']}, "
+                f"{rep['n_vecs']} vectors × {rep['dim']} dims "
+                f"({rep['n_planted']} planted clusters, noise "
+                f"{rep['noise']}), {rep['n_queries']} queries, "
+                f"k={rep['k']}, {rep['n_centroids']} trained coarse "
+                f"centroids, m=16/ksub={rep['ksub']} trained "
+                f"codebooks, local[{rep['cores']}]\n\n"
+                f"| nprobe | store frac scored | sec | "
+                f"recall@{rep['k']} |\n|---|---|---|---|\n"
+                + "".join(
+                    f"| {c['nprobe']} | {c['store_frac_scored']} | "
+                    f"{c['sec']} | {c['recall_at_k']} |\n"
+                    for c in rep["ivfpq_curve"]
+                )
+                + f"\nBaselines (same session, interleaved): exact "
+                f"brute force {rep['exact_sec']} s; full-store "
+                f"ADC-shortlist→re-rank {base['sec']} s at recall "
+                f"{base['recall_at_k']}.  Training: PQ codebooks "
+                f"{rep['train_pq_sec']} s, coarse k-means "
+                f"{rep['train_ivf_sec']} s (both one-off index "
+                "builds).  The operator is sim_ivfpq_topk "
+                "(operators/similarity.py:ivfpq_topk), driver-oracled "
+                "end-to-end.\n"
             )
         print(json.dumps(rep))
         return

@@ -30,6 +30,7 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -389,3 +390,114 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, schema=media.schema)
+
+
+IMAGE_DHASH = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("sig", ArrayType(LongType(), False), False),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over real image payloads — the
+    multimodal member of the dedup family (reference scope: text-only;
+    this extends the corpus-dedup stack to image columns).
+
+    dHash (Krawetz): decode → integer per-pixel luminance (channel sum
+    // channels, exact integer arithmetic so an oracle can replay it
+    from known pixels) → nearest-neighbor resize to 9×8 → one bit per
+    horizontal neighbor pair (right > left), 64 bits total.  The hash
+    survives re-encoding, resizing, and small edits — byte-level
+    digests (``content_digest``) miss all three.
+
+    Output ``sig``: the 64 bits packed as FOUR 16-bit band values
+    (rows 2b, 2b+1 → band b) — exactly the (id, sig) shape
+    ``dedup.lsh_candidate_pairs`` accepts as precomputed signatures,
+    so Hamming-banded candidate generation reuses the text-LSH
+    machinery unchanged: two images within Hamming distance d agree
+    exactly on at least one band whenever d < 4 bands (pigeonhole),
+    so banding loses no pair a ``max_dist ≤ 3×16`` verify would keep.
+    Row-local Arrow kernel; PNG and baseline-JPEG payloads decode,
+    other formats are skipped.
+    """
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    src = media.where(
+        (F.col("kind") == "image")
+        & F.col("format").isin("png", "jpeg", "jpg")
+    ).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for media_id, payload in zip(batch["media_id"],
+                                         batch["payload"]):
+                px = mc.decode_image(bytes(payload))
+                if px.ndim == 2:
+                    luma = px.astype(np.int64)
+                else:
+                    luma = (px.astype(np.int64).sum(axis=2)
+                            // px.shape[2])
+                r = mc.resize_nearest(luma, 9, 8)
+                bits = (r[:, 1:] > r[:, :-1]).astype(np.int64)
+                sig = []
+                for b in range(4):
+                    v = 0
+                    for dy in range(2):
+                        for x in range(8):
+                            v |= int(bits[2 * b + dy, x]) << (dy * 8 + x)
+                    sig.append(v)
+                rows.append((media_id, sig))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_DHASH.fields]
+            )
+
+    return src.mapInPandas(batches, schema=IMAGE_DHASH)
+
+
+def image_near_duplicates(
+    media: DataFrame,
+    max_dist: int = 10,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash → Hamming-banded
+    candidate pairs (``lsh_candidate_pairs`` over the four 16-bit
+    bands) → exact Hamming verify ``<= max_dist``.
+
+    Scale shape is the text near-dup stack's, unchanged: one
+    (band, bucket) shuffle groups ids per bucket, intra-bucket pairs
+    generate joinlessly with a bucket cap, and the verify joins only
+    the CANDIDATE pairs back to the (small) hash relation — never an
+    all-pairs comparison over the store.  Output: (id_a, id_b,
+    hamming) with id_a < id_b (string order, the banding machinery's
+    contract).
+    """
+    from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
+
+    hashes = image_dhash(media)
+    pairs = lsh_candidate_pairs(
+        media, id_col="media_id", num_hashes=4, bands=4,
+        max_bucket_size=max_bucket_size, signatures=hashes,
+    )
+    h1 = hashes.select(F.col("media_id").alias("id_a"),
+                       F.col("sig").alias("_sa"))
+    h2 = hashes.select(F.col("media_id").alias("id_b"),
+                       F.col("sig").alias("_sb"))
+    hamming = F.expr(
+        " + ".join(
+            f"bit_count(element_at(_sa, {i + 1}) ^ "
+            f"element_at(_sb, {i + 1}))"
+            for i in range(4)
+        )
+    ).cast("long")
+    return (
+        pairs.join(h1, "id_a")
+        .join(h2, "id_b")
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "hamming")
+    )

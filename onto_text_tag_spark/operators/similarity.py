@@ -817,6 +817,17 @@ def pq_encode(
     large m·k_sub a numpy ``mapInPandas`` kernel is the drop-in
     (``ivf_cell_numpy`` pattern) — at the default 8×16 codegen wins.
     """
+    return embeddings.select(
+        F.col(id_col),
+        _pq_codes_expr(vec_col, codebooks).alias("codes"),
+    )
+
+
+def _pq_codes_expr(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of per-subspace nearest-centroid codes — the encode
+    kernel of ``pq_encode``, exposed as a column so composite operators
+    (``ivfpq_topk``) can compute codes in the same scan that assigns
+    IVF cells."""
     m = len(codebooks)
     ksub = len(codebooks[0])
     d = len(codebooks[0][0])
@@ -833,9 +844,36 @@ def pq_encode(
             f"(acc, x) -> if(x.d < acc.d, x, acc)).c"
         )
         codes.append(argmin)
-    return embeddings.select(
-        F.col(id_col),
-        F.expr("array(" + ", ".join(codes) + ")").alias("codes"),
+    return F.expr("array(" + ", ".join(codes) + ")")
+
+
+def _pq_lut_expr(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """m×k_sub query lookup table (array<array<double>>) of subspace
+    distances — the ADC query-side expansion shared by ``pq_topk`` and
+    ``ivfpq_topk``."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    d = len(codebooks[0][0])
+    luts = []
+    for s in range(m):
+        sub = f"slice({vec_col}, {s * d + 1}, {d})"
+        entries = ", ".join(
+            _pq_dist_expr(sub, codebooks[s][c]) for c in range(ksub)
+        )
+        luts.append(f"array({entries})")
+    return F.expr("array(" + ", ".join(luts) + ")")
+
+
+def _pq_adist_col(m: int) -> Column:
+    """Approximate distance: m LUT lookups + adds over ``_lut`` and
+    ``codes`` columns, rounded to the engine's 4-decimal contract."""
+    return F.round(
+        sum(
+            F.expr(f"element_at(element_at(_lut, {s + 1}), "
+                   f"element_at(codes, {s + 1}) + 1)")
+            for s in range(m)
+        ),
+        4,
     )
 
 
@@ -866,38 +904,109 @@ def pq_topk(
     from pyspark.sql.window import Window
 
     m = len(codebooks)
-    ksub = len(codebooks[0])
-    d = len(codebooks[0][0])
     codes = pq_encode(embeddings, codebooks, id_col=id_col,
                       vec_col=vec_col)
-    luts = []
-    for s in range(m):
-        sub = f"slice({vec_col}, {s * d + 1}, {d})"
-        entries = ", ".join(
-            _pq_dist_expr(sub, codebooks[s][c]) for c in range(ksub)
-        )
-        luts.append(f"array({entries})")
     q = queries.select(
         F.col(query_id_col),
-        F.expr("array(" + ", ".join(luts) + ")").alias("_lut"),
-    )
-    adist = F.round(
-        sum(
-            F.expr(f"element_at(element_at(_lut, {s + 1}), "
-                   f"element_at(codes, {s + 1}) + 1)")
-            for s in range(m)
-        ),
-        4,
+        _pq_lut_expr(vec_col, codebooks).alias("_lut"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adist").asc(), F.col(id_col).asc()
     )
     return (
         codes.crossJoin(F.broadcast(q))
-        .withColumn("adist", adist)
+        .withColumn("adist", _pq_adist_col(m))
         .select(query_id_col, id_col, "adist")
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    assignment: str = "auto",
+) -> DataFrame:
+    """IVFPQ — the billion-scale ANN serving composition (Jégou et al.
+    2011 §V; the FAISS ``IVFx,PQy`` index): IVF coarse routing prunes
+    the store to the probed cells, PQ asymmetric distance scores only
+    those cells' compressed codes, and an exact cosine re-rank of the
+    per-query ``shortlist`` ADC survivors restores ranking fidelity.
+    The three stages exist separately in this engine (``ivf_topk``,
+    ``pq_topk``) — this operator is the deployment path the
+    BENCH/BASELINE.md PQ measurement prescribed: IVF-probe → ADC
+    within probed cells → exact re-rank.
+
+    Scale shape: ONE store scan computes the cell assignment and the
+    PQ codes together (both are at-rest columns of a maintained index;
+    inline here so the operator is self-contained), the query side
+    broadcasts (probe cells × ADC LUT × raw query vector — queries are
+    small by construction), and the only wide operations are the two
+    per-query top-N windows (shortlist, then final k), both of which
+    Spark executes with a partial WindowGroupLimit below the exchange
+    so only N rows per partition shuffle.  The exact re-rank touches
+    ``shortlist`` rows per query — the raw vectors ride the candidate
+    rows from the same single scan, so no second store lookup join is
+    needed.
+
+    Output: (query_id, cand_id, adist, score, rank) — ``adist`` the
+    surviving ADC distance (audit trail for recall analysis), ``score``
+    the exact cosine the final ranking uses, ties broken by cand_id.
+    """
+    cent_rows = centroids if centroids is not None else [
+        (int(r[0]), list(r[1]))
+        for r in embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(num_centroids)
+        .collect()
+    ]
+    cents_lit = _centroid_literal(cent_rows)
+    m = len(codebooks)
+    store = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        _cell_col(vec_col, cent_rows, assignment).alias("cell"),
+        _pq_codes_expr(vec_col, codebooks).alias("codes"),
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _pq_lut_expr(vec_col, codebooks).alias("_lut"),
+        F.explode(
+            ivf_probe_cells_expr(vec_col, cents_lit, nprobe)
+        ).alias("cell"),
+    )
+    cand = (
+        store.join(F.broadcast(probes), "cell")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("adist", _pq_adist_col(m))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("cand_id").asc()
+    )
+    short = (
+        cand.withColumn("_srk", F.row_number().over(w_short))
+        .where(F.col("_srk") <= shortlist)
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cand_id").asc()
+    )
+    return (
+        short.withColumn(
+            "score", cosine_similarity_col("q_vec", "cand_vec")
+        )
+        .withColumn("rank", F.row_number().over(w_k).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", "score", "rank")
     )
 
 

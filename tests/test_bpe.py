@@ -136,3 +136,37 @@ def test_driver_corpus_learns_no_self_pairs(spark):
         merges = train_bpe(wf, n_merges=64)
         assert len(merges) == 64
         assert all(a != b for a, b in merges), sf
+
+
+def test_packing_on_bpe_counts_pins_bin_boundaries(spark):
+    """Integration: pack_sequences over bpe_token_counts — bin
+    boundaries verified against hand-derived subword counts.  With
+    merges [('l','o'), ('lo','w')]: 'low' -> [low, </w>] = 2 tokens,
+    'lower' -> [low, e, r, </w>] = 4, 'xy' -> [x, y, </w>] = 3."""
+    from onto_text_tag_spark.operators.bpe import bpe_token_counts
+    from onto_text_tag_spark.operators.curation import pack_sequences
+
+    merges = [("l", "o"), ("lo", "w")]
+    rows = [
+        (0, "s", "low low low"),          # 3*2 = 6 tokens
+        (1, "s", "lower lower"),          # 2*4 = 8
+        (2, "s", "xy"),                   # 3
+        (3, "s", "low lower xy"),         # 2+4+3 = 9
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    counts = bpe_token_counts(docs, merges, keep_cols=("source",))
+    got = {r["doc_id"]: r["bpe_tokens"] for r in counts.collect()}
+    assert got == {0: 6, 1: 8, 2: 3, 3: 9}
+
+    packed = {
+        r["doc_id"]: (r["bin"], r["n_tokens"], r["bin_fill"])
+        for r in pack_sequences(
+            counts, budget=10, group_col="source",
+            order_cols=("doc_id",), tokens_col="bpe_tokens",
+        ).collect()
+    }
+    # next-fit, budget 10, order doc_id: cum = 6, 14, 17, 26
+    # bin = (cum - tokens) // 10 -> 0, 0, 1, 1; fill = cum - bin*10
+    assert packed == {0: (0, 6, 6), 1: (0, 8, 14 - 0),
+                      2: (1, 3, 17 - 10), 3: (1, 9, 26 - 10)}

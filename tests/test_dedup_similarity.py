@@ -1203,3 +1203,110 @@ def test_pq_default_codebooks_short_table_raises(spark):
     )
     with pytest.raises(ValueError, match="ksub"):
         pq_default_codebooks(short, m=2, ksub=4)
+
+
+def test_ivfpq_topk_matches_numpy_twin(spark):
+    """IVFPQ composition (ivf route -> ADC in probed cells -> exact
+    re-rank) against a from-scratch numpy replay of all three stages."""
+    import numpy as np
+
+    from onto_text_tag_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_default_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m, ksub, k = 8, 16, 5
+    ncent, nprobe, shortlist = 8, 2, 20
+    cbs = pq_default_codebooks(emb, m=m, ksub=ksub)
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+    dim = len(next(iter(vecs.values())))
+    d = dim // m
+    cb = np.asarray(cbs, dtype=np.float64)
+
+    def rcos(a, b):
+        from onto_text_tag_spark.operators.similarity import (
+            _round_half_away,
+        )
+        return _round_half_away(
+            float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))), 4)
+
+    cents = {c: vecs[c] for c in range(ncent)}
+
+    def cell_ranking(v):
+        return sorted(cents, key=lambda c: (-rcos(v, cents[c]), c))
+
+    cells = {i: cell_ranking(v)[0] for i, v in vecs.items()}
+
+    def np_codes(v):
+        return [int(np.argmin(((cb[s] - v[s * d:(s + 1) * d]) ** 2)
+                              .sum(1))) for s in range(m)]
+
+    def np_adist(qv, v):
+        from onto_text_tag_spark.operators.similarity import (
+            _round_half_away,
+        )
+        lut = np.stack([((cb[s] - qv[s * d:(s + 1) * d]) ** 2).sum(1)
+                        for s in range(m)])
+        return _round_half_away(
+            float(sum(lut[s, c] for s, c in enumerate(np_codes(v)))), 4)
+
+    n_queries = 3
+    probes = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = {}
+    res = ivfpq_topk(emb, probes, cbs, k=k, num_centroids=ncent,
+                     nprobe=nprobe, shortlist=shortlist)
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["cand_id"], r["adist"], r["score"]))
+
+    for qid in range(n_queries):
+        qv = vecs[qid]
+        probed = set(cell_ranking(qv)[:nprobe])
+        cands = [i for i, c in cells.items()
+                 if c in probed and i != qid]
+        adists = {i: np_adist(qv, vecs[i]) for i in cands}
+        short = sorted(cands, key=lambda i: (adists[i], i))[:shortlist]
+        scores = {i: rcos(qv, vecs[i]) for i in short}
+        expect = sorted(short, key=lambda i: (-scores[i], i))[:k]
+        gotq = sorted(got.get(qid, []))
+        assert [c for _, c, _, _ in gotq] == expect, qid
+        for rank, cand, adist, score in gotq:
+            assert adist == adists[cand], (qid, cand)
+            assert score == scores[cand], (qid, cand)
+
+
+def test_ivfpq_recall_and_plan_shape(spark):
+    """Recall sanity on planted clusters + plan: no cartesian product,
+    probe side broadcast, shortlist window pushed partial."""
+    import numpy as np
+
+    from onto_text_tag_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        pq_trained_codebooks,
+    )
+
+    n, dim, ncl = 400, 16, 8
+    rng = [(i, [float(((i % ncl) == (p // 2)) * 1.0
+                + 0.1 * (((i * 31 + p * 7) % 13) - 6) / 6.0)
+                for p in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cbs = pq_trained_codebooks(emb, m=4, ksub=8, iterations=3)
+    k = 5
+    res = ivfpq_topk(emb, queries, cbs, k=k, num_centroids=8,
+                     nprobe=4, shortlist=40)
+    exact = {(r["query_id"], r["cand_id"])
+             for r in cosine_topk(emb, queries, k=k).collect()}
+    approx = {(r["query_id"], r["cand_id"]) for r in res.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

@@ -409,3 +409,68 @@ def test_image_stats_and_resize_over_jpegs(spark):
 
 def _jpeg_marker(payload: bytes, m: int) -> bool:
     return bytes([0xFF, m]) in payload
+
+
+def test_image_dhash_python_twin_and_near_duplicates(spark):
+    """Perceptual dedup: dHash matches a from-scratch python twin, a
+    planted near-duplicate pair (tiny pixel perturbation survives
+    re-encode) is found, and unrelated images are not paired."""
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+    from onto_text_tag_spark.operators.multimodal import (
+        image_dhash,
+        image_near_duplicates,
+    )
+
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack([(xx * 5 + yy * 3 + c * 7) % 256
+                     for c in range(3)], axis=2).astype(np.uint8)
+    near = base.copy()
+    near[2, 3] = (near[2, 3] + 4) % 256      # one-pixel nudge
+    other = np.stack([(xx * 91 + yy * 57 + c * 13 + 128) % 256
+                      for c in range(3)], axis=2).astype(np.uint8)
+    rows = [
+        ("a", "image", "png", mc.encode_png(base)),
+        ("b", "image", "png", mc.encode_png(near)),
+        ("c", "image", "png", mc.encode_png(other)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, format string, payload binary"
+    )
+
+    sigs = {r["media_id"]: list(r["sig"])
+            for r in image_dhash(media).collect()}
+
+    def twin(px):
+        luma = px.astype(np.int64).sum(axis=2) // 3
+        ys = [y * px.shape[0] // 8 for y in range(8)]
+        xs = [x * px.shape[1] // 9 for x in range(9)]
+        r = [[int(luma[y][x]) for x in xs] for y in ys]
+        sig = []
+        for b in range(4):
+            v = 0
+            for dy in range(2):
+                for x in range(8):
+                    if r[2 * b + dy][x + 1] > r[2 * b + dy][x]:
+                        v |= 1 << (dy * 8 + x)
+            sig.append(v)
+        return sig
+
+    assert sigs["a"] == twin(base)
+    assert sigs["b"] == twin(near)
+    assert sigs["c"] == twin(other)
+
+    def ham(s1, s2):
+        return sum(bin(a ^ b).count("1") for a, b in zip(s1, s2))
+
+    assert ham(sigs["a"], sigs["b"]) <= 2   # perceptual: tiny nudge
+    assert ham(sigs["a"], sigs["c"]) > 10   # different structure
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in image_near_duplicates(
+               media, max_dist=10, max_bucket_size=None).collect()}
+    assert ("a", "b") in got and got[("a", "b")] == ham(
+        sigs["a"], sigs["b"])
+    assert ("a", "c") not in got and ("b", "c") not in got
