@@ -1087,3 +1087,45 @@ def pq_trained_codebooks(
             break
         cbs = new_cbs
     return cbs
+
+
+def pq_encode_with_error(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, codes, recon_err)`` — ``pq_encode`` plus the exact
+    reconstruction error (sum over subspaces of the squared L2 to the
+    chosen centroid).  The error is the PQ analog of IVF's assignment
+    score: a maintained code store tracks its running mean as the
+    codebook-staleness signal (plans/pq_absorb.py) — as the corpus
+    drifts away from the distribution the codebooks were trained on,
+    new vectors quantize worse and the mean rises.  Same pure-JVM
+    fold as ``pq_encode``, one scan, no shuffle."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    d = len(codebooks[0][0])
+    picks = []
+    for s in range(m):
+        sub = f"slice({vec_col}, {s * d + 1}, {d})"
+        cands = ", ".join(
+            f"named_struct('c', {c}, 'd', {_pq_dist_expr(sub, codebooks[s][c])})"
+            for c in range(ksub)
+        )
+        picks.append(
+            f"aggregate(array({cands}), "
+            f"named_struct('c', -1, 'd', cast('Infinity' as double)), "
+            f"(acc, x) -> if(x.d < acc.d, x, acc))"
+        )
+    best = "array(" + ", ".join(picks) + ")"
+    return embeddings.select(
+        F.col(id_col),
+        F.expr(best).alias("_best"),
+    ).select(
+        F.col(id_col),
+        F.expr("transform(_best, x -> x.c)").alias("codes"),
+        F.expr(
+            "aggregate(_best, cast(0.0 as double), (acc, x) -> acc + x.d)"
+        ).alias("recon_err"),
+    )
