@@ -45,10 +45,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from onto_text_tag_spark.operators.dedup import content_digest
 from onto_text_tag_spark.plans.kg_absorb import _append_batch_files
 from onto_text_tag_spark.sinks import (
+    append_stage_iceberg,
     commit_stage,
+    iceberg_available,
     read_manifest,
     read_stage,
-    require_file_backed_stages,
     run_stage,
     snapshot_log,
     write_stage,
@@ -106,8 +107,17 @@ def absorb_paragraph_batch(
     """Commit one delta batch into paragraph-dedup root ``root``
     (stage → append → seal).  Returns batch metrics; an
     already-committed fingerprint returns a no-op marker without
-    touching the store."""
-    require_file_backed_stages(spark, "absorb_paragraph_batch")
+    touching the store.
+
+    Works under BOTH stage backends: file-backed roots commit via
+    ``_append_batch_files`` + ``commit_stage``; under an Iceberg
+    session catalog the same staged snapshots commit via
+    ``sinks.append_stage_iceberg`` (one atomic table append per stage,
+    per-stage fingerprint idempotency) — this path is append-only, so
+    it needs no ``_swap_subtree`` analog.  It is the proving slice of
+    the table-level incremental protocol: the kg_update mention
+    append commits are the same shape (the co-occurrence weight swap
+    is the remaining file-backed-only piece)."""
     t0 = time.time()
     if paragraph_batch_already_committed(root, batch_fp):
         return {
@@ -210,25 +220,40 @@ def absorb_paragraph_batch(
     n_docs = read_manifest(staging, "deduped")["total_rows"]
     del new_digests
 
-    _append_batch_files(
-        os.path.join(staging, "para_digests", "data"),
-        os.path.join(root, "para_digests", "data"), tag)
-    _append_batch_files(
-        os.path.join(staging, "deduped", "data"),
-        os.path.join(root, "deduped", "data"), tag)
     metrics = {
         "batch_fingerprint": batch_fp,
         "batch_docs": n_docs,
         "batch_new_digests": n_new_digests,
     }
-    for stage in ("para_digests", "deduped"):  # deduped LAST: commit point
-        try:
-            prev = read_manifest(root, stage)["input_fingerprint"]
-        except OSError:
-            prev = "bootstrap"
-        combined = hashlib.md5(f"{prev}+{batch_fp}".encode()).hexdigest()
-        commit_stage(root, stage, input_fingerprint=combined,
-                     metrics=metrics)
+    if iceberg_available(spark):
+        # table-level commits: one atomic append per stage from the
+        # MATERIALIZED staging snapshot (staging first — appending
+        # para_digests before the deduped relation is computed would
+        # anti-join the batch's own paragraphs away under lazy eval);
+        # deduped LAST = commit point, same as the file path.  A real
+        # catalog deployment drops the staging tables afterwards;
+        # the local staging sidecars are removed below either way.
+        for stage in ("para_digests", "deduped"):
+            append_stage_iceberg(
+                read_stage(spark, staging, stage), spark, root, stage,
+                batch_fp, metrics=metrics,
+            )
+    else:
+        _append_batch_files(
+            os.path.join(staging, "para_digests", "data"),
+            os.path.join(root, "para_digests", "data"), tag)
+        _append_batch_files(
+            os.path.join(staging, "deduped", "data"),
+            os.path.join(root, "deduped", "data"), tag)
+        for stage in ("para_digests", "deduped"):  # deduped LAST: commit
+            try:
+                prev = read_manifest(root, stage)["input_fingerprint"]
+            except OSError:
+                prev = "bootstrap"
+            combined = hashlib.md5(
+                f"{prev}+{batch_fp}".encode()).hexdigest()
+            commit_stage(root, stage, input_fingerprint=combined,
+                         metrics=metrics)
     shutil.rmtree(staging, ignore_errors=True)
 
     return {

@@ -343,6 +343,65 @@ def stage_is_current(root: str, stage: str, input_fingerprint: str = "") -> bool
     return recorded == input_fingerprint
 
 
+def append_stage_iceberg(
+    df: DataFrame,
+    spark: SparkSession,
+    root: str,
+    stage: str,
+    batch_fp: str,
+    metrics: dict | None = None,
+) -> dict:
+    """Table-level analog of the file-append incremental commit
+    (``_append_batch_files`` + ``commit_stage``) under an Iceberg
+    session catalog: the batch rows land via ``writeTo(table).append()``
+    — ONE atomic Iceberg snapshot — and the sidecar manifest/snapshot
+    log re-seals over the grown table, chaining the input fingerprint
+    exactly like the file path does.
+
+    Per-stage idempotent: a ``batch_fp`` already present in this
+    stage's snapshot log returns the current manifest without touching
+    the table (the analog of ``_append_batch_files`` skipping landed
+    batch-prefixed files), so a crash between two stage appends
+    replays safely — re-running the absorb re-appends only the stages
+    whose seal is missing.
+
+    This is the append half of the Iceberg incremental protocol the
+    round-3 refusal (``require_file_backed_stages``) named as missing;
+    the ``_swap_subtree`` analog (RewriteFiles / ``createOrReplace``)
+    remains file-backed-only, so swap-dependent paths still refuse.
+    """
+    data_path, manifest_path, marker_path = _stage_paths(root, stage)
+    del data_path
+    for snap in snapshot_log(root, stage):
+        if snap.get("metrics", {}).get("batch_fingerprint") == batch_fp:
+            return read_manifest(root, stage)
+    prev = read_manifest(root, stage)
+    if prev.get("format") != "iceberg":
+        raise ValueError(
+            f"append_stage_iceberg: stage {stage!r} under {root!r} is "
+            "file-backed (use _append_batch_files + commit_stage)"
+        )
+    table = prev["table"]
+    df.writeTo(table).append()
+    total = spark.table(table).count()
+    combined = hashlib.md5(
+        f"{prev.get('input_fingerprint', '')}+{batch_fp}".encode()
+    ).hexdigest()
+    manifest = {
+        "stage": stage,
+        "written_at_unix": int(time.time()),
+        "input_fingerprint": combined,
+        "format": "iceberg",
+        "table": table,
+        "partition_by": prev.get("partition_by", []),
+        "partitions": [{"rows": total}],
+        "total_rows": total,
+        "metrics": {**(metrics or {}), "batch_fingerprint": batch_fp},
+        "schema": prev.get("schema"),
+    }
+    return _commit_manifest(manifest_path, marker_path, manifest)
+
+
 def read_stage(
     spark: SparkSession, root: str, stage: str,
     snapshot_id: int | None = None,
