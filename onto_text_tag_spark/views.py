@@ -133,3 +133,26 @@ def register_ivf_views(
         df.createOrReplaceTempView(view)
         out[name] = view
     return out
+
+
+def register_pq_views(
+    spark: SparkSession, pq_root: str, prefix: str = "pq_"
+) -> dict[str, str]:
+    """Register temp views over an incrementally maintained PQ code
+    store root (plans/pq_absorb.py): ``codebooks``, ``codes`` (the
+    stored compressed vectors + reconstruction error) and
+    ``err_stats`` (per-batch additive error sums, the
+    codebook-staleness trend source)."""
+    registered: dict[str, DataFrame] = {}
+    for stage, name in (("pq_codebooks", "codebooks"),
+                        ("pq_codes", "codes"),
+                        ("pq_err_stats", "err_stats")):
+        if _stage_exists(pq_root, stage):
+            registered[name] = read_stage(spark, pq_root, stage)
+
+    out: dict[str, str] = {}
+    for name, df in registered.items():
+        view = f"{prefix}{name}"
+        df.createOrReplaceTempView(view)
+        out[name] = view
+    return out

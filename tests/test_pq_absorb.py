@@ -164,3 +164,66 @@ def test_encode_with_error_matches_pq_encode_and_numpy(spark, codebooks):
             dists = ((cb[s] - v[s * 4:(s + 1) * 4]) ** 2).sum(1)
             err += float(dists.min())
         assert abs(withe[i][1] - err) < 1e-9, i
+
+
+def test_pq_index_job_e2e(tmp_path, spark):
+    """spark-submit e2e: --init trains codebooks + encodes the seed
+    corpus, a second submit absorbs the delta, --report prints the
+    error trend; resubmit of the same delta is a committed no-op."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = str(tmp_path)
+    pkg = os.path.join(tmp, "pkg.zip")
+    with zipfile.ZipFile(pkg, "w", zipfile.ZIP_DEFLATED) as zf:
+        pkgdir = os.path.join(repo, "onto_text_tag_spark")
+        for root, _dirs, files in os.walk(pkgdir):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    zf.write(p, os.path.relpath(p, repo))
+
+    def submit(*script_args):
+        env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+        out = subprocess.run(
+            ["spark-submit", "--master", "local[4]",
+             "--conf", "spark.ui.enabled=false", "--py-files", pkg,
+             os.path.join(repo, "jobs", "pq_index.py"), *script_args],
+            capture_output=True, text=True, timeout=420, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        return json.loads(
+            [ln for ln in out.stdout.splitlines()
+             if ln.startswith("{")][-1]
+        )
+
+    seed = os.path.join(tmp, "seed.parquet")
+    delta = os.path.join(tmp, "delta.parquet")
+    spark.createDataFrame(_vec_rows(40, seed=21),
+                          ["vec_id", "embedding"]).write.parquet(seed)
+    spark.createDataFrame(_vec_rows(15, seed=22, start=40),
+                          ["vec_id", "embedding"]).write.parquet(delta)
+    root = os.path.join(tmp, "pqidx")
+
+    got = submit("--root", root, "--init", "--input", seed,
+                 "--m", "2", "--ksub", "4", "--iterations", "2")
+    assert got["init"]["status"] == "initialized"
+    assert got["absorb"]["status"] == "committed"
+    assert got["absorb"]["n_new_vecs"] == 40
+    assert got["report"]["n_vecs"] == 40
+    assert got["report"]["mean_recon_err"] > 0
+
+    got2 = submit("--root", root, "--input", delta)
+    assert got2["absorb"]["status"] == "committed"
+    assert got2["absorb"]["n_new_vecs"] == 15
+    assert got2["report"]["n_vecs"] == 55
+    assert len(got2["report"]["batches"]) == 2
+
+    rep = submit("--root", root, "--input", delta)  # replay: no-op
+    assert rep["absorb"]["status"] == "noop_already_committed"
+    health = submit("--root", root, "--report")
+    assert health["n_vecs"] == 55 and health["m"] == 2

@@ -223,3 +223,42 @@ def test_register_ivf_views(spark, tmp_path):
         "ivf_centroids t ON c.cell = t.cell"
     ).collect()[0][0]
     assert dangling == 0
+
+
+def test_register_pq_views(spark, tmp_path):
+    """The PQ store root's stages surface as SQL views; an ADC-side
+    audit query runs as plain spark.sql over them."""
+    import math
+    import random
+
+    from onto_text_tag_spark.plans.pq_absorb import (
+        absorb_pq_batch,
+        init_pq_root,
+    )
+    from onto_text_tag_spark.views import register_pq_views
+
+    rng = random.Random(31)
+
+    def vec():
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    cbs = [[vec()[s * 4:(s + 1) * 4] for _ in range(4)]
+           for s in range(2)]
+    root = str(tmp_path / "pq")
+    init_pq_root(spark, root, cbs)
+    emb = spark.createDataFrame(
+        [(i, vec()) for i in range(25)], ["vec_id", "embedding"]
+    )
+    absorb_pq_batch(spark, root, emb, batch_fp="v1")
+
+    views = register_pq_views(spark, root)
+    assert set(views) == {"codebooks", "codes", "err_stats"}
+    assert spark.sql("SELECT count(*) AS n FROM pq_codes").first()["n"] == 25
+    assert spark.sql(
+        "SELECT count(*) AS n FROM pq_codebooks").first()["n"] == 8
+    worst = spark.sql(
+        "SELECT vec_id FROM pq_codes ORDER BY recon_err DESC, vec_id "
+        "LIMIT 3").collect()
+    assert len(worst) == 3
