@@ -2606,6 +2606,117 @@ def run_paragraph_skew_bench(cores: int = 8) -> dict:
     }
 
 
+def run_image_dedup_scaling(low: int = 2, high: int = 8) -> dict:
+    """Two-parallelism-level run of the perceptual image-dedup pipeline
+    (operators/multimodal.py:image_dhash → Hamming-banded candidates →
+    exact verify) over the SAME dup-planted synthetic image corpus —
+    the north_rule two-cluster-size evidence for the multimodal dedup
+    family.  Corpus: IMGDEDUP_DOCS real PNG payloads (deterministic
+    gradients, encoded by the engine's own codec), 10% of which are
+    one-pixel-perturbed copies of an earlier image (planted near-dups
+    the pipeline must find).  Interleaved repeats min-of-N; outputs
+    asserted identical across levels."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.multimodal import (
+        image_near_duplicates,
+    )
+
+    n_imgs = int(os.environ.get("SPARK_GRAFT_IMGDEDUP_DOCS", "20000"))
+    corpus = os.path.join(SCALING_DIR, f"imgcorpus_{n_imgs}.parquet")
+    if not os.path.exists(corpus):
+        from onto_text_tag_spark.functions import media_codecs as mc
+
+        spark = _session(high)
+        src = spark.range(n_imgs).select(F.col("id"))
+
+        def gen(it):
+            for batch in it:
+                rows = []
+                for i in batch["id"]:
+                    i = int(i)
+                    if i % 10 == 9:
+                        # near-dup of image i-1: same gradient, one
+                        # pixel nudged — must land within max_dist
+                        base_seed, nudge = i - 1, True
+                    else:
+                        base_seed, nudge = i, False
+                    h, w = 16 + base_seed % 8, 24 + base_seed % 8
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    # per-image slopes drawn from large co-prime ranges
+                    # so distinct images get distinct gradient-direction
+                    # patterns (a small slope vocabulary makes thousands
+                    # of accidental hash-identical images and the pair
+                    # set quadratically explodes past the planted dups)
+                    sx = 1 + base_seed % 97
+                    sy = 1 + (base_seed // 7) % 89
+                    px = np.stack(
+                        [(xx * sx + yy * sy
+                          + base_seed * 31 + c * 13) % 256
+                         for c in range(3)], axis=2).astype(np.uint8)
+                    if nudge:
+                        px[1, 2] = (px[1, 2] + 5) % 256
+                    rows.append((str(i), "image", "png",
+                                 mc.encode_png(px)))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "kind", "format", "payload"])
+
+        src.repartition(high * 4).mapInPandas(
+            gen,
+            schema="media_id string, kind string, format string, "
+                   "payload binary",
+        ).write.parquet(corpus)
+        spark.stop()
+
+    best: dict[int, float] = {}
+    sigs: dict[int, tuple] = {}
+    n_planted = n_imgs // 10
+    for _rep in range(SCALING_REPEATS):
+        for cores in (low, high):  # interleaved
+            spark = _session(cores)
+            spark.range(1_000_000).select(
+                F.bit_xor(F.xxhash64("id"))).collect()
+            media = spark.read.parquet(corpus)
+            dups = image_near_duplicates(media, max_dist=10)
+            t0 = time.perf_counter()
+            row = dups.select(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64("id_a", "id_b", "hamming"))
+                .alias("h"),
+            ).collect()[0]
+            sec = round(time.perf_counter() - t0, 2)
+            spark.stop()
+            sig = (row["n"], row["h"])
+            sigs.setdefault(cores, sig)
+            assert sigs[cores] == sig, (cores, sigs[cores], sig)
+            if cores not in best or sec < best[cores]:
+                best[cores] = sec
+    assert sigs[low] == sigs[high], sigs
+    eff = (best[low] / best[high]) / (high / low)
+    return {
+        "job": "image_near_duplicates (dHash + Hamming-banded LSH + "
+               "exact verify) over real PNG payloads",
+        "corpus_images": n_imgs,
+        "planted_near_dups": n_planted,
+        "pairs_found": sigs[low][0],
+        "low_cores": low,
+        "high_cores": high,
+        "low_sec": best[low],
+        "high_sec": best[high],
+        "low_imgs_per_sec": round(n_imgs / best[low], 1),
+        "high_imgs_per_sec": round(n_imgs / best[high], 1),
+        "speedup": round(best[low] / best[high], 2),
+        "scaling_efficiency": round(eff, 3),
+        "outputs_identical": True,
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 def run_ann_bench(
     cores: int = 8,
     n_vecs: int = 200_000,
@@ -3110,6 +3221,35 @@ def main() -> None:
                     f"{rep['exact_sec']} s exact brute force over raw "
                     f"vectors.\n"
                 )
+            )
+        print(json.dumps(rep))
+        return
+    if "--scaling-image-dedup" in sys.argv:
+        low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
+        high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
+        rep = run_image_dedup_scaling(low=low, high=high)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Scaling run — {rep['job']}, "
+                f"{rep['corpus_images']} images "
+                f"({rep['planted_near_dups']} planted near-dups, "
+                f"{rep['pairs_found']} pairs found)\n\n"
+                f"| cores | sec | imgs/sec |\n|---|---|---|\n"
+                f"| local[{rep['low_cores']}] | {rep['low_sec']} | "
+                f"{rep['low_imgs_per_sec']} |\n"
+                f"| local[{rep['high_cores']}] | {rep['high_sec']} | "
+                f"{rep['high_imgs_per_sec']} |\n"
+                f"\nspeedup {rep['low_cores']}->{rep['high_cores']}: "
+                f"{rep['speedup']}x, efficiency "
+                f"{rep['scaling_efficiency']}.  Outputs bit-identical "
+                "at both levels (pair-set hash), interleaved "
+                "min-of-N.\n"
+            )
+            cap = rep["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, "
+                f"units/sec by process count):\n\n{json.dumps(cap)}\n"
             )
         print(json.dumps(rep))
         return

@@ -37,11 +37,15 @@ from onto_text_tag_spark.operators.cooccur import (
 from onto_text_tag_spark.operators.tagger import tag_documents
 from onto_text_tag_spark.plans.kg_pipeline import extract_texts
 from onto_text_tag_spark.sinks import (
+    append_stage_iceberg,
     commit_stage,
+    iceberg_available,
     read_manifest,
     read_stage,
+    replace_stage_partitions_iceberg,
     require_file_backed_stages,
     run_stage,
+    seal_stage_iceberg,
     snapshot_log,
     stage_is_current,
     write_stage,
@@ -198,8 +202,28 @@ def absorb_batch(
     merges are idempotent), trends warns and records the uncovered
     batches, and REPLAYING a main-committed batch with the flag
     back-fills its side stage from the batch-tagged mention files
-    while the main commit stays a no-op."""
-    require_file_backed_stages(spark, "absorb_batch")
+    while the main commit stays a no-op.
+
+    Under an Iceberg session catalog the SAME staged snapshots commit
+    table-level: mentions/doc_terms/mention-triples rows APPEND
+    (``sinks.append_stage_iceberg`` + a local append marker for the
+    within-stage mention-triples append), and the merged co-occurrence
+    branch lands via ``writeTo(...).overwritePartitions()`` — Iceberg's
+    dynamic partition replacement IS the ``_swap_subtree`` analog for
+    the ``pred=co_occurs_with`` branch.  Replays are safe because the
+    staged snapshots are fingerprint-materialized BEFORE any live
+    mutation (re-running overwrites with identical content).  The
+    ``--sketch``/``--trends`` side stages still use staged file swaps
+    and refuse under a catalog."""
+    ice = iceberg_available(spark)
+    if ice and (sketch_k or trends_bucket):
+        raise NotImplementedError(
+            "absorb_batch: the --sketch/--trends side stages commit "
+            "through staged file swaps (absorb_term_sketch / "
+            "absorb_trends) and are not available under an Iceberg "
+            "session catalog yet — absorb without the flags, or "
+            "disable the catalog for this root"
+        )
     t0 = time.time()
     stage_sec: dict[str, float] = {}
 
@@ -282,7 +306,8 @@ def absorb_batch(
             out["sec"] = round(time.time() - t0, 2)
         return out
 
-    _recover_swap(live_cooccur)
+    if not ice:
+        _recover_swap(live_cooccur)
 
     docs = extract_texts(docs)
     if lang and "lang" in docs.columns:
@@ -327,9 +352,18 @@ def absorb_batch(
             delta_doc_terms, assume_deduped=True),
         input_fingerprint=batch_fp,
     ))
-    old_edges = spark.read.parquet(live_cooccur).select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst"), "weight"
-    )
+    if ice:
+        old_edges = (
+            read_stage(spark, kg_root, "triples")
+            .where(F.col("pred") == "co_occurs_with")
+            .select(F.col("subj").alias("src"),
+                    F.col("obj").alias("dst"), "weight")
+        )
+    else:
+        old_edges = spark.read.parquet(live_cooccur).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"),
+            "weight"
+        )
     timed("merge_edges", lambda: run_stage(
         spark, staging, "merged_cooccur",
         lambda: merge_cooccurrence_edges(old_edges, delta_edges).select(
@@ -354,6 +388,12 @@ def absorb_batch(
         ))
 
     # --- commit: append + swap, then seal manifests + snapshot log --------
+    metrics = {
+        "batch_fingerprint": batch_fp,
+        "batch_docs": n_new_docs,
+        "batch_mentions": n_new_mentions,
+    }
+
     def _commit():
         _append_batch_files(
             os.path.join(staging, "mentions", "data"),
@@ -367,11 +407,6 @@ def absorb_batch(
         _swap_subtree(
             os.path.join(staging, "merged_cooccur", "data"), live_cooccur)
 
-        metrics = {
-            "batch_fingerprint": batch_fp,
-            "batch_docs": n_new_docs,
-            "batch_mentions": n_new_mentions,
-        }
         for stage in ("mentions", "doc_terms", "triples"):
             prev = read_manifest(kg_root, stage)["input_fingerprint"]
             combined = hashlib.md5(
@@ -380,7 +415,40 @@ def absorb_batch(
                          input_fingerprint=combined, metrics=metrics)
         shutil.rmtree(staging, ignore_errors=True)
 
-    timed("commit", _commit)
+    def _commit_iceberg():
+        # per-stage appends are individually idempotent by batch
+        # fingerprint; the two table commits inside the triples stage
+        # (append pred='mentions' rows, overwrite the co_occurs_with
+        # partition) get a local append marker so a crash between them
+        # replays without double-appending — the overwrite itself is
+        # replay-safe because merged_cooccur is a fingerprint-
+        # materialized staging snapshot, not a live recompute
+        append_stage_iceberg(
+            read_stage(spark, staging, "mentions"), spark, kg_root,
+            "mentions", batch_fp, metrics=metrics)
+        append_stage_iceberg(
+            read_stage(spark, staging, "doc_terms"), spark, kg_root,
+            "doc_terms", batch_fp, metrics=metrics)
+        tri_table = read_manifest(kg_root, "triples")["table"]
+        append_marker = os.path.join(
+            kg_root, "triples", f"_append-{tag}.done")
+        if not os.path.exists(append_marker):
+            (read_stage(spark, staging, "mention_triples")
+             .withColumn("pred", F.lit("mentions"))
+             .select("subj", "obj", "weight", "pred")
+             .writeTo(tri_table).append())
+            with open(append_marker, "w") as fh:
+                fh.write(batch_fp)
+        replace_stage_partitions_iceberg(
+            read_stage(spark, staging, "merged_cooccur")
+            .withColumn("pred", F.lit("co_occurs_with"))
+            .select("subj", "obj", "weight", "pred"),
+            spark, kg_root, "triples")
+        seal_stage_iceberg(spark, kg_root, "triples", batch_fp,
+                           metrics=metrics)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    timed("commit", _commit_iceberg if ice else _commit)
 
     return {
         "status": "committed",

@@ -216,6 +216,23 @@ def write_stage_branches(
     import shutil
 
     data_path, manifest_path, marker_path = _stage_paths(root, stage)
+    first_df = next(iter(branches.values()))
+    if iceberg_available(first_df.sparkSession):
+        # under a catalog the stage is ONE partitioned table; Iceberg's
+        # own commit machinery owns per-partition file placement, so
+        # the per-branch-job scheduling trick above degrades to the
+        # fused dynamic-partition write
+        from pyspark.sql import functions as F
+
+        union = None
+        for value, df in branches.items():
+            part = df.drop(partition_col).withColumn(
+                partition_col, F.lit(value))
+            union = part if union is None else union.unionByName(part)
+        return _write_stage_iceberg(
+            union, first_df.sparkSession, root, stage, manifest_path,
+            marker_path, [partition_col], input_fingerprint, metrics,
+        )
     shutil.rmtree(data_path, ignore_errors=True)
     schema_json = None
     for value, df in branches.items():
@@ -397,6 +414,68 @@ def append_stage_iceberg(
         "partitions": [{"rows": total}],
         "total_rows": total,
         "metrics": {**(metrics or {}), "batch_fingerprint": batch_fp},
+        "schema": prev.get("schema"),
+    }
+    return _commit_manifest(manifest_path, marker_path, manifest)
+
+
+def replace_stage_partitions_iceberg(
+    df: DataFrame,
+    spark: SparkSession,
+    root: str,
+    stage: str,
+) -> None:
+    """Dynamic-partition replacement under an Iceberg catalog:
+    ``writeTo(table).overwritePartitions()`` atomically swaps exactly
+    the partitions PRESENT in ``df`` and leaves every other partition
+    untouched — the table-level analog of ``_swap_subtree`` on one
+    hive branch directory (e.g. the co-occurrence ``pred=`` branch of
+    the triples stage).  The caller seals the stage manifest
+    afterwards (``seal_stage_iceberg``); replays are safe when ``df``
+    is a MATERIALIZED staging snapshot (re-running overwrites with the
+    same content)."""
+    prev = read_manifest(root, stage)
+    if prev.get("format") != "iceberg":
+        raise ValueError(
+            f"replace_stage_partitions_iceberg: stage {stage!r} under "
+            f"{root!r} is file-backed (use _swap_subtree)"
+        )
+    df.writeTo(prev["table"]).overwritePartitions()
+
+
+def seal_stage_iceberg(
+    spark: SparkSession,
+    root: str,
+    stage: str,
+    batch_fp: str,
+    metrics: dict | None = None,
+) -> dict:
+    """Re-seal a table-backed stage after out-of-band table commits
+    (append / overwritePartitions): recompute the row total from the
+    live table and chain the input fingerprint — the Iceberg analog of
+    ``commit_stage``'s parquet-footer re-scan."""
+    _data, manifest_path, marker_path = _stage_paths(root, stage)
+    prev = read_manifest(root, stage)
+    if prev.get("format") != "iceberg":
+        raise ValueError(
+            f"seal_stage_iceberg: stage {stage!r} under {root!r} is "
+            "file-backed (use commit_stage)"
+        )
+    table = prev["table"]
+    total = spark.table(table).count()
+    combined = hashlib.md5(
+        f"{prev.get('input_fingerprint', '')}+{batch_fp}".encode()
+    ).hexdigest()
+    manifest = {
+        "stage": stage,
+        "written_at_unix": int(time.time()),
+        "input_fingerprint": combined,
+        "format": "iceberg",
+        "table": table,
+        "partition_by": prev.get("partition_by", []),
+        "partitions": [{"rows": total}],
+        "total_rows": total,
+        "metrics": metrics or {},
         "schema": prev.get("schema"),
     }
     return _commit_manifest(manifest_path, marker_path, manifest)
