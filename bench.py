@@ -2717,6 +2717,88 @@ def run_image_dedup_scaling(low: int = 2, high: int = 8) -> dict:
     }
 
 
+def run_ivfpq_scaling(low: int = 2, high: int = 8) -> dict:
+    """Two-parallelism-level run of the composed IVFPQ serving operator
+    over the SAME 200k clustered ANN corpus — the north_rule
+    two-cluster-size evidence for the ANN serving path.  Codebooks and
+    coarse centroids are trained ONCE (driver-side artifacts, identical
+    at both levels — an index is trained once and served many times);
+    the measured work is the serving plan: one store scan computing
+    cell+codes, ADC in probed cells, shortlist, exact re-rank.
+    Interleaved repeats min-of-N; outputs asserted identical."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.similarity import (
+        ivfpq_topk,
+        kmeans_centroids,
+        pq_trained_codebooks,
+    )
+
+    n_vecs, dim, n_planted, noise = 200_000, 32, 96, 0.9
+    n_queries, k, n_centroids = 50, 10, 64
+    path = os.path.join(
+        SCALING_DIR,
+        f"ann_bench_{n_vecs}x{dim}_c{n_planted}_n{noise}.parquet",
+    )
+    if not os.path.exists(path):
+        raise SystemExit("run --bench-pq first to build the ANN corpus")
+
+    spark = _session(high)
+    emb = spark.read.parquet(path)
+    cbs = pq_trained_codebooks(emb, m=16, ksub=16, iterations=5)
+    cents = kmeans_centroids(emb, k=n_centroids, iterations=5)
+    spark.stop()
+
+    best: dict[int, float] = {}
+    sigs: dict[int, tuple] = {}
+    for _rep in range(SCALING_REPEATS):
+        for cores in (low, high):  # interleaved
+            spark = _session(cores)
+            spark.range(1_000_000).select(
+                F.bit_xor(F.xxhash64("id"))).collect()
+            emb = spark.read.parquet(path)
+            queries = emb.where(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("query_id"), "embedding")
+            res = ivfpq_topk(
+                emb, queries, cbs, k=k, num_centroids=n_centroids,
+                nprobe=4, shortlist=10 * k, centroids=cents)
+            t0 = time.perf_counter()
+            row = res.select(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64(
+                    "query_id", "cand_id", "rank")).alias("h"),
+            ).collect()[0]
+            sec = round(time.perf_counter() - t0, 2)
+            spark.stop()
+            sig = (row["n"], row["h"])
+            sigs.setdefault(cores, sig)
+            assert sigs[cores] == sig, (cores, sigs[cores], sig)
+            if cores not in best or sec < best[cores]:
+                best[cores] = sec
+    assert sigs[low] == sigs[high], sigs
+    eff = (best[low] / best[high]) / (high / low)
+    return {
+        "job": "ivfpq_topk serving plan (trained coarse centroids + "
+               "codebooks, nprobe=4, 10k shortlist, exact re-rank)",
+        "n_vecs": n_vecs,
+        "n_queries": n_queries,
+        "k": k,
+        "low_cores": low,
+        "high_cores": high,
+        "low_sec": best[low],
+        "high_sec": best[high],
+        "low_vecs_per_sec": round(n_vecs / best[low], 1),
+        "high_vecs_per_sec": round(n_vecs / best[high], 1),
+        "speedup": round(best[low] / best[high], 2),
+        "scaling_efficiency": round(eff, 3),
+        "outputs_identical": True,
+        "result_rows": sigs[low][0],
+        "host_capacity_units_per_sec": {
+            str(k2): v for k2, v in _host_capacity().items()
+        },
+    }
+
+
 def run_ann_bench(
     cores: int = 8,
     n_vecs: int = 200_000,
@@ -3245,6 +3327,34 @@ def main() -> None:
                 f"{rep['scaling_efficiency']}.  Outputs bit-identical "
                 "at both levels (pair-set hash), interleaved "
                 "min-of-N.\n"
+            )
+            cap = rep["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, "
+                f"units/sec by process count):\n\n{json.dumps(cap)}\n"
+            )
+        print(json.dumps(rep))
+        return
+    if "--scaling-ivfpq" in sys.argv:
+        low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
+        high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
+        rep = run_ivfpq_scaling(low=low, high=high)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Scaling run — {rep['job']}, {rep['n_vecs']} "
+                f"vectors, {rep['n_queries']} queries, k={rep['k']}\n\n"
+                f"| cores | sec | store vecs/sec |\n|---|---|---|\n"
+                f"| local[{rep['low_cores']}] | {rep['low_sec']} | "
+                f"{rep['low_vecs_per_sec']} |\n"
+                f"| local[{rep['high_cores']}] | {rep['high_sec']} | "
+                f"{rep['high_vecs_per_sec']} |\n"
+                f"\nspeedup {rep['low_cores']}->{rep['high_cores']}: "
+                f"{rep['speedup']}x, efficiency "
+                f"{rep['scaling_efficiency']}.  Outputs bit-identical "
+                "at both levels (ranking hash), interleaved min-of-N; "
+                "index artifacts (codebooks + coarse centroids) "
+                "trained once and shared, as a served index is.\n"
             )
             cap = rep["host_capacity_units_per_sec"]
             fh.write(
