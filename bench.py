@@ -2624,7 +2624,7 @@ def run_image_dedup_scaling(low: int = 2, high: int = 8) -> dict:
         image_near_duplicates,
     )
 
-    n_imgs = int(os.environ.get("SPARK_GRAFT_IMGDEDUP_DOCS", "20000"))
+    n_imgs = int(os.environ.get("SPARK_GRAFT_IMGDEDUP_DOCS", "100000"))
     corpus = os.path.join(SCALING_DIR, f"imgcorpus_{n_imgs}.parquet")
     if not os.path.exists(corpus):
         from onto_text_tag_spark.functions import media_codecs as mc
@@ -2645,19 +2645,30 @@ def run_image_dedup_scaling(low: int = 2, high: int = 8) -> dict:
                         base_seed, nudge = i, False
                     h, w = 16 + base_seed % 8, 24 + base_seed % 8
                     yy, xx = np.mgrid[0:h, 0:w]
-                    # per-image slopes drawn from large co-prime ranges
-                    # so distinct images get distinct gradient-direction
-                    # patterns (a small slope vocabulary makes thousands
-                    # of accidental hash-identical images and the pair
-                    # set quadratically explodes past the planted dups)
-                    sx = 1 + base_seed % 97
-                    sy = 1 + (base_seed // 7) % 89
-                    px = np.stack(
-                        [(xx * sx + yy * sy
-                          + base_seed * 31 + c * 13) % 256
-                         for c in range(3)], axis=2).astype(np.uint8)
+                    # pseudo-random per-image pixels via a QUADRATIC
+                    # coordinate mix: anything linear in x keeps the
+                    # horizontal-delta sign pattern nearly identical
+                    # across seeds (only phase-shifted), so thousands
+                    # of images share a dHash and the pair set
+                    # quadratically explodes past the planted dups
+                    # (measured: 120k pairs for 2k planted); the x·seed
+                    # cross term of base² makes the gradient direction
+                    # seed-dependent — 0 accidental full-hash dups in
+                    # 5k images, candidates at birthday level only
+                    chans = []
+                    for c in range(3):
+                        base = (
+                            xx.astype(np.uint64) * np.uint64(0x9E3779B1)
+                            + yy.astype(np.uint64) * np.uint64(0x85EBCA77)
+                            + np.uint64((base_seed * 0xC2B2AE3D
+                                         + c * 0x27D4EB2F) & 0xFFFFFFFF)
+                        ) & np.uint64(0xFFFFFFFF)
+                        v = (base * base + base) & np.uint64(0xFFFFFFFF)
+                        chans.append(
+                            ((v >> np.uint64(13)) % 256).astype(np.uint8))
+                    px = np.stack(chans, axis=2)
                     if nudge:
-                        px[1, 2] = (px[1, 2] + 5) % 256
+                        px[2, 3] = (px[2, 3] + 5) % 256
                     rows.append((str(i), "image", "png",
                                  mc.encode_png(px)))
                 yield pd.DataFrame(
@@ -2680,6 +2691,12 @@ def run_image_dedup_scaling(low: int = 2, high: int = 8) -> dict:
             spark.range(1_000_000).select(
                 F.bit_xor(F.xxhash64("id"))).collect()
             media = spark.read.parquet(corpus)
+            # untimed same-shape warmup on a slice: cold codegen/AQE
+            # overhead across this pipeline's ~6 stages would
+            # otherwise floor the high-core wall time (the
+            # paragraph-skew bench lesson)
+            image_near_duplicates(
+                media.limit(2000), max_dist=10).count()
             dups = image_near_duplicates(media, max_dist=10)
             t0 = time.perf_counter()
             row = dups.select(
