@@ -483,21 +483,38 @@ def image_near_duplicates(
         media, id_col="media_id", num_hashes=4, bands=4,
         max_bucket_size=max_bucket_size, signatures=hashes,
     )
-    h1 = hashes.select(F.col("media_id").alias("id_a"),
-                       F.col("sig").alias("_sa"))
-    h2 = hashes.select(F.col("media_id").alias("id_b"),
-                       F.col("sig").alias("_sb"))
-    hamming = F.expr(
+    return verify_hamming_pairs(pairs, hashes, max_dist)
+
+
+def sig_hamming_col() -> "F.Column":
+    """Hamming distance between two 4-band dHash signatures riding as
+    ``_sa``/``_sb`` array<long> columns — 4 xor+popcount folds."""
+    return F.expr(
         " + ".join(
             f"bit_count(element_at(_sa, {i + 1}) ^ "
             f"element_at(_sb, {i + 1}))"
             for i in range(4)
         )
     ).cast("long")
+
+
+def verify_hamming_pairs(
+    pairs: DataFrame,
+    hashes: DataFrame,
+    max_dist: int,
+) -> DataFrame:
+    """Exact Hamming verify of candidate (id_a, id_b) pairs against an
+    (media_id, sig) hash relation: joins only the CANDIDATE pairs back
+    to the (small) hash relation — shared by the batch operator and
+    the incremental absorb."""
+    h1 = hashes.select(F.col("media_id").alias("id_a"),
+                       F.col("sig").alias("_sa"))
+    h2 = hashes.select(F.col("media_id").alias("id_b"),
+                       F.col("sig").alias("_sb"))
     return (
         pairs.join(h1, "id_a")
         .join(h2, "id_b")
-        .withColumn("hamming", hamming)
+        .withColumn("hamming", sig_hamming_col())
         .where(F.col("hamming") <= max_dist)
         .select("id_a", "id_b", "hamming")
     )
