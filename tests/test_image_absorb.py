@@ -113,3 +113,54 @@ def test_image_absorb_refused_under_catalog(spark, tmp_path, monkeypatch):
                 _media(spark, _rows([1])), "fp")
     finally:
         spark.conf.unset("spark.sql.catalog.spark_catalog")
+
+
+def test_streaming_image_sink_equals_batch(spark, tmp_path):
+    from onto_text_tag_spark.operators.multimodal import (
+        image_near_duplicates,
+    )
+    from onto_text_tag_spark.plans.image_absorb import (
+        init_image_root,
+        read_image_dups,
+    )
+    from onto_text_tag_spark.sinks import read_manifest
+    from onto_text_tag_spark.streaming.incremental import (
+        start_image_update_sink,
+    )
+
+    schema = ("media_id string, kind string, format string, "
+              "payload binary")
+    rows_a = _rows(range(12), near_of={7: 3})
+    rows_b = _rows(range(12, 24), near_of={15: 3, 21: 13})
+
+    root = str(tmp_path / "img_stream_root")
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    init_image_root(spark, root)
+
+    _media(spark, rows_a).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_image_update_sink(stream, root, ckpt,
+                                max_bucket_size=None, compact_every=1)
+    try:
+        q.processAllAvailable()
+        assert read_image_dups(spark, root).count() >= 1
+        _media(spark, rows_b).coalesce(1).write.mode("append") \
+            .parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    expected = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_duplicates(
+            _media(spark, rows_a + rows_b), max_dist=10,
+            max_bucket_size=None).collect()
+    }
+    live = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in read_image_dups(spark, root).collect()
+    }
+    assert live == expected
+    # compact_every=1 folded the appends back to single-file stages
+    assert read_manifest(root, "image_dups").get("n_files", 0) == 1
