@@ -2776,6 +2776,13 @@ def run_ivfpq_scaling(low: int = 2, high: int = 8) -> dict:
             emb = spark.read.parquet(path)
             queries = emb.where(F.col("vec_id") < n_queries).select(
                 F.col("vec_id").alias("query_id"), "embedding")
+            # untimed same-shape warmup on a slice: the m=16 x ksub=16
+            # encode fold is a large codegen unit whose compile cost
+            # would otherwise floor the high-core wall time
+            ivfpq_topk(
+                emb.limit(5000), queries, cbs, k=k,
+                num_centroids=n_centroids, nprobe=4,
+                shortlist=10 * k, centroids=cents).count()
             res = ivfpq_topk(
                 emb, queries, cbs, k=k, num_centroids=n_centroids,
                 nprobe=4, shortlist=10 * k, centroids=cents)

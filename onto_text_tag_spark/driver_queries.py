@@ -4977,6 +4977,89 @@ FROM ham WHERE hamming <= 12
 """
 
 
+def q_mm_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup pairs (operators/multimodal.py:
+    audio_near_duplicates): block-energy dHash over REAL decoded PCM
+    samples, Hamming-banded candidates, exact verify.  The oracle
+    recomputes every sample of the deterministic sawtooth
+    arithmetically — a wrong value anywhere in the RIFF walk, sample
+    decode, block split, or banding produces a different pair set."""
+    from onto_text_tag_spark.operators.multimodal import (
+        audio_near_duplicates,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(_docs(spark, sf_dir))
+    dups = audio_near_duplicates(media, max_dist=8,
+                                 max_bucket_size=None)
+    a, b = F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    return dups.select(
+        F.least(a, b).alias("id_a"),
+        F.greatest(a, b).alias("id_b"),
+        "hamming",
+    )
+
+
+def sql_mm_audio_dups() -> str:
+    # audio doc_id (doc_id % 3 = 1): n = 80*(1 + doc_id % 30) samples,
+    # sample k = (k * (doc_id % 17 + 1)) % 2003 - 1001
+    # (synthesize_real_media); 65 equal blocks (j*n//65), integer mean
+    # |amplitude| per block, one bit per adjacent pair, 4x16-bit bands
+    return """
+WITH auds AS (
+  SELECT doc_id, 80 * (1 + doc_id % 30) AS n, (doc_id % 17 + 1) AS m
+  FROM documents WHERE doc_id % 3 = 1
+),
+ blocks AS (
+  SELECT doc_id, n, m, j.j,
+         (j.j * n) // 65 AS lo, ((j.j + 1) * n) // 65 AS hi
+  FROM auds, LATERAL unnest(range(0, 65)) AS j(j)
+ ),
+ samp AS (
+  SELECT b.doc_id, b.j, (b.hi - b.lo) AS cnt,
+         abs((k.k * b.m) % 2003 - 1001) AS a
+  FROM blocks b, LATERAL unnest(range(b.lo, b.hi)) AS k(k)
+ ),
+ energy AS (
+  SELECT doc_id, j, sum(a) // max(cnt) AS e
+  FROM samp GROUP BY doc_id, j
+ ),
+ bits AS (
+  SELECT a.doc_id, a.j, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM energy a
+  JOIN energy b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+  WHERE a.j < 64
+ ),
+ sigs AS (
+  SELECT doc_id, (j // 16) AS band,
+         sum(bit * (1::BIGINT << (j % 16)))::BIGINT AS bv
+  FROM bits GROUP BY doc_id, (j // 16)
+ ),
+ cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM sigs a
+  JOIN sigs b ON a.band = b.band AND a.bv = b.bv
+             AND a.doc_id < b.doc_id
+ ),
+ pf AS (
+  SELECT doc_id, list(bv ORDER BY band) AS sig FROM sigs
+  GROUP BY doc_id
+ ),
+ ham AS (
+  SELECT c.ida, c.idb,
+         (bit_count(xor(p1.sig[1], p2.sig[1]))
+          + bit_count(xor(p1.sig[2], p2.sig[2]))
+          + bit_count(xor(p1.sig[3], p2.sig[3]))
+          + bit_count(xor(p1.sig[4], p2.sig[4])))::BIGINT AS hamming
+  FROM cand c
+  JOIN pf p1 ON p1.doc_id = c.ida
+  JOIN pf p2 ON p2.doc_id = c.idb
+ )
+SELECT ida::BIGINT AS id_a, idb::BIGINT AS id_b, hamming
+FROM ham WHERE hamming <= 8
+"""
+
+
 _PQ_M = 8
 _PQ_KSUB = 16
 _PQ_SUBDIM = 8  # embeddings are 64-dim
@@ -5303,6 +5386,7 @@ QUERIES = {
     "sim_pq_topk": q_sim_pq_topk,
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "mm_image_dups": q_mm_image_dups,
+    "mm_audio_dups": q_mm_audio_dups,
     "text_packing_bpe": q_text_packing_bpe,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
@@ -5412,6 +5496,7 @@ ORACLES = {
     "sim_pq_topk": sql_sim_pq_topk(),
     "sim_ivfpq_topk": sql_sim_ivfpq_topk(),
     "mm_image_dups": sql_mm_image_dups(),
+    "mm_audio_dups": sql_mm_audio_dups(),
     "text_packing_bpe": sql_text_packing_bpe(),
     "events_tumbling": sql_events_tumbling(),
     "events_sessionize": sql_events_sessionize(),
@@ -5441,7 +5526,8 @@ ORACLES = {
 # head round 5's rotation — all are additionally bench-exercised or
 # pytest-pinned every round.
 _PRIORITY_KEYS = [
-    "sim_ivfpq_topk", "mm_image_dups", "text_packing_bpe",
+    "sim_ivfpq_topk", "mm_image_dups", "mm_audio_dups",
+    "text_packing_bpe",
     "dedup_paragraphs", "dedup_ngram_spans", "curation_bloom_decontam",
     "curation_nbquality", "emb_pq_codes", "sim_pq_topk",
     "curation_stats", "curation_decontam", "curation_split",
@@ -5457,7 +5543,6 @@ _PRIORITY_KEYS = [
     "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs",
     "dedup_jaccard", "dedup_word_jaccard", "dedup_simhash",
     "sim_topk", "sim_lsh_topk", "sim_ivf_cells", "sim_ivf_topk",
-    "sim_ivf_recall",
 ]
 
 QUERIES = {

@@ -826,6 +826,29 @@ def wav_info(payload: bytes) -> dict:
     }
 
 
+def decode_wav_samples(payload: bytes) -> "np.ndarray":
+    """PCM samples from a 16-bit WAV payload as an int16 array (first
+    channel of interleaved multi-channel audio) — the sample-level twin
+    of ``wav_info``'s metadata walk, for fingerprinting stages."""
+    info = wav_info(payload)
+    if info["bit_depth"] != 16:
+        raise ValueError(
+            f"decode_wav_samples: only 16-bit PCM supported, got "
+            f"{info['bit_depth']}-bit")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        if tag == b"data":
+            data = payload[pos + 8:pos + 8 + length]
+            samples = np.frombuffer(data, dtype="<i2")
+            if info["channels"] > 1:
+                samples = samples[::info["channels"]]
+            return samples.astype(np.int16)
+        pos += 8 + length + (length & 1)
+    raise ValueError("WAV without data chunk")
+
+
 # ---------------------------------------------------------------------------
 # MP4 (ISO BMFF)
 # ---------------------------------------------------------------------------

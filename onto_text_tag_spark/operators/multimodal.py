@@ -518,3 +518,77 @@ def verify_hamming_pairs(
         .where(F.col("hamming") <= max_dist)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def audio_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual audio fingerprint over real PCM payloads — the audio
+    member of the multimodal dedup family (image twin: ``image_dhash``).
+
+    Block-energy difference hash: decode the 16-bit PCM samples, split
+    the waveform into 65 equal blocks (boundaries ``j·n//65`` — the
+    audio analog of the 9×8 nearest-neighbor resize), compute each
+    block's integer mean absolute amplitude, and emit one bit per
+    adjacent block pair (later louder than earlier).  Loudness-envelope
+    shape survives re-encoding, mild resampling, and amplitude scaling
+    — byte digests miss all three.  All-integer arithmetic, so an
+    oracle replays it exactly from known samples.  Output ``sig``:
+    64 bits as FOUR 16-bit bands — the ``lsh_candidate_pairs``
+    precomputed-signature shape, same as ``image_dhash``.
+    """
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    src = media.where(
+        (F.col("kind") == "audio") & (F.col("format") == "wav")
+    ).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for media_id, payload in zip(batch["media_id"],
+                                         batch["payload"]):
+                s = np.abs(
+                    mc.decode_wav_samples(bytes(payload))
+                    .astype(np.int64))
+                n = len(s)
+                energy = []
+                for j in range(65):
+                    lo, hi = j * n // 65, (j + 1) * n // 65
+                    cnt = hi - lo
+                    energy.append(
+                        int(s[lo:hi].sum()) // cnt if cnt else 0)
+                sig = []
+                for b in range(4):
+                    v = 0
+                    for k in range(16):
+                        j = 16 * b + k
+                        if energy[j + 1] > energy[j]:
+                            v |= 1 << k
+                    sig.append(v)
+                rows.append((media_id, sig))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_DHASH.fields]
+            )
+
+    return src.mapInPandas(batches, schema=IMAGE_DHASH)
+
+
+def audio_near_duplicates(
+    media: DataFrame,
+    max_dist: int = 8,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Perceptual near-duplicate audio pairs: block-energy dHash →
+    Hamming-banded candidates through ``lsh_candidate_pairs`` → exact
+    Hamming verify — the same scale shape as ``image_near_duplicates``
+    (one banded shuffle, capped joinless pair generation, verify joins
+    only candidates)."""
+    from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
+
+    hashes = audio_dhash(media)
+    pairs = lsh_candidate_pairs(
+        media, id_col="media_id", num_hashes=4, bands=4,
+        max_bucket_size=max_bucket_size, signatures=hashes,
+    )
+    return verify_hamming_pairs(pairs, hashes, max_dist)

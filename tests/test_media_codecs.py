@@ -474,3 +474,73 @@ def test_image_dhash_python_twin_and_near_duplicates(spark):
     assert ("a", "b") in got and got[("a", "b")] == ham(
         sigs["a"], sigs["b"])
     assert ("a", "c") not in got and ("b", "c") not in got
+
+
+def test_audio_dhash_python_twin_and_near_duplicates(spark):
+    """Audio perceptual dedup: block-energy dHash matches a from-
+    scratch python twin, an amplitude-scaled near-copy pairs with its
+    source, unrelated waveforms do not."""
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+    from onto_text_tag_spark.operators.multimodal import (
+        audio_dhash,
+        audio_near_duplicates,
+    )
+
+    n = 1300
+    t = np.arange(n)
+    base = ((t * 7) % 2003 - 1001).astype(np.int16)
+    # near-dup: 5% quieter + tiny dither — envelope shape preserved
+    near = (base.astype(np.int64) * 95 // 100
+            + (t % 3) - 1).astype(np.int16)
+    other = ((t * t * 13 + t * 5) % 1777 - 888).astype(np.int16)
+    rows = [
+        ("a", "audio", "wav", mc.encode_wav(base, 8000)),
+        ("b", "audio", "wav", mc.encode_wav(near, 8000)),
+        ("c", "audio", "wav", mc.encode_wav(other, 8000)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, format string, payload binary"
+    )
+
+    # decode twin: samples round-trip exactly
+    got = mc.decode_wav_samples(mc.encode_wav(base, 8000))
+    assert np.array_equal(got, base)
+
+    sigs = {r["media_id"]: list(r["sig"])
+            for r in audio_dhash(media).collect()}
+
+    def twin(samples):
+        s = np.abs(samples.astype(np.int64))
+        m = len(s)
+        e = []
+        for j in range(65):
+            lo, hi = j * m // 65, (j + 1) * m // 65
+            e.append(int(s[lo:hi].sum()) // (hi - lo) if hi > lo else 0)
+        sig = []
+        for b in range(4):
+            v = 0
+            for k in range(16):
+                j = 16 * b + k
+                if e[j + 1] > e[j]:
+                    v |= 1 << k
+            sig.append(v)
+        return sig
+
+    assert sigs["a"] == twin(base)
+    assert sigs["b"] == twin(near)
+    assert sigs["c"] == twin(other)
+
+    def ham(s1, s2):
+        return sum(bin(a ^ b).count("1") for a, b in zip(s1, s2))
+
+    assert ham(sigs["a"], sigs["b"]) <= 6
+    assert ham(sigs["a"], sigs["c"]) > 8
+
+    got_pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in audio_near_duplicates(
+                     media, max_dist=8, max_bucket_size=None).collect()}
+    assert ("a", "b") in got_pairs
+    assert got_pairs[("a", "b")] == ham(sigs["a"], sigs["b"])
+    assert ("a", "c") not in got_pairs and ("b", "c") not in got_pairs
