@@ -3869,6 +3869,53 @@ _NUM_CENTROIDS = 8
 _NPROBE = 2
 
 
+def q_text_bigram_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality signal (operators/textstats.py:
+    bigram_logloss): per-document mean cross-entropy under
+    p(b|a) = λ·c(ab)/c(a) + (1−λ)·Laplace-unigram — one KenLM order
+    above text_unigram_ll; separates shuffled-word spam from fluent
+    text where a bag-of-words model cannot."""
+    from onto_text_tag_spark.operators.textstats import bigram_logloss
+
+    return bigram_logloss(_docs(spark, sf_dir))
+
+
+def sql_text_bigram_ll() -> str:
+    return """
+WITH docsw AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                t -> t != '') AS w
+  FROM documents
+),
+ uni AS (SELECT unnest(w) AS word FROM docsw),
+ uc AS (SELECT word, count(*) AS n FROM uni GROUP BY word),
+ tot AS (SELECT sum(n) AS tot, count(*) AS v FROM uc),
+ big AS (
+  SELECT doc_id, w[t.i] AS a, w[t.i + 1] AS b
+  FROM docsw, LATERAL unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+ ),
+ bc AS (SELECT a, b, count(*) AS nab FROM big GROUP BY a, b),
+ lm AS (
+  SELECT bc.a, bc.b,
+         -ln(0.7 * bc.nab::DOUBLE / ua.n
+             + (1 - 0.7) * (ub.n + 1)::DOUBLE / (tot.tot + tot.v)) AS ll
+  FROM bc
+  JOIN uc ua ON ua.word = bc.a
+  JOIN uc ub ON ub.word = bc.b, tot
+ ),
+ sc AS (
+  SELECT g.doc_id, count(*) AS nb, avg(l.ll) AS ml
+  FROM big g JOIN lm l ON l.a = g.a AND l.b = g.b
+  GROUP BY g.doc_id
+ )
+SELECT d.doc_id, coalesce(sc.nb, 0)::BIGINT AS n_bigrams,
+       round(coalesce(sc.ml, 0.0), 4) AS mean_logloss
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
+
 def q_text_unigram_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity quality signal: per-document mean
     unigram cross-entropy against the corpus's own Laplace-smoothed
@@ -5387,6 +5434,7 @@ QUERIES = {
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "mm_image_dups": q_mm_image_dups,
     "mm_audio_dups": q_mm_audio_dups,
+    "text_bigram_ll": q_text_bigram_ll,
     "text_packing_bpe": q_text_packing_bpe,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
@@ -5497,6 +5545,7 @@ ORACLES = {
     "sim_ivfpq_topk": sql_sim_ivfpq_topk(),
     "mm_image_dups": sql_mm_image_dups(),
     "mm_audio_dups": sql_mm_audio_dups(),
+    "text_bigram_ll": sql_text_bigram_ll(),
     "text_packing_bpe": sql_text_packing_bpe(),
     "events_tumbling": sql_events_tumbling(),
     "events_sessionize": sql_events_sessionize(),
@@ -5527,6 +5576,7 @@ ORACLES = {
 # pytest-pinned every round.
 _PRIORITY_KEYS = [
     "sim_ivfpq_topk", "mm_image_dups", "mm_audio_dups",
+    "text_bigram_ll",
     "text_packing_bpe",
     "dedup_paragraphs", "dedup_ngram_spans", "curation_bloom_decontam",
     "curation_nbquality", "emb_pq_codes", "sim_pq_topk",
@@ -5542,7 +5592,7 @@ _PRIORITY_KEYS = [
     "text_profile", "corpus_quantiles", "text_chunks", "text_word_freqs",
     "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs",
     "dedup_jaccard", "dedup_word_jaccard", "dedup_simhash",
-    "sim_topk", "sim_lsh_topk", "sim_ivf_cells", "sim_ivf_topk",
+    "sim_topk", "sim_lsh_topk", "sim_ivf_cells",
 ]
 
 QUERIES = {

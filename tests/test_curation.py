@@ -652,3 +652,62 @@ def test_nb_quality_score_degenerate_class_raises(spark):
         nb_quality_score(docs, F.lit(True))
     with pytest.raises(ValueError, match="degenerate"):
         nb_quality_score(docs, F.lit(False))
+
+
+def test_bigram_logloss_first_principles(spark):
+    """Interpolated bigram LM against hand-computed probabilities, and
+    the discriminative property the unigram model lacks: shuffled
+    words score worse than fluent order with the SAME bag of words."""
+    import math
+
+    from onto_text_tag_spark.operators.textstats import (
+        bigram_logloss,
+        unigram_logloss,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "mat the on sat cat the"),   # same bag, shuffled order
+        (4, "zzz"),                       # single word: no bigrams
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_logloss(docs).collect()}
+
+    # hand model over the corpus: unigram counts and bigram counts
+    toks = {1: "the cat sat on the mat".split(),
+            2: "the cat sat on the mat".split(),
+            3: "mat the on sat cat the".split(),
+            4: ["zzz"], 5: []}
+    uc: dict = {}
+    bc: dict = {}
+    for ws in toks.values():
+        for w in ws:
+            uc[w] = uc.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+    tot, v = sum(uc.values()), len(uc)
+    lam = 0.7
+
+    def ll(ws):
+        vals = [
+            -math.log(lam * bc[(a, b)] / uc[a]
+                      + (1.0 - lam) * (uc[b] + 1) / (tot + v))
+            for a, b in zip(ws, ws[1:])
+        ]
+        return round(sum(vals) / len(vals), 4)
+
+    for d in (1, 2, 3):
+        assert got[d]["n_bigrams"] == 5
+        assert abs(got[d]["mean_logloss"] - ll(toks[d])) <= 1e-4, d
+    assert got[4]["n_bigrams"] == 0 and got[4]["mean_logloss"] == 0.0
+    assert got[5]["n_bigrams"] == 0 and got[5]["mean_logloss"] == 0.0
+
+    # the discriminative property: the shuffled doc's transitions are
+    # rarer, so its bigram loss is strictly higher...
+    assert got[3]["mean_logloss"] > got[1]["mean_logloss"]
+    # ...while the unigram model cannot tell them apart at all
+    ug = {r["doc_id"]: r["mean_logloss"]
+          for r in unigram_logloss(docs).collect()}
+    assert ug[1] == ug[3]
