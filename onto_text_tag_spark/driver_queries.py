@@ -5107,6 +5107,102 @@ FROM ham WHERE hamming <= 8
 """
 
 
+def q_mm_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video near-dup pairs (operators/multimodal.py:
+    video_near_duplicates): temporal luma-envelope dHash over REAL
+    decoded AVI frame pixels (full RIFF container walk + uncompressed
+    DIB frame decode), Hamming-banded candidates, exact verify.  The
+    oracle recomputes every pixel of every frame arithmetically — a
+    wrong byte anywhere in the AVI encode, RIFF walk, DIB row
+    unpadding/flip, luma fold, envelope resample, or banding produces
+    a different pair set."""
+    from onto_text_tag_spark.operators.multimodal import (
+        synthesize_real_media,
+        video_near_duplicates,
+    )
+
+    media = synthesize_real_media(_docs(spark, sf_dir),
+                                  video_format="avi")
+    dups = video_near_duplicates(media, max_dist=8,
+                                 max_bucket_size=None)
+    a, b = F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    return dups.select(
+        F.least(a, b).alias("id_a"),
+        F.greatest(a, b).alias("id_b"),
+        "hamming",
+    )
+
+
+def sql_mm_video_dups() -> str:
+    # video doc_id (doc_id % 3 = 2): nf = 6 + id%10 frames of
+    # w = 8 + id%8 x h = 6 + id%6; frame-f pixel (x, y, c) =
+    # (x*3 + y*5 + f*11 + id + c*7) % 256 (synthesize_real_media);
+    # per-frame mean luma = sum over pixels of channel-sum//3, // (w*h);
+    # envelope resampled to 65 points at index t*nf//65, one bit per
+    # adjacent pair, 4x16-bit bands (video_dhash)
+    return """
+WITH vids AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+         6 + doc_id % 10 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+),
+ px AS (
+  SELECT doc_id, w, h, f.f,
+         (((x.x * 3 + y.y * 5 + f.f * 11 + doc_id) % 256)
+          + ((x.x * 3 + y.y * 5 + f.f * 11 + doc_id + 7) % 256)
+          + ((x.x * 3 + y.y * 5 + f.f * 11 + doc_id + 14) % 256)) // 3
+             AS l
+  FROM vids,
+       LATERAL unnest(range(0, nf)) AS f(f),
+       LATERAL unnest(range(0, w)) AS x(x),
+       LATERAL unnest(range(0, h)) AS y(y)
+ ),
+ fm AS (
+  SELECT doc_id, f, sum(l) // (max(w) * max(h)) AS m
+  FROM px GROUP BY doc_id, f
+ ),
+ env AS (
+  SELECT g.doc_id, g.t, fm.m
+  FROM (SELECT doc_id, t.t, (t.t * nf) // 65 AS f
+        FROM vids, LATERAL unnest(range(0, 65)) AS t(t)) g
+  JOIN fm ON fm.doc_id = g.doc_id AND fm.f = g.f
+ ),
+ bits AS (
+  SELECT a.doc_id, a.t, CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+  FROM env a
+  JOIN env b ON b.doc_id = a.doc_id AND b.t = a.t + 1
+  WHERE a.t < 64
+ ),
+ sigs AS (
+  SELECT doc_id, (t // 16) AS band,
+         sum(bit * (1::BIGINT << (t % 16)))::BIGINT AS bv
+  FROM bits GROUP BY doc_id, (t // 16)
+ ),
+ cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM sigs a
+  JOIN sigs b ON a.band = b.band AND a.bv = b.bv
+             AND a.doc_id < b.doc_id
+ ),
+ pf AS (
+  SELECT doc_id, list(bv ORDER BY band) AS sig FROM sigs
+  GROUP BY doc_id
+ ),
+ ham AS (
+  SELECT c.ida, c.idb,
+         (bit_count(xor(p1.sig[1], p2.sig[1]))
+          + bit_count(xor(p1.sig[2], p2.sig[2]))
+          + bit_count(xor(p1.sig[3], p2.sig[3]))
+          + bit_count(xor(p1.sig[4], p2.sig[4])))::BIGINT AS hamming
+  FROM cand c
+  JOIN pf p1 ON p1.doc_id = c.ida
+  JOIN pf p2 ON p2.doc_id = c.idb
+ )
+SELECT ida::BIGINT AS id_a, idb::BIGINT AS id_b, hamming
+FROM ham WHERE hamming <= 8
+"""
+
+
 _PQ_M = 8
 _PQ_KSUB = 16
 _PQ_SUBDIM = 8  # embeddings are 64-dim
@@ -5434,6 +5530,7 @@ QUERIES = {
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "mm_image_dups": q_mm_image_dups,
     "mm_audio_dups": q_mm_audio_dups,
+    "mm_video_dups": q_mm_video_dups,
     "text_bigram_ll": q_text_bigram_ll,
     "text_packing_bpe": q_text_packing_bpe,
     "events_tumbling": q_events_tumbling,
@@ -5545,6 +5642,7 @@ ORACLES = {
     "sim_ivfpq_topk": sql_sim_ivfpq_topk(),
     "mm_image_dups": sql_mm_image_dups(),
     "mm_audio_dups": sql_mm_audio_dups(),
+    "mm_video_dups": sql_mm_video_dups(),
     "text_bigram_ll": sql_text_bigram_ll(),
     "text_packing_bpe": sql_text_packing_bpe(),
     "events_tumbling": sql_events_tumbling(),
@@ -5575,6 +5673,7 @@ ORACLES = {
 # head round 5's rotation — all are additionally bench-exercised or
 # pytest-pinned every round.
 _PRIORITY_KEYS = [
+    "mm_video_dups",
     "sim_ivfpq_topk", "mm_image_dups", "mm_audio_dups",
     "text_bigram_ll",
     "text_packing_bpe",

@@ -26,6 +26,10 @@ fakes:
 * MP4 — ISO BMFF box walk to ``moov/mvhd`` (version 0 and 1) for
   timescale + duration; plus a minimal valid ``ftyp+moov`` encoder for
   metadata-only video rows.
+* AVI — full RIFF video container (hdrl/avih/strl/strh/strf + movi +
+  idx1): encode + FRAME-PIXEL decode for uncompressed BI_RGB DIB
+  ('00db', lossless bit-exact roundtrip) and Motion-JPEG ('00dc',
+  via the baseline JPEG codec above) streams.
 
 Everything is row-local and driver-free: the functions take/return
 plain ``bytes``/numpy arrays and are called from ``mapInPandas``
@@ -924,3 +928,191 @@ def mp4_info(payload: bytes) -> dict:
                 if timescale else None,
             }
     raise ValueError("MP4 without moov/mvhd")
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF video): uncompressed DIB frames + MJPG frames
+# ---------------------------------------------------------------------------
+#
+# AVI 1.0 is the RIFF sibling of WAV: LIST hdrl (avih + LIST strl with
+# strh/strf) followed by LIST movi whose '00db'/'00dc' chunks carry the
+# frames, then the idx1 index.  Two real codecs are supported:
+#   * 'dib'  — uncompressed BI_RGB device-independent bitmaps ('00db'
+#     chunks): bottom-up rows, BGR byte order, rows padded to 4 bytes.
+#     Lossless, so encode→decode roundtrips bit-exactly — the form the
+#     deterministic oracle corpora use.
+#   * 'mjpg' — Motion-JPEG ('00dc' chunks): each frame is a baseline
+#     JFIF produced/consumed by encode_jpeg/decode_jpeg above — the
+#     form a real crawl payload takes.
+
+_AVIIF_KEYFRAME = 0x00000010
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10,
+               codec: str = "dib") -> bytes:
+    """Real AVI container from an ``(n_frames, h, w, 3)`` uint8 RGB
+    array.  ``codec='dib'`` writes lossless uncompressed frames;
+    ``codec='mjpg'`` JPEG-compresses each frame (baseline, 4:4:4)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("encode_avi expects (n, h, w, 3) RGB frames")
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    if codec == "dib":
+        handler, compression, ckid = b"DIB ", 0, b"00db"
+        row_pad = (-(w * 3)) % 4
+        payloads = []
+        for f in range(n):
+            bgr = frames[f, ::-1, :, ::-1]  # bottom-up rows, BGR
+            if row_pad:
+                rows = [bgr[y].tobytes() + b"\x00" * row_pad
+                        for y in range(h)]
+                payloads.append(b"".join(rows))
+            else:
+                payloads.append(bgr.tobytes())
+    elif codec == "mjpg":
+        handler, ckid = b"MJPG", b"00dc"
+        compression = struct.unpack("<I", b"MJPG")[0]
+        payloads = [encode_jpeg(frames[f]) for f in range(n)]
+    else:
+        raise ValueError(f"encode_avi: unknown codec {codec!r}")
+    buf_size = max(len(p) for p in payloads) if payloads else 0
+
+    avih = struct.pack(
+        "<14I",
+        int(1_000_000 // fps),  # dwMicroSecPerFrame
+        0, 0,                   # dwMaxBytesPerSec, dwPaddingGranularity
+        0x10,                   # dwFlags: AVIF_HASINDEX
+        n, 0, 1, buf_size,      # frames, initial, streams, sugg. buffer
+        w, h, 0, 0, 0, 0,       # width, height, reserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", handler, 0, 0, 0, 0,
+        1, fps,                 # dwScale, dwRate → fps frames/sec
+        0, n, buf_size,
+        0xFFFFFFFF, 0,          # dwQuality (default), dwSampleSize
+        0, 0, w, h,             # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, compression,
+        len(payloads[0]) if payloads else 0, 0, 0, 0, 0,
+    )
+    strl = _riff_chunk(
+        b"LIST",
+        b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+    )
+    hdrl = _riff_chunk(b"LIST",
+                       b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi_body = b"movi"
+    idx_entries = []
+    for p in payloads:
+        # idx1 offsets point at the chunk header, relative to the
+        # 'movi' fourcc (offset 4 == first chunk) — the convention
+        # every AVI-1.0 demuxer expects
+        idx_entries.append((len(movi_body), len(p)))
+        movi_body += _riff_chunk(ckid, p)
+    movi = _riff_chunk(b"LIST", movi_body)
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            ckid + struct.pack("<III", _AVIIF_KEYFRAME, off, size)
+            for off, size in idx_entries
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_riff_chunks(payload: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_end) over a RIFF chunk run; LIST
+    chunks are yielded as (list_type, ...) spanning their contents."""
+    pos = start
+    while pos + 8 <= end:
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body_start, body_end = pos + 8, pos + 8 + length
+        if body_end > end:
+            raise ValueError(f"bad AVI chunk {tag!r} at {pos}")
+        if tag == b"LIST":
+            yield payload[body_start:body_start + 4], body_start + 4, \
+                body_end
+        else:
+            yield tag, body_start, body_end
+        pos = body_end + (length & 1)  # word-aligned like WAV
+
+
+def avi_info(payload: bytes) -> dict:
+    """Header walk: width/height/frame-count/fps/codec from
+    ``hdrl/avih`` + ``strl/strh`` + the BITMAPINFOHEADER in ``strf``."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or \
+            payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF header")
+    info: dict = {}
+    for tag, s, e in _avi_riff_chunks(payload, 12, len(payload)):
+        if tag != b"hdrl":
+            continue
+        for t2, s2, e2 in _avi_riff_chunks(payload, s, e):
+            if t2 == b"avih":
+                vals = struct.unpack_from("<14I", payload, s2)
+                info["n_frames"] = vals[4]
+                info["width"], info["height"] = vals[8], vals[9]
+            elif t2 == b"strl":
+                for t3, s3, _e3 in _avi_riff_chunks(payload, s2, e2):
+                    if t3 == b"strh":
+                        (fcc, handler, _fl, _pr, _la, _init, scale,
+                         rate) = struct.unpack_from(
+                            "<4s4sIHHIII", payload, s3)
+                        if fcc == b"vids":
+                            info["codec"] = (
+                                handler.strip().lower().decode(
+                                    "ascii", "replace"))
+                            info["fps"] = (rate // scale) if scale else 0
+    if "n_frames" not in info:
+        raise ValueError("AVI without hdrl/avih")
+    fps = info.get("fps") or 0
+    info["duration_ms"] = (
+        int(info["n_frames"] * 1000 // fps) if fps else None)
+    return info
+
+
+def decode_avi_frames(payload: bytes) -> np.ndarray:
+    """Frame pixels from an AVI payload as an ``(n, h, w, 3)`` uint8
+    RGB array — '00db' uncompressed DIB chunks (bottom-up BGR, 4-byte
+    row padding) and '00dc' MJPG chunks (via ``decode_jpeg``) both
+    decode; anything else refuses with the explicit scope error."""
+    info = avi_info(payload)
+    w, h = info["width"], info["height"]
+    row_bytes = w * 3 + ((-(w * 3)) % 4)
+    frames = []
+    for tag, s, e in _avi_riff_chunks(payload, 12, len(payload)):
+        if tag != b"movi":
+            continue
+        for t2, s2, e2 in _avi_riff_chunks(payload, s, e):
+            if t2.endswith(b"db"):
+                body = payload[s2:e2]
+                if len(body) != row_bytes * h:
+                    raise ValueError(
+                        f"bad DIB frame: {len(body)} bytes for "
+                        f"{w}x{h}x24 (+pad)")
+                rows = np.frombuffer(body, dtype=np.uint8)
+                rows = rows.reshape(h, row_bytes)[:, :w * 3]
+                bgr = rows.reshape(h, w, 3)
+                frames.append(bgr[::-1, :, ::-1])  # top-down, RGB
+            elif t2.endswith(b"dc"):
+                px = decode_jpeg(payload[s2:e2])
+                if px.ndim == 2:
+                    px = np.stack([px] * 3, axis=2)
+                if px.shape[0] != h or px.shape[1] != w:
+                    raise ValueError(
+                        f"MJPG frame {px.shape[1]}x{px.shape[0]} != "
+                        f"container {w}x{h}")
+                frames.append(px)
+    if not frames:
+        raise ValueError("AVI without decodable movi frames")
+    return np.stack(frames, axis=0)

@@ -128,12 +128,19 @@ def _register_stdlib_decoders() -> None:
         info = mc.mp4_info(payload)
         return {"kind": "video", "duration_ms": info["duration_ms"]}
 
+    def _avi(payload: bytes) -> dict:
+        info = mc.avi_info(payload)
+        return {"kind": "video", "width": info["width"],
+                "height": info["height"],
+                "duration_ms": info["duration_ms"]}
+
     _DECODERS.setdefault("png", _png)
     _DECODERS.setdefault("jpeg", _jpeg)
     _DECODERS.setdefault("jpg", _jpeg)
     _DECODERS.setdefault("gif", _gif)
     _DECODERS.setdefault("wav", _wav)
     _DECODERS.setdefault("mp4", _mp4)
+    _DECODERS.setdefault("avi", _avi)
 
 
 _register_stdlib_decoders()
@@ -257,17 +264,21 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def synthesize_real_media(docs: DataFrame, id_col: str = "doc_id"
-                          ) -> DataFrame:
+def synthesize_real_media(docs: DataFrame, id_col: str = "doc_id",
+                          video_format: str = "mp4") -> DataFrame:
     """documents → media rows with GENUINE file payloads: PNG images
-    (real zlib-compressed scanlines), PCM WAV audio, and metadata-only
-    MP4 videos — every byte produced by the encode twins in
+    (real zlib-compressed scanlines), PCM WAV audio, and videos —
+    metadata-only MP4 by default, or REAL frame-carrying AVI
+    (uncompressed DIB movi chunks) with ``video_format="avi"`` —
+    every byte produced by the encode twins in
     functions/media_codecs.py and readable by any standard decoder.
 
     Deterministic by doc id so an oracle re-derives the decoded
     features arithmetically (kind = id%3; image w=16+id%16,
     h=8+id%8 RGB; audio 80*(1+id%30) frames at 8 kHz →
-    duration 10*(1+id%30) ms; video duration (1+id%30)*1000 ms):
+    duration 10*(1+id%30) ms; mp4 video duration (1+id%30)*1000 ms;
+    avi video 6+id%10 frames of w=8+id%8 × h=6+id%6 at 10 fps with
+    frame-f pixel (x,y,c) = (x*3 + y*5 + f*11 + id + c*7) % 256):
     the cross-check exercises the real decode path end-to-end.
     Arrow-batched ``mapInPandas``, row-local like every media kernel.
     """
@@ -275,6 +286,10 @@ def synthesize_real_media(docs: DataFrame, id_col: str = "doc_id"
 
     from onto_text_tag_spark.functions import media_codecs as mc
 
+    if video_format not in ("mp4", "avi"):
+        raise ValueError(
+            f"synthesize_real_media: video_format must be 'mp4' or "
+            f"'avi', got {video_format!r}")
     src = docs.select(F.col(id_col).cast("long").alias("_id"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -299,6 +314,15 @@ def synthesize_real_media(docs: DataFrame, id_col: str = "doc_id"
                     ).astype(np.int16)
                     rows.append((str(i), "audio", "wav",
                                  mc.encode_wav(samples, 8000)))
+                elif video_format == "avi":
+                    nf, w, h = 6 + i % 10, 8 + i % 8, 6 + i % 6
+                    ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+                    frames = np.stack(
+                        [(xx * 3 + yy * 5 + ff * 11 + i + c * 7) % 256
+                         for c in range(3)], axis=3,
+                    ).astype(np.uint8)
+                    rows.append((str(i), "video", "avi",
+                                 mc.encode_avi(frames, fps=10)))
                 else:
                     rows.append((str(i), "video", "mp4",
                                  mc.encode_mp4_stub((1 + i % 30) * 1000)))
@@ -587,6 +611,82 @@ def audio_near_duplicates(
     from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
 
     hashes = audio_dhash(media)
+    pairs = lsh_candidate_pairs(
+        media, id_col="media_id", num_hashes=4, bands=4,
+        max_bucket_size=max_bucket_size, signatures=hashes,
+    )
+    return verify_hamming_pairs(pairs, hashes, max_dist)
+
+
+def video_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual video fingerprint over real frame payloads — the
+    video member of the multimodal dedup family (image twin:
+    ``image_dhash``; audio twin: ``audio_dhash``).
+
+    Temporal luma-envelope difference hash: decode the AVI frames
+    (``media_codecs.decode_avi_frames`` — uncompressed DIB and MJPG
+    streams both decode to pixels), compute each frame's integer mean
+    luminance (per-pixel channel sum // 3, then frame sum // (w·h) —
+    all-integer so an oracle replays it exactly), nearest-neighbor
+    resample the per-frame envelope to 65 points (index ``t·n//65``,
+    the temporal analog of the 9×8 spatial resize), and emit one bit
+    per adjacent pair (later frame brighter than earlier).  The
+    brightness-ORDER of frames survives re-encoding (MJPG), spatial
+    resizing, and linear brightness scaling — byte digests miss all
+    three.  Output ``sig``: 64 bits as FOUR 16-bit bands — the
+    ``lsh_candidate_pairs`` precomputed-signature shape shared with
+    the image and audio hashes.
+    """
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    src = media.where(
+        (F.col("kind") == "video") & (F.col("format") == "avi")
+    ).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for media_id, payload in zip(batch["media_id"],
+                                         batch["payload"]):
+                frames = mc.decode_avi_frames(bytes(payload))
+                nf, h, w = frames.shape[0], frames.shape[1], \
+                    frames.shape[2]
+                luma = frames.astype(np.int64).sum(axis=3) // 3
+                means = [int(luma[f].sum()) // (w * h)
+                         for f in range(nf)]
+                env = [means[t * nf // 65] for t in range(65)]
+                sig = []
+                for b in range(4):
+                    v = 0
+                    for k in range(16):
+                        j = 16 * b + k
+                        if env[j + 1] > env[j]:
+                            v |= 1 << k
+                    sig.append(v)
+                rows.append((media_id, sig))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_DHASH.fields]
+            )
+
+    return src.mapInPandas(batches, schema=IMAGE_DHASH)
+
+
+def video_near_duplicates(
+    media: DataFrame,
+    max_dist: int = 8,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Perceptual near-duplicate video pairs: temporal luma-envelope
+    dHash → Hamming-banded candidates through ``lsh_candidate_pairs``
+    → exact Hamming verify — the same scale shape as
+    ``image_near_duplicates``/``audio_near_duplicates`` (one banded
+    shuffle, capped joinless pair generation, verify joins only
+    candidates — never all-pairs over the store)."""
+    from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
+
+    hashes = video_dhash(media)
     pairs = lsh_candidate_pairs(
         media, id_col="media_id", num_hashes=4, bands=4,
         max_bucket_size=max_bucket_size, signatures=hashes,

@@ -544,3 +544,147 @@ def test_audio_dhash_python_twin_and_near_duplicates(spark):
     assert ("a", "b") in got_pairs
     assert got_pairs[("a", "b")] == ham(sigs["a"], sigs["b"])
     assert ("a", "c") not in got_pairs and ("b", "c") not in got_pairs
+
+
+def test_avi_roundtrip_and_info():
+    """AVI codec: uncompressed-DIB encode→decode roundtrips frame
+    pixels bit-exactly (bottom-up BGR rows + 4-byte padding undone);
+    MJPG frames decode through the baseline JPEG codec to within
+    quantization error; header walk reports dimensions/fps/frames."""
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    ff, yy, xx = np.mgrid[0:4, 0:6, 0:9]  # w=9 → padded rows
+    frames = np.stack(
+        [(xx * 3 + yy * 5 + ff * 11 + c * 7) % 256 for c in range(3)],
+        axis=3,
+    ).astype(np.uint8)
+
+    avi = mc.encode_avi(frames, fps=10)
+    info = mc.avi_info(avi)
+    assert (info["width"], info["height"], info["n_frames"]) == (9, 6, 4)
+    assert info["codec"] == "dib" and info["fps"] == 10
+    assert info["duration_ms"] == 400
+    assert np.array_equal(mc.decode_avi_frames(avi), frames)
+
+    mjpg = mc.encode_avi(frames, fps=10, codec="mjpg")
+    assert mc.avi_info(mjpg)["codec"] == "mjpg"
+    got = mc.decode_avi_frames(mjpg)
+    assert got.shape == frames.shape
+    err = np.abs(got.astype(np.int64) - frames.astype(np.int64))
+    assert float(err.mean()) < 4.0
+
+    with pytest.raises(ValueError):
+        mc.avi_info(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        mc.encode_avi(frames[0], fps=10)  # not (n, h, w, 3)
+    with pytest.raises(ValueError):
+        mc.encode_avi(frames, codec="h264")
+
+
+def test_video_dhash_python_twin_and_near_duplicates(spark):
+    """Video perceptual dedup: the temporal luma-envelope dHash matches
+    a from-scratch python twin, survives MJPG re-encode AND linear
+    brightness scaling of the same footage (byte digests catch
+    neither), and unrelated footage does not pair."""
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+    from onto_text_tag_spark.operators.multimodal import (
+        video_dhash,
+        video_near_duplicates,
+    )
+
+    nf, h, w = 80, 8, 12
+    ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+    base = np.stack(
+        [(xx * 3 + yy * 5 + ff * ff % 97 + c * 7) % 256
+         for c in range(3)],
+        axis=3,
+    ).astype(np.uint8)
+    dimmed = (base.astype(np.int64) * 3 // 4).astype(np.uint8)
+    other = np.stack(
+        [(xx * 13 + yy * 11 + (nf - ff) * 29 + c * 7) % 256
+         for c in range(3)],
+        axis=3,
+    ).astype(np.uint8)
+    rows = [
+        ("a", "video", "avi", mc.encode_avi(base, fps=10)),
+        ("b", "video", "avi", mc.encode_avi(base, fps=10, codec="mjpg")),
+        ("c", "video", "avi", mc.encode_avi(dimmed, fps=10)),
+        ("d", "video", "avi", mc.encode_avi(other, fps=10)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, format string, payload binary"
+    )
+
+    sigs = {r["media_id"]: list(r["sig"])
+            for r in video_dhash(media).collect()}
+
+    def twin(frames):
+        n = frames.shape[0]
+        hh, ww = frames.shape[1], frames.shape[2]
+        luma = frames.astype(np.int64).sum(axis=3) // 3
+        means = [int(luma[f].sum()) // (ww * hh) for f in range(n)]
+        env = [means[t * n // 65] for t in range(65)]
+        sig = []
+        for b in range(4):
+            v = 0
+            for k in range(16):
+                j = 16 * b + k
+                if env[j + 1] > env[j]:
+                    v |= 1 << k
+            sig.append(v)
+        return sig
+
+    assert sigs["a"] == twin(base)
+    assert sigs["c"] == twin(dimmed)
+    assert sigs["d"] == twin(other)
+
+    def ham(s1, s2):
+        return sum(bin(x ^ y).count("1") for x, y in zip(s1, s2))
+
+    # linear brightness scaling preserves the frame-mean ORDER, so the
+    # hash is near-invariant; MJPG re-encode shifts means only by
+    # quantization error
+    assert ham(sigs["a"], sigs["b"]) <= 6
+    assert ham(sigs["a"], sigs["c"]) <= 6
+    assert ham(sigs["a"], sigs["d"]) > 8
+
+    got_pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in video_near_duplicates(
+                     media, max_dist=8, max_bucket_size=None).collect()}
+    assert ("a", "b") in got_pairs and ("a", "c") in got_pairs
+    assert got_pairs[("a", "b")] == ham(sigs["a"], sigs["b"])
+    assert not any("d" in p for p in got_pairs)
+
+
+def test_synthesize_real_media_avi_videos_decode(spark):
+    """synthesize_real_media(video_format='avi') emits genuine AVI
+    payloads whose decoded frames match the documented deterministic
+    gradient — the device the mm_video_dups oracle replays in SQL."""
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+    from onto_text_tag_spark.operators.multimodal import (
+        synthesize_real_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(9)], "doc_id long, text string"
+    )
+    media = {r["media_id"]: r for r in
+             synthesize_real_media(docs, video_format="avi").collect()}
+    vids = [i for i in range(9) if i % 3 == 2]
+    assert all(media[str(i)]["format"] == "avi" for i in vids)
+    for i in vids:
+        frames = mc.decode_avi_frames(bytes(media[str(i)]["payload"]))
+        nf, w, h = 6 + i % 10, 8 + i % 8, 6 + i % 6
+        assert frames.shape == (nf, h, w, 3)
+        ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+        want = np.stack(
+            [(xx * 3 + yy * 5 + ff * 11 + i + c * 7) % 256
+             for c in range(3)], axis=3,
+        ).astype(np.uint8)
+        assert np.array_equal(frames, want)

@@ -62,6 +62,12 @@ BNLJ_ALLOWED = {
     "text_unigram_ll", # 1-ROW broadcast scalar (vocab total + distinct)
                        # crossed onto the vocabulary relation — same
                        # kg_assoc constant-probe shape
+    "text_bigram_ll",  # same 1-ROW broadcast scalar (unigram total +
+                       # vocab size for the Laplace interpolation term)
+                       # crossed onto the bigram-TYPE relation; the
+                       # corpus-sized work is keyed (bigram-count
+                       # shuffle + (a,b) equi-join), only the constant
+                       # scalar rides the BNLJ
     "curation_resample",  # composes curation_dsir (the 1-row gram-total
                           # broadcast scalar above); the resample itself
                           # adds only a scan + TakeOrderedAndProject
