@@ -504,6 +504,56 @@ def start_paragraph_update_sink(
     )
 
 
+def start_media_update_sink(
+    media: DataFrame,
+    media_root: str,
+    checkpoint_path: str,
+    family: str = "image",
+    max_dist: int | None = None,
+    max_bucket_size: int | None = 200,
+    compact_every: int | None = None,
+):
+    """Continuous perceptual media dedup ingestion: absorb every
+    micro-batch of media rows into a ``plans/image_absorb.py`` root —
+    the streaming deployment of the multimodal dedup family, for any
+    of its three members (``family`` = image | audio | video).  Each
+    epoch decodes + perceptually hashes only its never-seen media ids,
+    finds near-duplicate pairs against the accumulated hash store
+    through the banded candidate machinery, and appends hashes +
+    verified pairs.
+
+    Exactly-once commits under at-least-once ``foreachBatch`` delivery
+    (epoch-keyed batch fingerprints; replays hit the committed no-op);
+    streaming state is EMPTY — the dedup state is the hash store on
+    storage.  Bootstrap with ``init_media_root``.  ``compact_every=N``
+    folds small-files maintenance into the sink exactly as in
+    ``start_dedup_update_sink``."""
+    from onto_text_tag_spark.plans.image_absorb import absorb_media_batch
+    from onto_text_tag_spark.plans.kg_absorb import compact_stage
+    from onto_text_tag_spark.sinks import read_manifest
+
+    def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        result = absorb_media_batch(
+            batch_df.sparkSession, media_root, batch_df,
+            batch_fp=f"stream-epoch-{epoch_id}", family=family,
+            max_dist=max_dist, max_bucket_size=max_bucket_size,
+        )
+        if (
+            compact_every
+            and result["status"] == "committed"
+            and (epoch_id + 1) % compact_every == 0
+        ):
+            for stage in (f"{family}_sigs", f"{family}_dups"):
+                if read_manifest(media_root, stage).get("n_files", 0) > 1:
+                    compact_stage(batch_df.sparkSession, media_root, stage)
+
+    return (
+        media.writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
 def start_image_update_sink(
     media: DataFrame,
     image_root: str,
@@ -512,41 +562,10 @@ def start_image_update_sink(
     max_bucket_size: int | None = 200,
     compact_every: int | None = None,
 ):
-    """Continuous perceptual image dedup ingestion: absorb every
-    micro-batch of media rows into a ``plans/image_absorb.py`` root —
-    the streaming deployment of the multimodal dedup family.  Each
-    epoch decodes + dHashes only its never-seen media ids, finds
-    near-duplicate pairs against the accumulated hash store through
-    the banded candidate machinery, and appends hashes + verified
-    pairs.
-
-    Exactly-once commits under at-least-once ``foreachBatch`` delivery
-    (epoch-keyed batch fingerprints; replays hit the committed no-op);
-    streaming state is EMPTY — the dedup state is the hash store on
-    storage.  Bootstrap with ``init_image_root``.  ``compact_every=N``
-    folds small-files maintenance into the sink exactly as in
-    ``start_dedup_update_sink``."""
-    from onto_text_tag_spark.plans.image_absorb import absorb_image_batch
-    from onto_text_tag_spark.plans.kg_absorb import compact_stage
-    from onto_text_tag_spark.sinks import read_manifest
-
-    def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
-        result = absorb_image_batch(
-            batch_df.sparkSession, image_root, batch_df,
-            batch_fp=f"stream-epoch-{epoch_id}",
-            max_dist=max_dist, max_bucket_size=max_bucket_size,
-        )
-        if (
-            compact_every
-            and result["status"] == "committed"
-            and (epoch_id + 1) % compact_every == 0
-        ):
-            for stage in ("image_sigs", "image_dups"):
-                if read_manifest(image_root, stage).get("n_files", 0) > 1:
-                    compact_stage(batch_df.sparkSession, image_root, stage)
-
-    return (
-        media.writeStream.foreachBatch(_absorb)
-        .option("checkpointLocation", checkpoint_path)
-        .start()
+    """Image-family form of ``start_media_update_sink`` (the original
+    surface, unchanged)."""
+    return start_media_update_sink(
+        media, image_root, checkpoint_path, family="image",
+        max_dist=max_dist, max_bucket_size=max_bucket_size,
+        compact_every=compact_every,
     )

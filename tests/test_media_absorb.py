@@ -1,0 +1,174 @@
+"""Incremental perceptual AUDIO and VIDEO dedup through the
+generalized media absorb (plans/image_absorb.py:absorb_media_batch):
+absorbing batches must yield exactly the family batch operator's pair
+set over the union, replays must no-op, re-delivered media ids must
+hash once, and the streaming sink must equal the batch operator."""
+
+import numpy as np
+import pytest
+
+
+def _wav(seed: int, scale: int = 100) -> bytes:
+    """Deterministic waveform per seed; ``scale`` (percent) produces an
+    amplitude-scaled near-copy with the same loudness envelope."""
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    n = 1300 + (seed % 7) * 40
+    t = np.arange(n, dtype=np.int64)
+    base = (t * (seed * 31 % 97 + 3) + t * t % 613) % 2003 - 1001
+    samples = (base * scale // 100).astype(np.int16)
+    return mc.encode_wav(samples, 8000)
+
+
+def _avi(seed: int, scale: int = 100) -> bytes:
+    """Deterministic footage per seed; ``scale`` (percent) produces a
+    brightness-scaled near-copy with the same frame-mean ordering."""
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    nf, h, w = 70 + seed % 5, 6, 8
+    ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+    frames = np.stack(
+        [(xx * 3 + yy * 5 + (ff * ff * (seed % 11 + 2)) % 251 + c * 7)
+         % 256 for c in range(3)],
+        axis=3,
+    )
+    frames = (frames * scale // 100).astype(np.uint8)
+    return mc.encode_avi(frames, fps=10)
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "media_id string, kind string, format string, payload binary",
+    )
+
+
+def _rows(family, ids, near_of=None):
+    kind, fmt, enc = {
+        "audio": ("audio", "wav", _wav),
+        "video": ("video", "avi", _avi),
+    }[family]
+    out = []
+    for i in ids:
+        if near_of and i in near_of:
+            out.append((str(i), kind, fmt, enc(near_of[i], scale=90)))
+        else:
+            out.append((str(i), kind, fmt, enc(i)))
+    return out
+
+
+def _batch_pairs(family, media, max_dist):
+    from onto_text_tag_spark.operators.multimodal import (
+        audio_near_duplicates,
+        video_near_duplicates,
+    )
+
+    op = {"audio": audio_near_duplicates,
+          "video": video_near_duplicates}[family]
+    return {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in op(media, max_dist=max_dist,
+                    max_bucket_size=None).collect()
+    }
+
+
+@pytest.mark.parametrize("family", ["audio", "video"])
+def test_media_absorb_equals_batch_and_replay_noop(
+        spark, tmp_path, family):
+    from onto_text_tag_spark.plans.image_absorb import (
+        absorb_media_batch,
+        init_media_root,
+        read_media_dups,
+    )
+    from onto_text_tag_spark.sinks import read_stage
+
+    # batch A: ids 0-11 with 7 a near-copy of 3; batch B: ids 12-23
+    # with 15 a near-copy of 3 (CROSS-batch) and 21 of 13 (in-batch);
+    # id 5 re-delivered (already seen)
+    rows_a = _rows(family, range(12), near_of={7: 3})
+    rows_b = _rows(family, range(12, 24), near_of={15: 3, 21: 13}) + \
+        _rows(family, [5])
+
+    root = str(tmp_path / family)
+    init_media_root(spark, root, family)
+    s1 = absorb_media_batch(
+        spark, root, _media(spark, rows_a), "fp-A", family=family,
+        max_bucket_size=None)
+    assert s1["status"] == "committed" and s1["n_new_items"] == 12
+    s2 = absorb_media_batch(
+        spark, root, _media(spark, rows_b), "fp-B", family=family,
+        max_bucket_size=None)
+    assert s2["status"] == "committed"
+    assert s2["n_new_items"] == 12  # re-delivered id 5 hashed once
+    assert s2["n_items_total"] == 24
+
+    expected = _batch_pairs(
+        family, _media(spark, rows_a + rows_b[:-1]), max_dist=8)
+    live = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in read_media_dups(spark, root, family).collect()
+    }
+    assert live == expected
+    for pair in [("3", "7"), ("15", "3"), ("13", "21")]:
+        a, b = sorted(pair)
+        assert (a, b) in live, pair
+
+    rep = absorb_media_batch(
+        spark, root, _media(spark, rows_a), "fp-A", family=family,
+        max_bucket_size=None)
+    assert rep["status"] == "noop_already_committed"
+    assert read_stage(spark, root, f"{family}_sigs").count() == 24
+    assert read_media_dups(spark, root, family).count() == len(expected)
+
+
+def test_absorb_media_batch_unknown_family(spark, tmp_path):
+    from onto_text_tag_spark.plans.image_absorb import absorb_media_batch
+
+    with pytest.raises(ValueError, match="unknown media family"):
+        absorb_media_batch(
+            spark, str(tmp_path / "x"),
+            _media(spark, _rows("video", [1])), "fp", family="text")
+
+
+def test_streaming_video_sink_equals_batch(spark, tmp_path):
+    from onto_text_tag_spark.plans.image_absorb import (
+        init_media_root,
+        read_media_dups,
+    )
+    from onto_text_tag_spark.sinks import read_manifest
+    from onto_text_tag_spark.streaming.incremental import (
+        start_media_update_sink,
+    )
+
+    schema = ("media_id string, kind string, format string, "
+              "payload binary")
+    rows_a = _rows("video", range(10), near_of={7: 3})
+    rows_b = _rows("video", range(10, 20), near_of={15: 3, 19: 11})
+
+    root = str(tmp_path / "vid_stream_root")
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    init_media_root(spark, root, "video")
+
+    _media(spark, rows_a).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_media_update_sink(stream, root, ckpt, family="video",
+                                max_bucket_size=None, compact_every=1)
+    try:
+        q.processAllAvailable()
+        assert read_media_dups(spark, root, "video").count() >= 1
+        _media(spark, rows_b).coalesce(1).write.mode("append") \
+            .parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    expected = _batch_pairs(
+        "video", _media(spark, rows_a + rows_b), max_dist=8)
+    live = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in read_media_dups(spark, root, "video").collect()
+    }
+    assert live == expected
+    # compact_every=1 folded the appends back to single-file stages
+    assert read_manifest(root, "video_dups").get("n_files", 0) == 1
