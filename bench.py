@@ -2734,6 +2734,139 @@ def run_image_dedup_scaling(low: int = 2, high: int = 8) -> dict:
     }
 
 
+def run_video_dedup_scaling(low: int = 2, high: int = 8) -> dict:
+    """Two-parallelism-level run of the perceptual video-dedup pipeline
+    (operators/multimodal.py:video_dhash → Hamming-banded candidates →
+    exact verify) over the SAME dup-planted synthetic AVI corpus — the
+    north_rule two-cluster-size evidence for the video member of the
+    multimodal dedup family.  Corpus: VIDDEDUP_DOCS real AVI payloads
+    (uncompressed-DIB movi chunks, encoded by the engine's own codec;
+    56-63 frames each, every frame a constant color so the TEMPORAL
+    envelope carries the signal — enough frames that non-planted
+    envelopes sit ~28 bits apart and accidental pairs stay at noise
+    level), 10% of which are brightness-scaled
+    (95%) copies of an earlier video — the envelope's frame-order is
+    preserved up to rounding ties, so they land within max_dist.
+    Interleaved repeats min-of-N; outputs asserted identical across
+    levels."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.multimodal import (
+        video_near_duplicates,
+    )
+
+    n_vids = int(os.environ.get("SPARK_GRAFT_VIDDEDUP_DOCS", "100000"))
+    corpus = os.path.join(SCALING_DIR, f"vidcorpus_{n_vids}.parquet")
+    if not os.path.exists(corpus):
+        from onto_text_tag_spark.functions import media_codecs as mc
+
+        spark = _session(high)
+        src = spark.range(n_vids).select(F.col("id"))
+
+        def gen(it):
+            for batch in it:
+                rows = []
+                for i in batch["id"]:
+                    i = int(i)
+                    if i % 10 == 9:
+                        base_seed, scale = i - 1, 95
+                    else:
+                        base_seed, scale = i, 100
+                    nf = 56 + base_seed % 8
+                    # per-frame constant color from a fully
+                    # avalanched (seed, f) mix: the envelope sequence
+                    # is pseudo-random per seed, so non-planted
+                    # videos do not collide (0 accidental pairs
+                    # measured at 3k; planted recall 300/300)
+                    m32 = np.uint64(0xFFFFFFFF)
+                    f_idx = np.arange(nf, dtype=np.uint64)
+                    v = (
+                        f_idx * np.uint64(0x9E3779B1)
+                        + np.uint64((base_seed * 0xC2B2AE3D)
+                                    & 0xFFFFFFFF)
+                    ) & m32
+                    # murmur3 finalizer: the plain quadratic mix the
+                    # image corpus uses leaves cross-seed envelope
+                    # correlations (~1.1k accidental pairs per 3k
+                    # videos measured); full avalanche leaves ZERO
+                    v ^= v >> np.uint64(16)
+                    v = (v * np.uint64(0x85EBCA6B)) & m32
+                    v ^= v >> np.uint64(13)
+                    v = (v * np.uint64(0xC2B2AE35)) & m32
+                    v ^= v >> np.uint64(16)
+                    vals = (v % 256).astype(np.int64)
+                    vals = (vals * scale // 100).astype(np.uint8)
+                    # w=12 rows are 36 bytes — a multiple of 4, so the
+                    # DIB encoder takes its no-padding fast path
+                    frames = np.broadcast_to(
+                        vals[:, None, None, None], (nf, 8, 12, 3)
+                    )
+                    rows.append((str(i), "video", "avi",
+                                 mc.encode_avi(frames, fps=10)))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "kind", "format", "payload"])
+
+        src.repartition(high * 4).mapInPandas(
+            gen,
+            schema="media_id string, kind string, format string, "
+                   "payload binary",
+        ).write.parquet(corpus)
+        spark.stop()
+
+    best: dict[int, float] = {}
+    sigs: dict[int, tuple] = {}
+    n_planted = n_vids // 10
+    for _rep in range(SCALING_REPEATS):
+        for cores in (low, high):  # interleaved
+            spark = _session(cores)
+            spark.range(1_000_000).select(
+                F.bit_xor(F.xxhash64("id"))).collect()
+            media = spark.read.parquet(corpus)
+            # untimed same-shape warmup on a slice (cold codegen/AQE
+            # would otherwise floor the high-core wall time)
+            video_near_duplicates(
+                media.limit(2000), max_dist=8).count()
+            dups = video_near_duplicates(media, max_dist=8)
+            t0 = time.perf_counter()
+            row = dups.select(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64("id_a", "id_b", "hamming"))
+                .alias("h"),
+            ).collect()[0]
+            sec = round(time.perf_counter() - t0, 2)
+            spark.stop()
+            sig = (row["n"], row["h"])
+            sigs.setdefault(cores, sig)
+            assert sigs[cores] == sig, (cores, sigs[cores], sig)
+            if cores not in best or sec < best[cores]:
+                best[cores] = sec
+    assert sigs[low] == sigs[high], sigs
+    eff = (best[low] / best[high]) / (high / low)
+    return {
+        "job": "video_near_duplicates (temporal luma-envelope dHash + "
+               "Hamming-banded LSH + exact verify) over real AVI "
+               "payloads",
+        "corpus_videos": n_vids,
+        "planted_near_dups": n_planted,
+        "pairs_found": sigs[low][0],
+        "low_cores": low,
+        "high_cores": high,
+        "low_sec": best[low],
+        "high_sec": best[high],
+        "low_vids_per_sec": round(n_vids / best[low], 1),
+        "high_vids_per_sec": round(n_vids / best[high], 1),
+        "speedup": round(best[low] / best[high], 2),
+        "scaling_efficiency": round(eff, 3),
+        "outputs_identical": True,
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 def run_ivfpq_scaling(low: int = 2, high: int = 8) -> dict:
     """Two-parallelism-level run of the composed IVFPQ serving operator
     over the SAME 200k clustered ANN corpus — the north_rule
@@ -3346,6 +3479,35 @@ def main() -> None:
                 f"{rep['low_imgs_per_sec']} |\n"
                 f"| local[{rep['high_cores']}] | {rep['high_sec']} | "
                 f"{rep['high_imgs_per_sec']} |\n"
+                f"\nspeedup {rep['low_cores']}->{rep['high_cores']}: "
+                f"{rep['speedup']}x, efficiency "
+                f"{rep['scaling_efficiency']}.  Outputs bit-identical "
+                "at both levels (pair-set hash), interleaved "
+                "min-of-N.\n"
+            )
+            cap = rep["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, "
+                f"units/sec by process count):\n\n{json.dumps(cap)}\n"
+            )
+        print(json.dumps(rep))
+        return
+    if "--scaling-video-dedup" in sys.argv:
+        low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
+        high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
+        rep = run_video_dedup_scaling(low=low, high=high)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Scaling run — {rep['job']}, "
+                f"{rep['corpus_videos']} videos "
+                f"({rep['planted_near_dups']} planted near-dups, "
+                f"{rep['pairs_found']} pairs found)\n\n"
+                f"| cores | sec | vids/sec |\n|---|---|---|\n"
+                f"| local[{rep['low_cores']}] | {rep['low_sec']} | "
+                f"{rep['low_vids_per_sec']} |\n"
+                f"| local[{rep['high_cores']}] | {rep['high_sec']} | "
+                f"{rep['high_vids_per_sec']} |\n"
                 f"\nspeedup {rep['low_cores']}->{rep['high_cores']}: "
                 f"{rep['speedup']}x, efficiency "
                 f"{rep['scaling_efficiency']}.  Outputs bit-identical "

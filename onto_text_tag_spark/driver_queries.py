@@ -5203,6 +5203,122 @@ FROM ham WHERE hamming <= 8
 """
 
 
+def q_mm_frame_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video shared-footage pairs (operators/multimodal.py:
+    video_shared_frames): per-frame spatial dHash over REAL decoded
+    AVI frames, Hamming-banded candidates at FRAME granularity, exact
+    verify, aggregated to video pairs sharing >= 2 near-identical
+    frames — the frame-granular member of the video dedup pair (the
+    paragraph_dedup analog; mm_video_dups is the whole-video analog).
+    Corpus: synthesize_footage_media — avalanche-noise frames (so
+    unrelated footage NEVER matches) with every 5th video re-embedding
+    three frames of an earlier one (the planted shared clip).  The
+    oracle replays every pixel hash, the 9x8 resize, the banding, and
+    the video-pair aggregation arithmetically."""
+    from onto_text_tag_spark.operators.multimodal import (
+        synthesize_footage_media,
+        video_shared_frames,
+    )
+
+    media = synthesize_footage_media(_docs(spark, sf_dir))
+    dups = video_shared_frames(media, max_dist=4, min_frames=2,
+                               max_bucket_size=None)
+    a, b = F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    return dups.select(
+        F.least(a, b).alias("id_a"),
+        F.greatest(a, b).alias("id_b"),
+        "n_shared_frames",
+        "min_hamming",
+    )
+
+
+def sql_mm_frame_dups() -> str:
+    # synthesize_footage_media: every doc is a 12x8 AVI with
+    # nf = 6 + id%10 frames; frame f carries footage
+    # g = src_id*1000003 + f with src_id = id-2 when (id%5==4, f<3)
+    # else id; pixel (x, y, c) = murmur3-32-finalizer mix of
+    # g*2654435761 + x*2246822519 + y*3266489917 + c*668265263, mod 256.
+    # video_shared_frames: per-frame image dHash (9x8 nearest resize
+    # samples sx=(x*12)//9, sy=y), 4x16-bit bands, banded candidates,
+    # hamming <= 4, cross-video pairs with >= 2 matching frames.
+    # HUGEINT for the mix multiplies (g*K1 overflows BIGINT).
+    return """
+WITH vids AS (
+  SELECT doc_id, 6 + doc_id % 10 AS nf FROM documents
+),
+ fr AS (
+  SELECT doc_id, f.f,
+         (CASE WHEN doc_id % 5 = 4 AND f.f < 3 THEN doc_id - 2
+               ELSE doc_id END) * 1000003 + f.f AS g
+  FROM vids, LATERAL unnest(range(0, nf)) AS f(f)
+ ),
+ grid AS (
+  SELECT doc_id, f, g, t.x, u.y, (t.x * 12) // 9 AS sx, u.y AS sy
+  FROM fr,
+       LATERAL unnest(range(0, 9)) AS t(x),
+       LATERAL unnest(range(0, 8)) AS u(y)
+ ),
+ m0 AS (
+  SELECT doc_id, f, x, y, c.c,
+         ((g::HUGEINT * 2654435761 + sx * 2246822519 + sy * 3266489917
+           + c.c * 668265263) % 4294967296)::BIGINT AS v
+  FROM grid, (SELECT unnest(range(0, 3)) AS c) c
+ ),
+ m1 AS (SELECT doc_id, f, x, y, c, xor(v, v >> 16) AS v FROM m0),
+ m2 AS (SELECT doc_id, f, x, y, c,
+               ((v::HUGEINT * 2246822507) % 4294967296)::BIGINT AS v FROM m1),
+ m3 AS (SELECT doc_id, f, x, y, c, xor(v, v >> 13) AS v FROM m2),
+ m4 AS (SELECT doc_id, f, x, y, c,
+               ((v::HUGEINT * 3266489909) % 4294967296)::BIGINT AS v FROM m3),
+ m5 AS (SELECT doc_id, f, x, y, c,
+               xor(v, v >> 16) % 256 AS pv FROM m4),
+ lum AS (
+  SELECT doc_id, f, x, y, sum(pv) // 3 AS l
+  FROM m5 GROUP BY doc_id, f, x, y
+ ),
+ bits AS (
+  SELECT a.doc_id, a.f, a.x, a.y,
+         CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+  FROM lum a
+  JOIN lum b ON b.doc_id = a.doc_id AND b.f = a.f AND b.y = a.y
+            AND b.x = a.x + 1
+  WHERE a.x < 8
+ ),
+ sigs AS (
+  SELECT doc_id, f, (y // 2) AS band,
+         sum(bit * (1::BIGINT << ((y % 2) * 8 + x)))::BIGINT AS bv
+  FROM bits GROUP BY doc_id, f, (y // 2)
+ ),
+ pf AS (
+  SELECT doc_id, f, list(bv ORDER BY band) AS sig FROM sigs
+  GROUP BY doc_id, f
+ ),
+ cand AS (
+  SELECT DISTINCT a.doc_id AS da, a.f AS fa, b.doc_id AS db, b.f AS fb
+  FROM sigs a
+  JOIN sigs b ON a.band = b.band AND a.bv = b.bv
+             AND (a.doc_id < b.doc_id
+                  OR (a.doc_id = b.doc_id AND a.f < b.f))
+ ),
+ ham AS (
+  SELECT c.da, c.db,
+         (bit_count(xor(p1.sig[1], p2.sig[1]))
+          + bit_count(xor(p1.sig[2], p2.sig[2]))
+          + bit_count(xor(p1.sig[3], p2.sig[3]))
+          + bit_count(xor(p1.sig[4], p2.sig[4])))::BIGINT AS hamming
+  FROM cand c
+  JOIN pf p1 ON p1.doc_id = c.da AND p1.f = c.fa
+  JOIN pf p2 ON p2.doc_id = c.db AND p2.f = c.fb
+ )
+SELECT least(da, db)::BIGINT AS id_a, greatest(da, db)::BIGINT AS id_b,
+       count(*)::BIGINT AS n_shared_frames,
+       min(hamming)::BIGINT AS min_hamming
+FROM ham WHERE hamming <= 4 AND da != db
+GROUP BY least(da, db), greatest(da, db)
+HAVING count(*) >= 2
+"""
+
+
 _PQ_M = 8
 _PQ_KSUB = 16
 _PQ_SUBDIM = 8  # embeddings are 64-dim
@@ -5531,6 +5647,7 @@ QUERIES = {
     "mm_image_dups": q_mm_image_dups,
     "mm_audio_dups": q_mm_audio_dups,
     "mm_video_dups": q_mm_video_dups,
+    "mm_frame_dups": q_mm_frame_dups,
     "text_bigram_ll": q_text_bigram_ll,
     "text_packing_bpe": q_text_packing_bpe,
     "events_tumbling": q_events_tumbling,
@@ -5643,6 +5760,7 @@ ORACLES = {
     "mm_image_dups": sql_mm_image_dups(),
     "mm_audio_dups": sql_mm_audio_dups(),
     "mm_video_dups": sql_mm_video_dups(),
+    "mm_frame_dups": sql_mm_frame_dups(),
     "text_bigram_ll": sql_text_bigram_ll(),
     "text_packing_bpe": sql_text_packing_bpe(),
     "events_tumbling": sql_events_tumbling(),
@@ -5673,7 +5791,7 @@ ORACLES = {
 # head round 5's rotation — all are additionally bench-exercised or
 # pytest-pinned every round.
 _PRIORITY_KEYS = [
-    "mm_video_dups",
+    "mm_video_dups", "mm_frame_dups",
     "sim_ivfpq_topk", "mm_image_dups", "mm_audio_dups",
     "text_bigram_ll",
     "text_packing_bpe",

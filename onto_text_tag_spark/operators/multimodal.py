@@ -692,3 +692,182 @@ def video_near_duplicates(
         max_bucket_size=max_bucket_size, signatures=hashes,
     )
     return verify_hamming_pairs(pairs, hashes, max_dist)
+
+
+FRAME_DHASH = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("sig", ArrayType(LongType(), False), False),
+    ]
+)
+
+
+def video_frame_hashes(media: DataFrame,
+                       frame_stride: int = 1) -> DataFrame:
+    """Per-frame spatial dHash over real video payloads: decode the
+    AVI frames and apply the IMAGE hash (integer luma → 9×8
+    nearest-neighbor resize → horizontal-neighbor bits) to every
+    ``frame_stride``-th frame.  One row per (video, sampled frame) —
+    the frame-granular hash relation ``video_shared_frames`` pairs on,
+    and the video analog of splitting documents into paragraphs before
+    ``paragraph_dedup``.  Row-local Arrow kernel."""
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    if frame_stride < 1:
+        raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
+    src = media.where(
+        (F.col("kind") == "video") & (F.col("format") == "avi")
+    ).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for media_id, payload in zip(batch["media_id"],
+                                         batch["payload"]):
+                frames = mc.decode_avi_frames(bytes(payload))
+                for f in range(0, frames.shape[0], frame_stride):
+                    luma = (frames[f].astype(np.int64).sum(axis=2)
+                            // frames.shape[3])
+                    r = mc.resize_nearest(luma, 9, 8)
+                    bits = (r[:, 1:] > r[:, :-1]).astype(np.int64)
+                    sig = []
+                    for b in range(4):
+                        v = 0
+                        for dy in range(2):
+                            for x in range(8):
+                                v |= (int(bits[2 * b + dy, x])
+                                      << (dy * 8 + x))
+                        sig.append(v)
+                    rows.append((media_id, f, sig))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_DHASH.fields]
+            )
+
+    return src.mapInPandas(batches, schema=FRAME_DHASH)
+
+
+def video_shared_frames(
+    media: DataFrame,
+    max_dist: int = 4,
+    min_frames: int = 2,
+    frame_stride: int = 1,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Cross-video shared-footage detection — the FRAME-granular member
+    of the video dedup pair, exactly as ``paragraph_dedup`` is the
+    paragraph-granular member of the text pair: ``video_near_duplicates``
+    catches whole-video copies (one temporal envelope per video);
+    this catches videos that SHARE FOOTAGE — reposts embedding a clip,
+    intros/outros, syndicated segments — which whole-video hashes miss
+    whenever the surrounding content differs.
+
+    Shape: per-frame spatial dHashes (``video_frame_hashes``) keyed
+    ``media_id#frame_idx`` feed the SAME banded candidate machinery
+    (one (band, bucket) shuffle, capped joinless in-bucket pair
+    generation — never all-pairs over the frame store), exact Hamming
+    verify ``<= max_dist`` on candidates only, then cross-video pairs
+    aggregate to (id_a, id_b, n_shared_frames, min_hamming) keeping
+    pairs with ``>= min_frames`` matching frame pairs.  ``#`` is safe
+    as a separator because the banding contract only needs ids unique
+    and consistently ordered.
+    """
+    from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
+
+    hashes = video_frame_hashes(media, frame_stride)
+    keyed = hashes.select(
+        F.concat_ws(
+            "#", "media_id", F.col("frame_idx").cast("string")
+        ).alias("media_id"),
+        "sig",
+    )
+    pairs = lsh_candidate_pairs(
+        keyed, id_col="media_id", num_hashes=4, bands=4,
+        max_bucket_size=max_bucket_size, signatures=keyed,
+    )
+    verified = verify_hamming_pairs(pairs, keyed, max_dist)
+    va = F.split(F.col("id_a"), "#").getItem(0)
+    vb = F.split(F.col("id_b"), "#").getItem(0)
+    return (
+        verified
+        .select(
+            F.least(va, vb).alias("id_a"),
+            F.greatest(va, vb).alias("id_b"),
+            "hamming",
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_frames"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .where(F.col("n_shared_frames") >= min_frames)
+    )
+
+
+def synthesize_footage_media(docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """documents → one REAL AVI payload per document, built for
+    frame-level shared-footage tests: every frame's pixels are a full
+    murmur-style avalanche of a FOOTAGE id ``g`` and the pixel
+    coordinates (so unrelated frames sit ~32 hash bits apart — no
+    accidental near-matches), and every 5th video (id % 5 == 4)
+    re-embeds frames 0-2 of video id-2 verbatim (``g`` computed with
+    id-2) — the planted shared clip ``video_shared_frames`` must find.
+
+    Deterministic contract the mm_frame_dups oracle replays: all
+    videos are 12×8 with nf = 6 + id%10 frames; frame f of video id
+    carries footage g = (id' · 1000003 + f) with id' = id-2 when
+    (id % 5 == 4 and f < 3) else id; pixel (x, y, c) =
+    mix32(g·0x9E3779B1 + x·0x85EBCA77 + y·0xC2B2AE3D + c·0x27D4EB2F)
+    % 256, where mix32 is the murmur3-32 finalizer (xor-shift 16,
+    ·0x85EBCA6B, xor-shift 13, ·0xC2B2AE35, xor-shift 16, all mod
+    2^32).  Arrow-batched ``mapInPandas``, row-local.
+    """
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    m32 = np.uint64(0xFFFFFFFF)
+
+    def mix32(v: "np.ndarray") -> "np.ndarray":
+        v = v & m32
+        v ^= v >> np.uint64(16)
+        v = (v * np.uint64(0x85EBCA6B)) & m32
+        v ^= v >> np.uint64(13)
+        v = (v * np.uint64(0xC2B2AE35)) & m32
+        v ^= v >> np.uint64(16)
+        return v
+
+    src = docs.select(F.col(id_col).cast("long").alias("_id"))
+    w, h = 12, 8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for media_id in batch["_id"]:
+                i = int(media_id)
+                nf = 6 + i % 10
+                frames = np.empty((nf, h, w, 3), dtype=np.uint8)
+                yy, xx = np.mgrid[0:h, 0:w]
+                for f in range(nf):
+                    src_id = i - 2 if (i % 5 == 4 and f < 3) else i
+                    g = np.uint64(src_id * 1000003 + f)
+                    for c in range(3):
+                        v = (g * np.uint64(0x9E3779B1)
+                             + xx.astype(np.uint64)
+                             * np.uint64(0x85EBCA77)
+                             + yy.astype(np.uint64)
+                             * np.uint64(0xC2B2AE3D)
+                             + np.uint64(c) * np.uint64(0x27D4EB2F))
+                        frames[f, :, :, c] = (mix32(v) % 256).astype(
+                            np.uint8)
+                rows.append((str(i), "video", "avi",
+                             mc.encode_avi(frames, fps=10)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload"]
+            )
+
+    return src.mapInPandas(batches, schema=MEDIA)

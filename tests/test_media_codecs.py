@@ -688,3 +688,70 @@ def test_synthesize_real_media_avi_videos_decode(spark):
              for c in range(3)], axis=3,
         ).astype(np.uint8)
         assert np.array_equal(frames, want)
+
+
+def test_video_shared_frames_planted_clips(spark):
+    """Frame-granular video dedup: per-frame hashes match a python
+    twin, videos re-embedding a 3-frame clip of an earlier video pair
+    with exactly that video (n_shared_frames=3, hamming 0), avalanche
+    noise frames never pair, and frame_stride subsamples the planted
+    clip."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+    from onto_text_tag_spark.operators.multimodal import (
+        synthesize_footage_media,
+        video_frame_hashes,
+        video_shared_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(15)], "doc_id long, text string"
+    )
+    media = synthesize_footage_media(docs)
+
+    # python twin of the per-frame hash, from the decoded payload
+    payload = bytes(
+        media.where(F.col("media_id") == "4").collect()[0]["payload"])
+    frames = mc.decode_avi_frames(payload)
+    got = {
+        (r["media_id"], r["frame_idx"]): list(r["sig"])
+        for r in video_frame_hashes(media).collect()
+    }
+    for f in range(frames.shape[0]):
+        luma = frames[f].astype(np.int64).sum(axis=2) // 3
+        r = mc.resize_nearest(luma, 9, 8)
+        bits = (r[:, 1:] > r[:, :-1]).astype(np.int64)
+        sig = []
+        for b in range(4):
+            v = 0
+            for dy in range(2):
+                for x in range(8):
+                    v |= int(bits[2 * b + dy, x]) << (dy * 8 + x)
+            sig.append(v)
+        assert got[("4", f)] == sig
+    # the planted clip: frames 0-2 of video 4 ARE frames 0-2 of video 2
+    for f in range(3):
+        assert got[("4", f)] == got[("2", f)]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["n_shared_frames"], r["min_hamming"])
+        for r in video_shared_frames(
+            media, max_dist=4, min_frames=2,
+            max_bucket_size=None).collect()
+    }
+    assert pairs == {("2", "4"): (3, 0), ("7", "9"): (3, 0),
+                     ("12", "14"): (3, 0)}
+
+    # stride=2 keeps planted frames 0 and 2 — still >= min_frames
+    strided = {
+        (r["id_a"], r["id_b"]): r["n_shared_frames"]
+        for r in video_shared_frames(
+            media, max_dist=4, min_frames=2, frame_stride=2,
+            max_bucket_size=None).collect()
+    }
+    assert strided == {("2", "4"): 2, ("7", "9"): 2, ("12", "14"): 2}
+
+    with pytest.raises(ValueError, match="frame_stride"):
+        video_frame_hashes(media, frame_stride=0)
