@@ -776,18 +776,34 @@ def video_shared_frames(
     """
     from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
 
-    hashes = video_frame_hashes(media, frame_stride)
-    keyed = hashes.select(
-        F.concat_ws(
-            "#", "media_id", F.col("frame_idx").cast("string")
-        ).alias("media_id"),
-        "sig",
-    )
+    keyed = video_frame_sigs(media, frame_stride)
     pairs = lsh_candidate_pairs(
         keyed, id_col="media_id", num_hashes=4, bands=4,
         max_bucket_size=max_bucket_size, signatures=keyed,
     )
     verified = verify_hamming_pairs(pairs, keyed, max_dist)
+    return aggregate_frame_pairs(verified, min_frames)
+
+
+def video_frame_sigs(media: DataFrame,
+                     frame_stride: int = 1) -> DataFrame:
+    """``video_frame_hashes`` keyed ``media_id#frame_idx`` — the
+    (id, sig) relation the banded machinery consumes, shared by the
+    batch operator and the incremental ``video_frames`` absorb
+    family."""
+    return video_frame_hashes(media, frame_stride).select(
+        F.concat_ws(
+            "#", "media_id", F.col("frame_idx").cast("string")
+        ).alias("media_id"),
+        "sig",
+    )
+
+
+def aggregate_frame_pairs(verified: DataFrame,
+                          min_frames: int = 2) -> DataFrame:
+    """Verified ``media_id#frame_idx`` pairs → cross-video pairs with
+    matched-frame counts — shared by the batch operator and the
+    incremental pair-ledger reader."""
     va = F.split(F.col("id_a"), "#").getItem(0)
     vb = F.split(F.col("id_b"), "#").getItem(0)
     return (

@@ -47,10 +47,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from onto_text_tag_spark.operators.dedup import incremental_lsh_pairs
 from onto_text_tag_spark.operators.multimodal import (
+    aggregate_frame_pairs,
     audio_dhash,
     image_dhash,
     verify_hamming_pairs,
     video_dhash,
+    video_frame_sigs,
 )
 from onto_text_tag_spark.plans.kg_absorb import _append_batch_files
 from onto_text_tag_spark.sinks import (
@@ -65,12 +67,26 @@ from onto_text_tag_spark.sinks import (
 
 # family -> (perceptual hash kernel, default exact-verify threshold);
 # every kernel emits the (media_id, sig array<long> of 4 16-bit bands)
-# relation the banded candidate machinery consumes
+# relation the banded candidate machinery consumes.  ``video_frames``
+# is the FRAME-granular video family (shared-footage detection — the
+# paragraph-absorb analog): its "ids" are media_id#frame_idx keys, its
+# pair ledger holds frame pairs, and ``read_video_shared_frames``
+# aggregates them back to video pairs.
 _FAMILIES = {
     "image": (image_dhash, 10),
     "audio": (audio_dhash, 8),
     "video": (video_dhash, 8),
+    "video_frames": (video_frame_sigs, 4),
 }
+
+
+def read_video_shared_frames(spark: SparkSession, root: str,
+                             min_frames: int = 2) -> DataFrame:
+    """The live ``video_frames`` pair ledger aggregated to video pairs
+    (id_a, id_b, n_shared_frames, min_hamming) — the incremental view
+    of ``multimodal.video_shared_frames`` over every absorbed batch."""
+    return aggregate_frame_pairs(
+        read_media_dups(spark, root, "video_frames"), min_frames)
 
 
 def _family(family: str):

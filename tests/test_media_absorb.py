@@ -6,6 +6,7 @@ hash once, and the streaming sink must equal the batch operator."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 
 def _wav(seed: int, scale: int = 100) -> bytes:
@@ -172,3 +173,56 @@ def test_streaming_video_sink_equals_batch(spark, tmp_path):
     assert live == expected
     # compact_every=1 folded the appends back to single-file stages
     assert read_manifest(root, "video_dups").get("n_files", 0) == 1
+
+
+def test_video_frames_absorb_equals_batch_shared_footage(
+        spark, tmp_path):
+    """Incremental shared-footage detection (family ``video_frames``):
+    absorbing two crawl batches must yield exactly the batch
+    operator's video-pair set over the union — including a CROSS-batch
+    planted clip (a batch-B video re-embedding frames of a batch-A
+    video), the case the incremental pass exists for."""
+    from onto_text_tag_spark.operators.multimodal import (
+        synthesize_footage_media,
+        video_shared_frames,
+    )
+    from onto_text_tag_spark.plans.image_absorb import (
+        absorb_media_batch,
+        init_media_root,
+        read_video_shared_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(15)], "doc_id long, text string"
+    )
+    media = synthesize_footage_media(docs)
+    # planted clips: (2,4) within batch A, (7,9) CROSS-batch,
+    # (12,14) within batch B
+    batch_a = media.where(F.col("media_id").cast("long") < 8)
+    batch_b = media.where(F.col("media_id").cast("long") >= 8)
+
+    root = str(tmp_path / "vf")
+    init_media_root(spark, root, "video_frames")
+    s1 = absorb_media_batch(
+        spark, root, batch_a, "fp-A", family="video_frames",
+        max_bucket_size=None)
+    assert s1["status"] == "committed"
+    s2 = absorb_media_batch(
+        spark, root, batch_b, "fp-B", family="video_frames",
+        max_bucket_size=None)
+    assert s2["status"] == "committed"
+
+    expected = {
+        (r["id_a"], r["id_b"]): (r["n_shared_frames"], r["min_hamming"])
+        for r in video_shared_frames(
+            media, max_dist=4, min_frames=2,
+            max_bucket_size=None).collect()
+    }
+    live = {
+        (r["id_a"], r["id_b"]): (r["n_shared_frames"], r["min_hamming"])
+        for r in read_video_shared_frames(spark, root).collect()
+    }
+    assert live == expected
+    assert ("7", "9") in live  # the cross-batch clip
+    assert live == {("2", "4"): (3, 0), ("7", "9"): (3, 0),
+                    ("12", "14"): (3, 0)}
