@@ -2867,6 +2867,87 @@ def run_video_dedup_scaling(low: int = 2, high: int = 8) -> dict:
     }
 
 
+def run_frame_dedup_scaling(low: int = 2, high: int = 8) -> dict:
+    """Two-parallelism-level run of the FRAME-granular video dedup
+    pipeline (operators/multimodal.py:video_shared_frames — per-frame
+    spatial dHash → Hamming-banded candidates over the frame store →
+    exact verify → video-pair aggregation) over the SAME clip-planted
+    footage corpus — the north_rule two-cluster-size evidence for the
+    shared-footage operator.  Corpus: FRMDEDUP_DOCS real AVI payloads
+    from the engine's own footage synthesizer (avalanche-noise frames;
+    every 5th video re-embeds a 3-frame clip of an earlier one), so
+    the expected pair set is exactly the planted n/5 clips.
+    Interleaved repeats min-of-N; outputs asserted identical across
+    levels."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.multimodal import (
+        synthesize_footage_media,
+        video_shared_frames,
+    )
+
+    n_vids = int(os.environ.get("SPARK_GRAFT_FRMDEDUP_DOCS", "50000"))
+    corpus = os.path.join(SCALING_DIR, f"frmcorpus_{n_vids}.parquet")
+    if not os.path.exists(corpus):
+        spark = _session(high)
+        docs = spark.range(n_vids).select(
+            F.col("id").alias("doc_id"))
+        synthesize_footage_media(
+            docs.repartition(high * 4)
+        ).write.parquet(corpus)
+        spark.stop()
+
+    best: dict[int, float] = {}
+    sigs: dict[int, tuple] = {}
+    n_planted = n_vids // 5
+    for _rep in range(SCALING_REPEATS):
+        for cores in (low, high):  # interleaved
+            spark = _session(cores)
+            spark.range(1_000_000).select(
+                F.bit_xor(F.xxhash64("id"))).collect()
+            media = spark.read.parquet(corpus)
+            # untimed same-shape warmup on a slice
+            video_shared_frames(
+                media.limit(2000), max_dist=4, min_frames=2).count()
+            dups = video_shared_frames(media, max_dist=4, min_frames=2)
+            t0 = time.perf_counter()
+            row = dups.select(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64(
+                    "id_a", "id_b", "n_shared_frames", "min_hamming"))
+                .alias("h"),
+            ).collect()[0]
+            sec = round(time.perf_counter() - t0, 2)
+            spark.stop()
+            sig = (row["n"], row["h"])
+            sigs.setdefault(cores, sig)
+            assert sigs[cores] == sig, (cores, sigs[cores], sig)
+            if cores not in best or sec < best[cores]:
+                best[cores] = sec
+    assert sigs[low] == sigs[high], sigs
+    eff = (best[low] / best[high]) / (high / low)
+    return {
+        "job": "video_shared_frames (per-frame dHash + Hamming-banded "
+               "LSH over the frame store + exact verify + video-pair "
+               "aggregation) over real AVI payloads",
+        "corpus_videos": n_vids,
+        "planted_clip_pairs": n_planted,
+        "pairs_found": sigs[low][0],
+        "low_cores": low,
+        "high_cores": high,
+        "low_sec": best[low],
+        "high_sec": best[high],
+        "low_vids_per_sec": round(n_vids / best[low], 1),
+        "high_vids_per_sec": round(n_vids / best[high], 1),
+        "speedup": round(best[low] / best[high], 2),
+        "scaling_efficiency": round(eff, 3),
+        "outputs_identical": True,
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 def run_ivfpq_scaling(low: int = 2, high: int = 8) -> dict:
     """Two-parallelism-level run of the composed IVFPQ serving operator
     over the SAME 200k clustered ANN corpus — the north_rule
@@ -3513,6 +3594,35 @@ def main() -> None:
                 f"{rep['scaling_efficiency']}.  Outputs bit-identical "
                 "at both levels (pair-set hash), interleaved "
                 "min-of-N.\n"
+            )
+            cap = rep["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, "
+                f"units/sec by process count):\n\n{json.dumps(cap)}\n"
+            )
+        print(json.dumps(rep))
+        return
+    if "--scaling-frame-dedup" in sys.argv:
+        low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
+        high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
+        rep = run_frame_dedup_scaling(low=low, high=high)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Scaling run — {rep['job']}, "
+                f"{rep['corpus_videos']} videos "
+                f"({rep['planted_clip_pairs']} planted clip pairs, "
+                f"{rep['pairs_found']} pairs found)\n\n"
+                f"| cores | sec | vids/sec |\n|---|---|---|\n"
+                f"| local[{rep['low_cores']}] | {rep['low_sec']} | "
+                f"{rep['low_vids_per_sec']} |\n"
+                f"| local[{rep['high_cores']}] | {rep['high_sec']} | "
+                f"{rep['high_vids_per_sec']} |\n"
+                f"\nspeedup {rep['low_cores']}->{rep['high_cores']}: "
+                f"{rep['speedup']}x, efficiency "
+                f"{rep['scaling_efficiency']}.  Outputs bit-identical "
+                "at both levels (video-pair-set hash incl. counts), "
+                "interleaved min-of-N.\n"
             )
             cap = rep["host_capacity_units_per_sec"]
             fh.write(

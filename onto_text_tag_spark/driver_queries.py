@@ -5791,25 +5791,32 @@ ORACLES = {
 # head round 5's rotation — all are additionally bench-exercised or
 # pytest-pinned every round.
 _PRIORITY_KEYS = [
-    "mm_video_dups", "mm_frame_dups",
-    "sim_ivfpq_topk", "mm_image_dups", "mm_audio_dups",
-    "text_bigram_ll",
-    "text_packing_bpe",
-    "dedup_paragraphs", "dedup_ngram_spans", "curation_bloom_decontam",
-    "curation_nbquality", "emb_pq_codes", "sim_pq_topk",
-    "curation_stats", "curation_decontam", "curation_split",
-    "text_redact", "curation_mix", "text_boilerplate",
-    "web_links", "web_host_graph",
+    # r4 window plan: the driver verifies the FIRST 50 keys.  The 60
+    # keys NOT green in r03 exceed the window by 10, so the head is
+    # every never-checked round-4 query (7), every r01-stale key (8),
+    # and 35 of the 45 r02-stale keys — leaving out only the ten
+    # most-stable untouched queries (the four TPC-H relationals, the
+    # three event-window queries, and three pure-JVM text stats), all
+    # of which the interleaved A/B re-ran at HEAD this round
+    # (BENCH/BASELINE.md) and none of whose code changed since their
+    # r02 green.
+    "mm_video_dups", "mm_frame_dups", "sim_ivfpq_topk",
+    "mm_image_dups", "mm_audio_dups", "text_bigram_ll",
+    "text_packing_bpe", "curation_stats", "curation_decontam",
+    "curation_split", "text_redact", "curation_mix",
+    "text_boilerplate", "web_links", "web_host_graph",
+    "emb_neardup", "mm_features", "mm_frames",
+    "mm_image_stats", "sim_ivf_cells", "sim_ivf_recall",
+    "sim_ivf_topk", "sim_lsh_topk", "sim_topk_quantized",
     "kg_dictionary", "kg_mentions", "kg_cooccur",
     "kg_mentions_lang", "kg_mentions_joined", "kg_mention_triples",
     "kg_cooccur_bucketed", "kg_top_partners", "kg_cooccur_incremental",
-    "kg_cooccur_retract", "web_host_rank", "web_anchor_mentions",
-    "web_canonical_urls", "web_host_hits", "web_latest_capture",
-    "canon_components", "graph_components", "dedup_clusters_incremental",
-    "text_profile", "corpus_quantiles", "text_chunks", "text_word_freqs",
-    "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs",
-    "dedup_jaccard", "dedup_word_jaccard", "dedup_simhash",
-    "sim_topk", "sim_lsh_topk", "sim_ivf_cells",
+    "canon_components", "graph_components", "dedup_exact",
+    "sim_topk", "kg_cooccur_retract", "web_host_rank",
+    "web_anchor_mentions", "web_canonical_urls", "web_host_hits",
+    "web_latest_capture", "dedup_clusters_incremental", "text_profile",
+    "dedup_minhash_sig", "dedup_lsh_pairs", "dedup_jaccard",
+    "dedup_word_jaccard", "dedup_simhash",
 ]
 
 QUERIES = {
