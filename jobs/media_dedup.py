@@ -31,7 +31,8 @@ def main() -> None:
     ap.add_argument("--input", required=True,
                     help="media parquet batch: (media_id, kind, format, "
                     "payload)")
-    ap.add_argument("--family", choices=("image", "audio", "video", "video_frames"),
+    ap.add_argument("--family", choices=("image", "audio", "video", "video_frames",
+                             "audio_segments"),
                     default="image")
     ap.add_argument("--max-dist", type=int, default=None,
                     help="exact-verify Hamming threshold (family "

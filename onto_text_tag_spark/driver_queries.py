@@ -5319,6 +5319,109 @@ HAVING count(*) >= 2
 """
 
 
+def q_mm_segment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-audio shared-segment pairs (operators/multimodal.py:
+    audio_shared_segments): fixed 800-sample segments of REAL decoded
+    PCM, per-segment block-energy dHash, Hamming-banded candidates at
+    SEGMENT granularity, exact verify, aggregated to audio pairs
+    sharing >= 2 near-identical segments — the segment-granular member
+    of the audio dedup pair (mm_audio_dups is the whole-clip analog).
+    On the deterministic sawtooth corpus, audios with the same slope
+    class share their overlapping segments exactly; the oracle replays
+    every sample, block energy, and the audio-pair aggregation."""
+    from onto_text_tag_spark.operators.multimodal import (
+        audio_shared_segments,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(_docs(spark, sf_dir))
+    dups = audio_shared_segments(media, max_dist=4, min_segments=2,
+                                 segment_samples=800,
+                                 max_bucket_size=None)
+    a, b = F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    return dups.select(
+        F.least(a, b).alias("id_a"),
+        F.greatest(a, b).alias("id_b"),
+        "n_shared_segments",
+        "min_hamming",
+    )
+
+
+def sql_mm_segment_dups() -> str:
+    # audio doc_id (doc_id % 3 = 1): n = 80*(1 + doc_id % 30) samples,
+    # sample k = (k * (doc_id % 17 + 1)) % 2003 - 1001; segments of
+    # 800 samples (trailing remainder dropped), 65 energy blocks per
+    # segment at absolute sample range seg*800 + [j*800//65,
+    # (j+1)*800//65), one bit per adjacent block pair, 4x16-bit bands
+    # (audio_segment_sigs); banded candidates, hamming <= 4,
+    # cross-audio pairs with >= 2 matching segments
+    return """
+WITH auds AS (
+  SELECT doc_id, 80 * (1 + doc_id % 30) AS n, (doc_id % 17 + 1) AS m
+  FROM documents WHERE doc_id % 3 = 1
+),
+ segs AS (
+  SELECT doc_id, m, s.s
+  FROM auds, LATERAL unnest(range(0, n // 800)) AS s(s)
+ ),
+ blocks AS (
+  SELECT doc_id, m, s, j.j,
+         s * 800 + (j.j * 800) // 65 AS lo,
+         s * 800 + ((j.j + 1) * 800) // 65 AS hi
+  FROM segs, LATERAL unnest(range(0, 65)) AS j(j)
+ ),
+ samp AS (
+  SELECT b.doc_id, b.s, b.j, (b.hi - b.lo) AS cnt,
+         abs((k.k * b.m) % 2003 - 1001) AS a
+  FROM blocks b, LATERAL unnest(range(b.lo, b.hi)) AS k(k)
+ ),
+ energy AS (
+  SELECT doc_id, s, j, sum(a) // max(cnt) AS e
+  FROM samp GROUP BY doc_id, s, j
+ ),
+ bits AS (
+  SELECT a.doc_id, a.s, a.j,
+         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM energy a
+  JOIN energy b ON b.doc_id = a.doc_id AND b.s = a.s
+               AND b.j = a.j + 1
+  WHERE a.j < 64
+ ),
+ sigs AS (
+  SELECT doc_id, s, (j // 16) AS band,
+         sum(bit * (1::BIGINT << (j % 16)))::BIGINT AS bv
+  FROM bits GROUP BY doc_id, s, (j // 16)
+ ),
+ pf AS (
+  SELECT doc_id, s, list(bv ORDER BY band) AS sig FROM sigs
+  GROUP BY doc_id, s
+ ),
+ cand AS (
+  SELECT DISTINCT a.doc_id AS da, a.s AS sa, b.doc_id AS db, b.s AS sb
+  FROM sigs a
+  JOIN sigs b ON a.band = b.band AND a.bv = b.bv
+             AND (a.doc_id < b.doc_id
+                  OR (a.doc_id = b.doc_id AND a.s < b.s))
+ ),
+ ham AS (
+  SELECT c.da, c.db,
+         (bit_count(xor(p1.sig[1], p2.sig[1]))
+          + bit_count(xor(p1.sig[2], p2.sig[2]))
+          + bit_count(xor(p1.sig[3], p2.sig[3]))
+          + bit_count(xor(p1.sig[4], p2.sig[4])))::BIGINT AS hamming
+  FROM cand c
+  JOIN pf p1 ON p1.doc_id = c.da AND p1.s = c.sa
+  JOIN pf p2 ON p2.doc_id = c.db AND p2.s = c.sb
+ )
+SELECT least(da, db)::BIGINT AS id_a, greatest(da, db)::BIGINT AS id_b,
+       count(*)::BIGINT AS n_shared_segments,
+       min(hamming)::BIGINT AS min_hamming
+FROM ham WHERE hamming <= 4 AND da != db
+GROUP BY least(da, db), greatest(da, db)
+HAVING count(*) >= 2
+"""
+
+
 _PQ_M = 8
 _PQ_KSUB = 16
 _PQ_SUBDIM = 8  # embeddings are 64-dim
@@ -5647,6 +5750,7 @@ QUERIES = {
     "mm_image_dups": q_mm_image_dups,
     "mm_audio_dups": q_mm_audio_dups,
     "mm_video_dups": q_mm_video_dups,
+    "mm_segment_dups": q_mm_segment_dups,
     "mm_frame_dups": q_mm_frame_dups,
     "text_bigram_ll": q_text_bigram_ll,
     "text_packing_bpe": q_text_packing_bpe,
@@ -5760,6 +5864,7 @@ ORACLES = {
     "mm_image_dups": sql_mm_image_dups(),
     "mm_audio_dups": sql_mm_audio_dups(),
     "mm_video_dups": sql_mm_video_dups(),
+    "mm_segment_dups": sql_mm_segment_dups(),
     "mm_frame_dups": sql_mm_frame_dups(),
     "text_bigram_ll": sql_text_bigram_ll(),
     "text_packing_bpe": sql_text_packing_bpe(),
@@ -5791,16 +5896,17 @@ ORACLES = {
 # head round 5's rotation — all are additionally bench-exercised or
 # pytest-pinned every round.
 _PRIORITY_KEYS = [
-    # r4 window plan: the driver verifies the FIRST 50 keys.  The 60
-    # keys NOT green in r03 exceed the window by 10, so the head is
-    # every never-checked round-4 query (7), every r01-stale key (8),
-    # and 35 of the 45 r02-stale keys — leaving out only the ten
+    # r4 window plan: the driver verifies the FIRST 50 keys.  The 61
+    # keys NOT green in r03 exceed the window by 11, so the head is
+    # every never-checked round-4 query (8), every r01-stale key (8),
+    # and 34 of the 45 r02-stale keys — leaving out only the eleven
     # most-stable untouched queries (the four TPC-H relationals, the
-    # three event-window queries, and three pure-JVM text stats), all
-    # of which the interleaved A/B re-ran at HEAD this round
-    # (BENCH/BASELINE.md) and none of whose code changed since their
-    # r02 green.
-    "mm_video_dups", "mm_frame_dups", "sim_ivfpq_topk",
+    # three event-window queries, three pure-JVM text stats, and
+    # dedup_simhash), all of which the interleaved A/B re-ran at HEAD
+    # this round (BENCH/BASELINE.md) and none of whose code changed
+    # since their r02 green.
+    "mm_video_dups", "mm_frame_dups", "mm_segment_dups",
+    "sim_ivfpq_topk",
     "mm_image_dups", "mm_audio_dups", "text_bigram_ll",
     "text_packing_bpe", "curation_stats", "curation_decontam",
     "curation_split", "text_redact", "curation_mix",
@@ -5816,7 +5922,7 @@ _PRIORITY_KEYS = [
     "web_anchor_mentions", "web_canonical_urls", "web_host_hits",
     "web_latest_capture", "dedup_clusters_incremental", "text_profile",
     "dedup_minhash_sig", "dedup_lsh_pairs", "dedup_jaccard",
-    "dedup_word_jaccard", "dedup_simhash",
+    "dedup_word_jaccard",
 ]
 
 QUERIES = {

@@ -800,10 +800,11 @@ def video_frame_sigs(media: DataFrame,
 
 
 def aggregate_frame_pairs(verified: DataFrame,
-                          min_frames: int = 2) -> DataFrame:
-    """Verified ``media_id#frame_idx`` pairs → cross-video pairs with
-    matched-frame counts — shared by the batch operator and the
-    incremental pair-ledger reader."""
+                          min_frames: int = 2,
+                          count_col: str = "n_shared_frames") -> DataFrame:
+    """Verified ``media_id#unit_idx`` pairs → cross-media pairs with
+    matched-unit counts — shared by the batch operators (video frames,
+    audio segments) and the incremental pair-ledger readers."""
     va = F.split(F.col("id_a"), "#").getItem(0)
     vb = F.split(F.col("id_b"), "#").getItem(0)
     return (
@@ -816,10 +817,10 @@ def aggregate_frame_pairs(verified: DataFrame,
         .where(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(
-            F.count("*").cast("long").alias("n_shared_frames"),
+            F.count("*").cast("long").alias(count_col),
             F.min("hamming").alias("min_hamming"),
         )
-        .where(F.col("n_shared_frames") >= min_frames)
+        .where(F.col(count_col) >= min_frames)
     )
 
 
@@ -887,3 +888,91 @@ def synthesize_footage_media(docs: DataFrame,
             )
 
     return src.mapInPandas(batches, schema=MEDIA)
+
+
+def audio_segment_sigs(media: DataFrame,
+                       segment_samples: int = 800) -> DataFrame:
+    """Per-segment block-energy hashes over real PCM payloads, keyed
+    ``media_id#segment_idx`` — the audio analog of
+    ``video_frame_sigs``: the waveform splits into fixed
+    ``segment_samples``-sample segments (trailing remainder dropped —
+    a partial segment's energy profile is not comparable) and each
+    segment gets the 65-block energy dHash ``audio_dhash`` applies to
+    whole clips.  Fixed absolute segment boundaries make re-broadcast
+    copies and embedded excerpts line up block-for-block when they
+    start on a segment boundary.  Row-local Arrow kernel."""
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    if segment_samples < 65:
+        raise ValueError(
+            f"segment_samples must be >= 65 (one sample per energy "
+            f"block), got {segment_samples}")
+    src = media.where(
+        (F.col("kind") == "audio") & (F.col("format") == "wav")
+    ).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for media_id, payload in zip(batch["media_id"],
+                                         batch["payload"]):
+                s = np.abs(
+                    mc.decode_wav_samples(bytes(payload))
+                    .astype(np.int64))
+                for seg in range(len(s) // segment_samples):
+                    block = s[seg * segment_samples:
+                              (seg + 1) * segment_samples]
+                    energy = []
+                    for j in range(65):
+                        lo = j * segment_samples // 65
+                        hi = (j + 1) * segment_samples // 65
+                        energy.append(
+                            int(block[lo:hi].sum()) // (hi - lo))
+                    sig = []
+                    for b in range(4):
+                        v = 0
+                        for k in range(16):
+                            j = 16 * b + k
+                            if energy[j + 1] > energy[j]:
+                                v |= 1 << k
+                        sig.append(v)
+                    rows.append((f"{media_id}#{seg}", sig))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_DHASH.fields]
+            )
+
+    return src.mapInPandas(batches, schema=IMAGE_DHASH)
+
+
+def audio_shared_segments(
+    media: DataFrame,
+    max_dist: int = 4,
+    min_segments: int = 2,
+    segment_samples: int = 800,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Cross-audio shared-segment detection — the SEGMENT-granular
+    member of the audio dedup pair, completing the granularity matrix
+    (text: doc `dedup_exact` / paragraph `paragraph_dedup`; video:
+    whole `video_near_duplicates` / frame `video_shared_frames`;
+    audio: whole `audio_near_duplicates` / segment here): finds audio
+    pairs sharing ``>= min_segments`` near-identical fixed-length
+    segments — syndicated jingles, sampled clips, re-broadcast
+    excerpts — which whole-clip envelope hashes miss whenever the
+    surrounding audio differs.  Same scale shape as the frame path:
+    one (band, bucket) shuffle over the segment store, capped joinless
+    in-bucket pairs, exact Hamming verify on candidates only,
+    cross-audio aggregation.  Output: (id_a, id_b,
+    n_shared_segments, min_hamming)."""
+    from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
+
+    keyed = audio_segment_sigs(media, segment_samples)
+    pairs = lsh_candidate_pairs(
+        keyed, id_col="media_id", num_hashes=4, bands=4,
+        max_bucket_size=max_bucket_size, signatures=keyed,
+    )
+    verified = verify_hamming_pairs(pairs, keyed, max_dist)
+    return aggregate_frame_pairs(
+        verified, min_segments, count_col="n_shared_segments")

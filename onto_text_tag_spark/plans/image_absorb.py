@@ -49,6 +49,7 @@ from onto_text_tag_spark.operators.dedup import incremental_lsh_pairs
 from onto_text_tag_spark.operators.multimodal import (
     aggregate_frame_pairs,
     audio_dhash,
+    audio_segment_sigs,
     image_dhash,
     verify_hamming_pairs,
     video_dhash,
@@ -77,6 +78,7 @@ _FAMILIES = {
     "audio": (audio_dhash, 8),
     "video": (video_dhash, 8),
     "video_frames": (video_frame_sigs, 4),
+    "audio_segments": (audio_segment_sigs, 4),
 }
 
 
@@ -87,6 +89,17 @@ def read_video_shared_frames(spark: SparkSession, root: str,
     of ``multimodal.video_shared_frames`` over every absorbed batch."""
     return aggregate_frame_pairs(
         read_media_dups(spark, root, "video_frames"), min_frames)
+
+
+def read_audio_shared_segments(spark: SparkSession, root: str,
+                               min_segments: int = 2) -> DataFrame:
+    """The live ``audio_segments`` pair ledger aggregated to audio
+    pairs (id_a, id_b, n_shared_segments, min_hamming) — the
+    incremental view of ``multimodal.audio_shared_segments`` over
+    every absorbed batch."""
+    return aggregate_frame_pairs(
+        read_media_dups(spark, root, "audio_segments"), min_segments,
+        count_col="n_shared_segments")
 
 
 def _family(family: str):

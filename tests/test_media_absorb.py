@@ -226,3 +226,61 @@ def test_video_frames_absorb_equals_batch_shared_footage(
     assert ("7", "9") in live  # the cross-batch clip
     assert live == {("2", "4"): (3, 0), ("7", "9"): (3, 0),
                     ("12", "14"): (3, 0)}
+
+
+def test_audio_segments_absorb_equals_batch(spark, tmp_path):
+    """Incremental shared-segment detection (family ``audio_segments``):
+    two absorbed batches == the batch operator over the union,
+    including a CROSS-batch re-broadcast (a batch-B clip embedding the
+    first two segments of a batch-A clip)."""
+    from onto_text_tag_spark.functions import media_codecs as mc
+    from onto_text_tag_spark.operators.multimodal import (
+        audio_shared_segments,
+    )
+    from onto_text_tag_spark.plans.image_absorb import (
+        absorb_media_batch,
+        init_media_root,
+        read_audio_shared_segments,
+    )
+
+    t = np.arange(2400, dtype=np.int64)
+
+    def clip(seed):
+        return ((t * (seed * 31 % 97 + 3) + t * t % 613)
+                % 2003 - 1001).astype(np.int16)
+
+    base = clip(1)
+    excerpt = base.copy()
+    excerpt[1600:] = clip(99)[1600:]
+    rows_a = [("a%d" % i, "audio", "wav",
+               mc.encode_wav(clip(i), 8000)) for i in range(5)]
+    rows_a.append(("base", "audio", "wav", mc.encode_wav(base, 8000)))
+    rows_b = [("b%d" % i, "audio", "wav",
+               mc.encode_wav(clip(10 + i), 8000)) for i in range(5)]
+    rows_b.append(("reb", "audio", "wav",
+                   mc.encode_wav(excerpt, 8000)))  # cross-batch
+    media_a, media_b = _media(spark, rows_a), _media(spark, rows_b)
+
+    root = str(tmp_path / "aseg")
+    init_media_root(spark, root, "audio_segments")
+    for media, fp in ((media_a, "fp-A"), (media_b, "fp-B")):
+        st = absorb_media_batch(
+            spark, root, media, fp, family="audio_segments",
+            max_bucket_size=None)
+        assert st["status"] == "committed"
+
+    union = _media(spark, rows_a + rows_b)
+    expected = {
+        (r["id_a"], r["id_b"]): (r["n_shared_segments"],
+                                 r["min_hamming"])
+        for r in audio_shared_segments(
+            union, max_dist=4, min_segments=2,
+            max_bucket_size=None).collect()
+    }
+    live = {
+        (r["id_a"], r["id_b"]): (r["n_shared_segments"],
+                                 r["min_hamming"])
+        for r in read_audio_shared_segments(spark, root).collect()
+    }
+    assert live == expected
+    assert live[("base", "reb")][0] == 2  # the cross-batch excerpt

@@ -755,3 +755,63 @@ def test_video_shared_frames_planted_clips(spark):
 
     with pytest.raises(ValueError, match="frame_stride"):
         video_frame_hashes(media, frame_stride=0)
+
+
+def test_audio_shared_segments_planted_excerpt(spark):
+    """Segment-granular audio dedup: a clip that re-broadcasts the
+    first two 800-sample segments of another (different tail) pairs
+    with it at n_shared_segments=2; an amplitude-scaled full copy
+    shares all three segments; unrelated audio never pairs; partial
+    trailing segments are dropped."""
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+    from onto_text_tag_spark.operators.multimodal import (
+        audio_segment_sigs,
+        audio_shared_segments,
+    )
+
+    t = np.arange(2400, dtype=np.int64)
+    base = ((t * 7 + t * t % 613) % 2003 - 1001).astype(np.int16)
+    # re-broadcast: segments 0-1 verbatim, then a different tail
+    excerpt = base.copy()
+    excerpt[1600:] = ((t[1600:] * 13) % 1777 - 888).astype(np.int16)
+    scaled = (base.astype(np.int64) * 95 // 100).astype(np.int16)
+    other = ((t * t * 11 + t * 3) % 1873 - 936).astype(np.int16)
+    rows = [
+        ("a", "audio", "wav", mc.encode_wav(base, 8000)),
+        ("b", "audio", "wav", mc.encode_wav(excerpt, 8000)),
+        ("c", "audio", "wav", mc.encode_wav(scaled, 8000)),
+        ("d", "audio", "wav", mc.encode_wav(other, 8000)),
+        # 900 samples -> exactly ONE full segment, remainder dropped
+        ("e", "audio", "wav", mc.encode_wav(base[:900], 8000)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, format string, payload binary"
+    )
+
+    sigs = {r["media_id"]: list(r["sig"])
+            for r in audio_segment_sigs(media).collect()}
+    assert {k for k in sigs} == {
+        "a#0", "a#1", "a#2", "b#0", "b#1", "b#2",
+        "c#0", "c#1", "c#2", "d#0", "d#1", "d#2", "e#0",
+    }
+    assert sigs["a#0"] == sigs["b#0"] == sigs["e#0"]
+    assert sigs["a#1"] == sigs["b#1"]
+    assert sigs["a#2"] != sigs["b#2"]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["n_shared_segments"],
+                                 r["min_hamming"])
+        for r in audio_shared_segments(
+            media, max_dist=4, min_segments=2,
+            max_bucket_size=None).collect()
+    }
+    assert pairs[("a", "b")][0] == 2
+    assert pairs[("a", "c")][0] == 3  # scaling preserves block order
+    assert pairs[("b", "c")][0] == 2
+    assert not any("d" in p for p in pairs)
+    assert not any("e" in p for p in pairs)  # 1 shared seg < min 2
+
+    with pytest.raises(ValueError, match="segment_samples"):
+        audio_segment_sigs(media, segment_samples=64)
