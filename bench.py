@@ -2948,6 +2948,123 @@ def run_frame_dedup_scaling(low: int = 2, high: int = 8) -> dict:
     }
 
 
+def run_segment_dedup_scaling(low: int = 2, high: int = 8) -> dict:
+    """Two-parallelism-level run of the SEGMENT-granular audio dedup
+    pipeline (operators/multimodal.py:audio_shared_segments —
+    per-segment block-energy dHash → Hamming-banded candidates over
+    the segment store → exact verify → audio-pair aggregation) over
+    the SAME excerpt-planted WAV corpus — the north_rule
+    two-cluster-size evidence for the shared-segment operator.
+    Corpus: SEGDEDUP_DOCS real PCM WAV payloads of 4000
+    murmur-avalanched samples each (5 × 800-sample segments;
+    unrelated segments sit ~32 hash bits apart), 20% of which
+    re-broadcast the first two segments of an earlier clip verbatim
+    with a different tail — so the expected pair set is exactly the
+    planted n/5 excerpts at n_shared_segments=2.  Interleaved repeats
+    min-of-N; outputs asserted identical across levels."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.multimodal import (
+        audio_shared_segments,
+    )
+
+    n_auds = int(os.environ.get("SPARK_GRAFT_SEGDEDUP_DOCS", "100000"))
+    corpus = os.path.join(SCALING_DIR, f"segcorpus_{n_auds}.parquet")
+    if not os.path.exists(corpus):
+        from onto_text_tag_spark.functions import media_codecs as mc
+
+        spark = _session(high)
+        src = spark.range(n_auds).select(F.col("id"))
+        m32 = np.uint64(0xFFFFFFFF)
+
+        def mix(seed: int, n: int) -> "np.ndarray":
+            v = (np.arange(n, dtype=np.uint64) * np.uint64(0x9E3779B1)
+                 + np.uint64((seed * 0xC2B2AE3D) & 0xFFFFFFFF)) & m32
+            v ^= v >> np.uint64(16)
+            v = (v * np.uint64(0x85EBCA6B)) & m32
+            v ^= v >> np.uint64(13)
+            v = (v * np.uint64(0xC2B2AE35)) & m32
+            v ^= v >> np.uint64(16)
+            return (v % np.uint64(2003)).astype(np.int64) - 1001
+
+        def gen(it):
+            for batch in it:
+                rows = []
+                for i in batch["id"]:
+                    i = int(i)
+                    samples = mix(i, 4000)
+                    if i % 5 == 4:
+                        # re-broadcast: first two segments of clip
+                        # i-2 verbatim, own tail
+                        samples[:1600] = mix(i - 2, 4000)[:1600]
+                    rows.append((str(i), "audio", "wav",
+                                 mc.encode_wav(
+                                     samples.astype(np.int16), 8000)))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "kind", "format", "payload"])
+
+        src.repartition(high * 4).mapInPandas(
+            gen,
+            schema="media_id string, kind string, format string, "
+                   "payload binary",
+        ).write.parquet(corpus)
+        spark.stop()
+
+    best: dict[int, float] = {}
+    sigs: dict[int, tuple] = {}
+    n_planted = n_auds // 5
+    for _rep in range(SCALING_REPEATS):
+        for cores in (low, high):  # interleaved
+            spark = _session(cores)
+            spark.range(1_000_000).select(
+                F.bit_xor(F.xxhash64("id"))).collect()
+            media = spark.read.parquet(corpus)
+            audio_shared_segments(
+                media.limit(2000), max_dist=4, min_segments=2).count()
+            dups = audio_shared_segments(
+                media, max_dist=4, min_segments=2)
+            t0 = time.perf_counter()
+            row = dups.select(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64(
+                    "id_a", "id_b", "n_shared_segments",
+                    "min_hamming")).alias("h"),
+            ).collect()[0]
+            sec = round(time.perf_counter() - t0, 2)
+            spark.stop()
+            sig = (row["n"], row["h"])
+            sigs.setdefault(cores, sig)
+            assert sigs[cores] == sig, (cores, sigs[cores], sig)
+            if cores not in best or sec < best[cores]:
+                best[cores] = sec
+    assert sigs[low] == sigs[high], sigs
+    eff = (best[low] / best[high]) / (high / low)
+    return {
+        "job": "audio_shared_segments (per-segment block-energy dHash "
+               "+ Hamming-banded LSH over the segment store + exact "
+               "verify + audio-pair aggregation) over real WAV "
+               "payloads",
+        "corpus_audios": n_auds,
+        "planted_excerpt_pairs": n_planted,
+        "pairs_found": sigs[low][0],
+        "low_cores": low,
+        "high_cores": high,
+        "low_sec": best[low],
+        "high_sec": best[high],
+        "low_auds_per_sec": round(n_auds / best[low], 1),
+        "high_auds_per_sec": round(n_auds / best[high], 1),
+        "speedup": round(best[low] / best[high], 2),
+        "scaling_efficiency": round(eff, 3),
+        "outputs_identical": True,
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 def run_ivfpq_scaling(low: int = 2, high: int = 8) -> dict:
     """Two-parallelism-level run of the composed IVFPQ serving operator
     over the SAME 200k clustered ANN corpus — the north_rule
@@ -3622,6 +3739,35 @@ def main() -> None:
                 f"{rep['speedup']}x, efficiency "
                 f"{rep['scaling_efficiency']}.  Outputs bit-identical "
                 "at both levels (video-pair-set hash incl. counts), "
+                "interleaved min-of-N.\n"
+            )
+            cap = rep["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, "
+                f"units/sec by process count):\n\n{json.dumps(cap)}\n"
+            )
+        print(json.dumps(rep))
+        return
+    if "--scaling-segment-dedup" in sys.argv:
+        low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
+        high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
+        rep = run_segment_dedup_scaling(low=low, high=high)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Scaling run — {rep['job']}, "
+                f"{rep['corpus_audios']} audios "
+                f"({rep['planted_excerpt_pairs']} planted excerpt "
+                f"pairs, {rep['pairs_found']} pairs found)\n\n"
+                f"| cores | sec | auds/sec |\n|---|---|---|\n"
+                f"| local[{rep['low_cores']}] | {rep['low_sec']} | "
+                f"{rep['low_auds_per_sec']} |\n"
+                f"| local[{rep['high_cores']}] | {rep['high_sec']} | "
+                f"{rep['high_auds_per_sec']} |\n"
+                f"\nspeedup {rep['low_cores']}->{rep['high_cores']}: "
+                f"{rep['speedup']}x, efficiency "
+                f"{rep['scaling_efficiency']}.  Outputs bit-identical "
+                "at both levels (audio-pair-set hash incl. counts), "
                 "interleaved min-of-N.\n"
             )
             cap = rep["host_capacity_units_per_sec"]

@@ -32,7 +32,7 @@ def main() -> None:
                     help="media parquet batch: (media_id, kind, format, "
                     "payload)")
     ap.add_argument("--family", choices=("image", "audio", "video", "video_frames",
-                             "audio_segments"),
+                             "audio_segments", "image_tiles"),
                     default="image")
     ap.add_argument("--max-dist", type=int, default=None,
                     help="exact-verify Hamming threshold (family "

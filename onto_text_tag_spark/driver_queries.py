@@ -5422,6 +5422,118 @@ HAVING count(*) >= 2
 """
 
 
+def q_mm_tile_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-image shared-region pairs (operators/multimodal.py:
+    image_shared_tiles): 2x2 quadrant tiles of REAL decoded PNG
+    pixels, per-tile spatial dHash, Hamming-banded candidates at TILE
+    granularity, exact verify, aggregated to image pairs sharing >= 2
+    near-identical tiles — the tile-granular member of the image dedup
+    pair and the last cell of the granularity matrix (mm_image_dups is
+    the whole-image analog).  Corpus: synthesize_tiled_media —
+    avalanche-noise tiles with every 5th image re-embedding the top
+    row of an earlier one (the planted shared region).  The oracle
+    replays every pixel hash, the per-tile 9x8 resize, the banding,
+    and the image-pair aggregation arithmetically."""
+    from onto_text_tag_spark.operators.multimodal import (
+        image_shared_tiles,
+        synthesize_tiled_media,
+    )
+
+    media = synthesize_tiled_media(_docs(spark, sf_dir))
+    dups = image_shared_tiles(media, max_dist=4, min_tiles=2,
+                              max_bucket_size=None)
+    a, b = F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    return dups.select(
+        F.least(a, b).alias("id_a"),
+        F.greatest(a, b).alias("id_b"),
+        "n_shared_tiles",
+        "min_hamming",
+    )
+
+
+def sql_mm_tile_dups() -> str:
+    # synthesize_tiled_media: every doc is a 24x16 PNG of four 12x8
+    # quadrant tiles; tile t carries region g = src_id*1000003 + t
+    # with src_id = id-2 when (id%5==4, t<2) else id; within-tile
+    # pixel (x, y, c) = murmur3-32-finalizer mix of
+    # g*2654435761 + x*2246822519 + y*3266489917 + c*668265263, mod 256.
+    # image_shared_tiles: per-tile image dHash (9x8 nearest resize
+    # samples sx=(x*12)//9, sy=y), 4x16-bit bands, banded candidates,
+    # hamming <= 4, cross-image pairs with >= 2 matching tiles.
+    return """
+WITH tiles AS (
+  SELECT doc_id, t.t,
+         (CASE WHEN doc_id % 5 = 4 AND t.t < 2 THEN doc_id - 2
+               ELSE doc_id END) * 1000003 + t.t AS g
+  FROM documents, LATERAL unnest(range(0, 4)) AS t(t)
+),
+ grid AS (
+  SELECT doc_id, t, g, x.x, u.y, (x.x * 12) // 9 AS sx, u.y AS sy
+  FROM tiles,
+       LATERAL unnest(range(0, 9)) AS x(x),
+       LATERAL unnest(range(0, 8)) AS u(y)
+ ),
+ m0 AS (
+  SELECT doc_id, t, x, y, c.c,
+         ((g::HUGEINT * 2654435761 + sx * 2246822519 + sy * 3266489917
+           + c.c * 668265263) % 4294967296)::BIGINT AS v
+  FROM grid, (SELECT unnest(range(0, 3)) AS c) c
+ ),
+ m1 AS (SELECT doc_id, t, x, y, c, xor(v, v >> 16) AS v FROM m0),
+ m2 AS (SELECT doc_id, t, x, y, c,
+               ((v::HUGEINT * 2246822507) % 4294967296)::BIGINT AS v FROM m1),
+ m3 AS (SELECT doc_id, t, x, y, c, xor(v, v >> 13) AS v FROM m2),
+ m4 AS (SELECT doc_id, t, x, y, c,
+               ((v::HUGEINT * 3266489909) % 4294967296)::BIGINT AS v FROM m3),
+ m5 AS (SELECT doc_id, t, x, y, c,
+               xor(v, v >> 16) % 256 AS pv FROM m4),
+ lum AS (
+  SELECT doc_id, t, x, y, sum(pv) // 3 AS l
+  FROM m5 GROUP BY doc_id, t, x, y
+ ),
+ bits AS (
+  SELECT a.doc_id, a.t, a.x, a.y,
+         CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+  FROM lum a
+  JOIN lum b ON b.doc_id = a.doc_id AND b.t = a.t AND b.y = a.y
+            AND b.x = a.x + 1
+  WHERE a.x < 8
+ ),
+ sigs AS (
+  SELECT doc_id, t, (y // 2) AS band,
+         sum(bit * (1::BIGINT << ((y % 2) * 8 + x)))::BIGINT AS bv
+  FROM bits GROUP BY doc_id, t, (y // 2)
+ ),
+ pf AS (
+  SELECT doc_id, t, list(bv ORDER BY band) AS sig FROM sigs
+  GROUP BY doc_id, t
+ ),
+ cand AS (
+  SELECT DISTINCT a.doc_id AS da, a.t AS ta, b.doc_id AS db, b.t AS tb
+  FROM sigs a
+  JOIN sigs b ON a.band = b.band AND a.bv = b.bv
+             AND (a.doc_id < b.doc_id
+                  OR (a.doc_id = b.doc_id AND a.t < b.t))
+ ),
+ ham AS (
+  SELECT c.da, c.db,
+         (bit_count(xor(p1.sig[1], p2.sig[1]))
+          + bit_count(xor(p1.sig[2], p2.sig[2]))
+          + bit_count(xor(p1.sig[3], p2.sig[3]))
+          + bit_count(xor(p1.sig[4], p2.sig[4])))::BIGINT AS hamming
+  FROM cand c
+  JOIN pf p1 ON p1.doc_id = c.da AND p1.t = c.ta
+  JOIN pf p2 ON p2.doc_id = c.db AND p2.t = c.tb
+ )
+SELECT least(da, db)::BIGINT AS id_a, greatest(da, db)::BIGINT AS id_b,
+       count(*)::BIGINT AS n_shared_tiles,
+       min(hamming)::BIGINT AS min_hamming
+FROM ham WHERE hamming <= 4 AND da != db
+GROUP BY least(da, db), greatest(da, db)
+HAVING count(*) >= 2
+"""
+
+
 _PQ_M = 8
 _PQ_KSUB = 16
 _PQ_SUBDIM = 8  # embeddings are 64-dim
@@ -5751,6 +5863,7 @@ QUERIES = {
     "mm_audio_dups": q_mm_audio_dups,
     "mm_video_dups": q_mm_video_dups,
     "mm_segment_dups": q_mm_segment_dups,
+    "mm_tile_dups": q_mm_tile_dups,
     "mm_frame_dups": q_mm_frame_dups,
     "text_bigram_ll": q_text_bigram_ll,
     "text_packing_bpe": q_text_packing_bpe,
@@ -5865,6 +5978,7 @@ ORACLES = {
     "mm_audio_dups": sql_mm_audio_dups(),
     "mm_video_dups": sql_mm_video_dups(),
     "mm_segment_dups": sql_mm_segment_dups(),
+    "mm_tile_dups": sql_mm_tile_dups(),
     "mm_frame_dups": sql_mm_frame_dups(),
     "text_bigram_ll": sql_text_bigram_ll(),
     "text_packing_bpe": sql_text_packing_bpe(),
@@ -5896,16 +6010,17 @@ ORACLES = {
 # head round 5's rotation — all are additionally bench-exercised or
 # pytest-pinned every round.
 _PRIORITY_KEYS = [
-    # r4 window plan: the driver verifies the FIRST 50 keys.  The 61
-    # keys NOT green in r03 exceed the window by 11, so the head is
-    # every never-checked round-4 query (8), every r01-stale key (8),
-    # and 34 of the 45 r02-stale keys — leaving out only the eleven
+    # r4 window plan: the driver verifies the FIRST 50 keys.  The 62
+    # keys NOT green in r03 exceed the window by 12, so the head is
+    # every never-checked round-4 query (9), every r01-stale key (8),
+    # and 33 of the 45 r02-stale keys — leaving out only the twelve
     # most-stable untouched queries (the four TPC-H relationals, the
-    # three event-window queries, three pure-JVM text stats, and
-    # dedup_simhash), all of which the interleaved A/B re-ran at HEAD
-    # this round (BENCH/BASELINE.md) and none of whose code changed
-    # since their r02 green.
+    # three event-window queries, three pure-JVM text stats,
+    # dedup_simhash, and dedup_word_jaccard), all of which the
+    # interleaved A/B re-ran at HEAD this round (BENCH/BASELINE.md)
+    # and none of whose code changed since their r02 green.
     "mm_video_dups", "mm_frame_dups", "mm_segment_dups",
+    "mm_tile_dups",
     "sim_ivfpq_topk",
     "mm_image_dups", "mm_audio_dups", "text_bigram_ll",
     "text_packing_bpe", "curation_stats", "curation_decontam",
@@ -5922,7 +6037,7 @@ _PRIORITY_KEYS = [
     "web_anchor_mentions", "web_canonical_urls", "web_host_hits",
     "web_latest_capture", "dedup_clusters_incremental", "text_profile",
     "dedup_minhash_sig", "dedup_lsh_pairs", "dedup_jaccard",
-    "dedup_word_jaccard",
+   
 ]
 
 QUERIES = {

@@ -976,3 +976,156 @@ def audio_shared_segments(
     verified = verify_hamming_pairs(pairs, keyed, max_dist)
     return aggregate_frame_pairs(
         verified, min_segments, count_col="n_shared_segments")
+
+
+def image_tile_sigs(media: DataFrame,
+                    grid: tuple[int, int] = (2, 2)) -> DataFrame:
+    """Per-tile dHashes over real image payloads, keyed
+    ``media_id#tile_idx`` — the image analog of ``video_frame_sigs``:
+    the decoded image splits into a ``grid = (cols, rows)`` of equal
+    tiles (boundaries ``i·w//cols`` / ``j·h//rows``) and each tile
+    gets the 9×8 spatial dHash ``image_dhash`` applies to whole
+    images.  Tile index = ``row · cols + col``.  Row-local Arrow
+    kernel."""
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    cols, tile_rows = grid
+    if cols < 1 or tile_rows < 1:
+        raise ValueError(f"grid must be >= (1, 1), got {grid}")
+    src = media.where(
+        (F.col("kind") == "image")
+        & F.col("format").isin("png", "jpeg", "jpg")
+    ).select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for media_id, payload in zip(batch["media_id"],
+                                         batch["payload"]):
+                px = mc.decode_image(bytes(payload))
+                if px.ndim == 2:
+                    luma = px.astype(np.int64)
+                else:
+                    luma = (px.astype(np.int64).sum(axis=2)
+                            // px.shape[2])
+                h, w = luma.shape
+                for ty in range(tile_rows):
+                    for tx in range(cols):
+                        tile = luma[ty * h // tile_rows:
+                                    (ty + 1) * h // tile_rows,
+                                    tx * w // cols:
+                                    (tx + 1) * w // cols]
+                        r = mc.resize_nearest(tile, 9, 8)
+                        bits = (r[:, 1:] > r[:, :-1]).astype(np.int64)
+                        sig = []
+                        for b in range(4):
+                            v = 0
+                            for dy in range(2):
+                                for x in range(8):
+                                    v |= (int(bits[2 * b + dy, x])
+                                          << (dy * 8 + x))
+                            sig.append(v)
+                        rows.append(
+                            (f"{media_id}#{ty * cols + tx}", sig))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_DHASH.fields]
+            )
+
+    return src.mapInPandas(batches, schema=IMAGE_DHASH)
+
+
+def image_shared_tiles(
+    media: DataFrame,
+    max_dist: int = 4,
+    min_tiles: int = 2,
+    grid: tuple[int, int] = (2, 2),
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Cross-image shared-region detection — the TILE-granular member
+    of the image dedup pair, the last cell of the granularity matrix
+    (text doc/paragraph; video whole/frame; audio whole/segment;
+    image whole/tile): finds image pairs sharing ``>= min_tiles``
+    near-identical grid tiles — meme-template reuse, shared UI chrome
+    in screenshots, watermarked regions — which whole-image dHashes
+    miss whenever the rest of the image differs.  Same scale shape as
+    the frame/segment paths: one (band, bucket) shuffle over the tile
+    store, capped joinless in-bucket pairs, exact Hamming verify on
+    candidates only, cross-image aggregation.  Output: (id_a, id_b,
+    n_shared_tiles, min_hamming)."""
+    from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
+
+    keyed = image_tile_sigs(media, grid)
+    pairs = lsh_candidate_pairs(
+        keyed, id_col="media_id", num_hashes=4, bands=4,
+        max_bucket_size=max_bucket_size, signatures=keyed,
+    )
+    verified = verify_hamming_pairs(pairs, keyed, max_dist)
+    return aggregate_frame_pairs(
+        verified, min_tiles, count_col="n_shared_tiles")
+
+
+def synthesize_tiled_media(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """documents → one REAL PNG payload per document, built for
+    tile-level shared-region tests: a 24×16 image of four 12×8
+    quadrant tiles whose pixels are a full murmur-style avalanche of a
+    REGION id ``g`` and the within-tile coordinates (so unrelated
+    tiles sit ~32 hash bits apart), and every 5th image (id % 5 == 4)
+    re-embeds tiles 0-1 (the top row) of image id-2 verbatim — the
+    planted shared region ``image_shared_tiles`` must find.
+
+    Deterministic contract the mm_tile_dups oracle replays: tile t of
+    image id carries region g = (id' · 1000003 + t) with id' = id-2
+    when (id % 5 == 4 and t < 2) else id; pixel (x, y, c) within the
+    tile = mix32(g·0x9E3779B1 + x·0x85EBCA77 + y·0xC2B2AE3D +
+    c·0x27D4EB2F) % 256 with mix32 the murmur3-32 finalizer — the
+    ``synthesize_footage_media`` device one modality over.
+    """
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    m32 = np.uint64(0xFFFFFFFF)
+
+    def mix32(v: "np.ndarray") -> "np.ndarray":
+        v = v & m32
+        v ^= v >> np.uint64(16)
+        v = (v * np.uint64(0x85EBCA6B)) & m32
+        v ^= v >> np.uint64(13)
+        v = (v * np.uint64(0xC2B2AE35)) & m32
+        v ^= v >> np.uint64(16)
+        return v
+
+    src = docs.select(F.col(id_col).cast("long").alias("_id"))
+    tw, th = 12, 8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for media_id in batch["_id"]:
+                i = int(media_id)
+                img = np.empty((2 * th, 2 * tw, 3), dtype=np.uint8)
+                yy, xx = np.mgrid[0:th, 0:tw]
+                for t in range(4):
+                    src_id = i - 2 if (i % 5 == 4 and t < 2) else i
+                    g = np.uint64(src_id * 1000003 + t)
+                    ty, tx = divmod(t, 2)
+                    for c in range(3):
+                        v = (g * np.uint64(0x9E3779B1)
+                             + xx.astype(np.uint64)
+                             * np.uint64(0x85EBCA77)
+                             + yy.astype(np.uint64)
+                             * np.uint64(0xC2B2AE3D)
+                             + np.uint64(c) * np.uint64(0x27D4EB2F))
+                        img[ty * th:(ty + 1) * th,
+                            tx * tw:(tx + 1) * tw, c] = (
+                            mix32(v) % 256).astype(np.uint8)
+                rows.append((str(i), "image", "png",
+                             mc.encode_png(img)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload"]
+            )
+
+    return src.mapInPandas(batches, schema=MEDIA)

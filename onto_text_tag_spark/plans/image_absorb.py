@@ -51,6 +51,7 @@ from onto_text_tag_spark.operators.multimodal import (
     audio_dhash,
     audio_segment_sigs,
     image_dhash,
+    image_tile_sigs,
     verify_hamming_pairs,
     video_dhash,
     video_frame_sigs,
@@ -79,6 +80,7 @@ _FAMILIES = {
     "video": (video_dhash, 8),
     "video_frames": (video_frame_sigs, 4),
     "audio_segments": (audio_segment_sigs, 4),
+    "image_tiles": (image_tile_sigs, 4),
 }
 
 
@@ -100,6 +102,16 @@ def read_audio_shared_segments(spark: SparkSession, root: str,
     return aggregate_frame_pairs(
         read_media_dups(spark, root, "audio_segments"), min_segments,
         count_col="n_shared_segments")
+
+
+def read_image_shared_tiles(spark: SparkSession, root: str,
+                            min_tiles: int = 2) -> DataFrame:
+    """The live ``image_tiles`` pair ledger aggregated to image pairs
+    (id_a, id_b, n_shared_tiles, min_hamming) — the incremental view
+    of ``multimodal.image_shared_tiles`` over every absorbed batch."""
+    return aggregate_frame_pairs(
+        read_media_dups(spark, root, "image_tiles"), min_tiles,
+        count_col="n_shared_tiles")
 
 
 def _family(family: str):

@@ -284,3 +284,49 @@ def test_audio_segments_absorb_equals_batch(spark, tmp_path):
     }
     assert live == expected
     assert live[("base", "reb")][0] == 2  # the cross-batch excerpt
+
+
+def test_image_tiles_absorb_equals_batch(spark, tmp_path):
+    """Incremental shared-region detection (family ``image_tiles``):
+    two absorbed batches == the batch operator over the union,
+    including a CROSS-batch planted region (a batch-B image
+    re-embedding the top tile row of a batch-A image)."""
+    from onto_text_tag_spark.operators.multimodal import (
+        image_shared_tiles,
+        synthesize_tiled_media,
+    )
+    from onto_text_tag_spark.plans.image_absorb import (
+        absorb_media_batch,
+        init_media_root,
+        read_image_shared_tiles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(15)], "doc_id long, text string"
+    )
+    media = synthesize_tiled_media(docs)
+    # planted regions: (2,4) within A, (7,9) CROSS-batch, (12,14) in B
+    batch_a = media.where(F.col("media_id").cast("long") < 8)
+    batch_b = media.where(F.col("media_id").cast("long") >= 8)
+
+    root = str(tmp_path / "tiles")
+    init_media_root(spark, root, "image_tiles")
+    for batch, fp in ((batch_a, "fp-A"), (batch_b, "fp-B")):
+        st = absorb_media_batch(
+            spark, root, batch, fp, family="image_tiles",
+            max_bucket_size=None)
+        assert st["status"] == "committed"
+
+    expected = {
+        (r["id_a"], r["id_b"]): (r["n_shared_tiles"], r["min_hamming"])
+        for r in image_shared_tiles(
+            media, max_dist=4, min_tiles=2,
+            max_bucket_size=None).collect()
+    }
+    live = {
+        (r["id_a"], r["id_b"]): (r["n_shared_tiles"], r["min_hamming"])
+        for r in read_image_shared_tiles(spark, root).collect()
+    }
+    assert live == expected
+    assert live == {("2", "4"): (2, 0), ("7", "9"): (2, 0),
+                    ("12", "14"): (2, 0)}

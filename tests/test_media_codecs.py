@@ -815,3 +815,87 @@ def test_audio_shared_segments_planted_excerpt(spark):
 
     with pytest.raises(ValueError, match="segment_samples"):
         audio_segment_sigs(media, segment_samples=64)
+
+
+def test_avi_roundtrip_fuzz():
+    """Property: ANY uint8 RGB frame stack roundtrips bit-exactly
+    through the uncompressed-DIB AVI codec, across widths that do and
+    do not need 4-byte row padding."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        nf=st.integers(1, 6),
+        h=st.integers(1, 12),
+        w=st.integers(1, 13),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(nf, h, w, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(
+            0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+        payload = mc.encode_avi(frames, fps=7)
+        info = mc.avi_info(payload)
+        assert (info["width"], info["height"], info["n_frames"]) == \
+            (w, h, nf)
+        assert np.array_equal(mc.decode_avi_frames(payload), frames)
+
+    roundtrip()
+
+
+def test_image_shared_tiles_planted_region(spark):
+    """Tile-granular image dedup: images re-embedding the top tile row
+    of an earlier image pair with it at n_shared_tiles=2 (hamming 0),
+    avalanche-noise tiles never pair, per-tile hashes match a python
+    twin."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+    from onto_text_tag_spark.operators.multimodal import (
+        image_shared_tiles,
+        image_tile_sigs,
+        synthesize_tiled_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(15)], "doc_id long, text string"
+    )
+    media = synthesize_tiled_media(docs)
+
+    sigs = {r["media_id"]: list(r["sig"])
+            for r in image_tile_sigs(media).collect()}
+    # python twin for one image's tiles, from the decoded payload
+    payload = bytes(
+        media.where(F.col("media_id") == "4").collect()[0]["payload"])
+    px = mc.decode_png(payload)
+    luma = px.astype(np.int64).sum(axis=2) // 3
+    for t in range(4):
+        ty, tx = divmod(t, 2)
+        tile = luma[ty * 8:(ty + 1) * 8, tx * 12:(tx + 1) * 12]
+        r = mc.resize_nearest(tile, 9, 8)
+        bits = (r[:, 1:] > r[:, :-1]).astype(np.int64)
+        sig = []
+        for b in range(4):
+            v = 0
+            for dy in range(2):
+                for x in range(8):
+                    v |= int(bits[2 * b + dy, x]) << (dy * 8 + x)
+            sig.append(v)
+        assert sigs[f"4#{t}"] == sig
+    # the planted region: tiles 0-1 of image 4 ARE tiles 0-1 of image 2
+    assert sigs["4#0"] == sigs["2#0"] and sigs["4#1"] == sigs["2#1"]
+    assert sigs["4#2"] != sigs["2#2"]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["n_shared_tiles"], r["min_hamming"])
+        for r in image_shared_tiles(
+            media, max_dist=4, min_tiles=2,
+            max_bucket_size=None).collect()
+    }
+    assert pairs == {("2", "4"): (2, 0), ("7", "9"): (2, 0),
+                     ("12", "14"): (2, 0)}
+
+    with pytest.raises(ValueError, match="grid"):
+        image_tile_sigs(media, grid=(0, 2))
