@@ -5534,6 +5534,126 @@ HAVING count(*) >= 2
 """
 
 
+def q_mm_thumb_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal thumbnail links (operators/multimodal.py:
+    thumbnail_links): the whole-image dHash and the per-frame video
+    dHash are the same 64-bit space, so ONE banded pass over the
+    union of image hashes and frame hashes finds the images that
+    appear as frames of videos — preview attribution / cross-modal
+    dedup.  Corpus: synthesize_thumb_media — footage videos plus PNG
+    thumbnails that are pixel-identical to one video's frame 0; every
+    thumbnail whose video exists links exactly once (avalanche noise
+    keeps unrelated image×frame pairs ~32 bits apart).  The oracle
+    replays both modalities' pixel hashes and the cross-modal join
+    arithmetically."""
+    from onto_text_tag_spark.operators.multimodal import (
+        synthesize_thumb_media,
+        thumbnail_links,
+    )
+
+    media = synthesize_thumb_media(_docs(spark, sf_dir))
+    links = thumbnail_links(media, max_dist=4, max_bucket_size=None)
+    return links.select(
+        F.col("image_id").cast("long").alias("image_id"),
+        F.col("video_id").cast("long").alias("video_id"),
+        "frame_idx",
+        "hamming",
+    )
+
+
+def sql_mm_thumb_links() -> str:
+    # synthesize_thumb_media: videos (doc_id % 3 = 2) follow the
+    # footage contract (12x8, nf = 6 + id%10, frame-f region
+    # g = src*1000003 + f with src = id-2 when id%5==4 and f<3);
+    # images (doc_id % 3 = 0) are 12x8 PNGs pixel-identical to video
+    # (doc_id+2)'s frame 0, i.e. region g = (CASE WHEN (doc_id+2)%5=4
+    # THEN doc_id ELSE doc_id+2 END)*1000003.  Both sides hash with
+    # the same 9x8-resize dHash, so the oracle pushes images through
+    # the pipeline as virtual frame rows (is_img flag) and joins
+    # image sigs to frame sigs on band buckets.
+    return """
+WITH vids AS (
+  SELECT doc_id, 6 + doc_id % 10 AS nf FROM documents
+  WHERE doc_id % 3 = 2
+),
+ fr AS (
+  SELECT doc_id, f.f, 0 AS is_img,
+         (CASE WHEN doc_id % 5 = 4 AND f.f < 3 THEN doc_id - 2
+               ELSE doc_id END) * 1000003 + f.f AS g
+  FROM vids, LATERAL unnest(range(0, nf)) AS f(f)
+  UNION ALL
+  SELECT doc_id, 0 AS f, 1 AS is_img,
+         (CASE WHEN (doc_id + 2) % 5 = 4 THEN doc_id
+               ELSE doc_id + 2 END) * 1000003 AS g
+  FROM documents WHERE doc_id % 3 = 0
+ ),
+ grid AS (
+  SELECT doc_id, f, is_img, g, x.x, u.y,
+         (x.x * 12) // 9 AS sx, u.y AS sy
+  FROM fr,
+       LATERAL unnest(range(0, 9)) AS x(x),
+       LATERAL unnest(range(0, 8)) AS u(y)
+ ),
+ m0 AS (
+  SELECT doc_id, f, is_img, x, y, c.c,
+         ((g::HUGEINT * 2654435761 + sx * 2246822519 + sy * 3266489917
+           + c.c * 668265263) % 4294967296)::BIGINT AS v
+  FROM grid, (SELECT unnest(range(0, 3)) AS c) c
+ ),
+ m1 AS (SELECT doc_id, f, is_img, x, y, c, xor(v, v >> 16) AS v
+        FROM m0),
+ m2 AS (SELECT doc_id, f, is_img, x, y, c,
+               ((v::HUGEINT * 2246822507) % 4294967296)::BIGINT AS v FROM m1),
+ m3 AS (SELECT doc_id, f, is_img, x, y, c, xor(v, v >> 13) AS v
+        FROM m2),
+ m4 AS (SELECT doc_id, f, is_img, x, y, c,
+               ((v::HUGEINT * 3266489909) % 4294967296)::BIGINT AS v FROM m3),
+ m5 AS (SELECT doc_id, f, is_img, x, y, c,
+               xor(v, v >> 16) % 256 AS pv FROM m4),
+ lum AS (
+  SELECT doc_id, f, is_img, x, y, sum(pv) // 3 AS l
+  FROM m5 GROUP BY doc_id, f, is_img, x, y
+ ),
+ bits AS (
+  SELECT a.doc_id, a.f, a.is_img, a.x, a.y,
+         CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+  FROM lum a
+  JOIN lum b ON b.doc_id = a.doc_id AND b.f = a.f
+            AND b.is_img = a.is_img AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+ ),
+ sigs AS (
+  SELECT doc_id, f, is_img, (y // 2) AS band,
+         sum(bit * (1::BIGINT << ((y % 2) * 8 + x)))::BIGINT AS bv
+  FROM bits GROUP BY doc_id, f, is_img, (y // 2)
+ ),
+ pf AS (
+  SELECT doc_id, f, is_img, list(bv ORDER BY band) AS sig FROM sigs
+  GROUP BY doc_id, f, is_img
+ ),
+ cand AS (
+  SELECT DISTINCT i.doc_id AS img, v.doc_id AS vid, v.f AS vf
+  FROM sigs i
+  JOIN sigs v ON v.band = i.band AND v.bv = i.bv
+             AND v.is_img = 0
+  WHERE i.is_img = 1
+ ),
+ ham AS (
+  SELECT c.img, c.vid, c.vf,
+         (bit_count(xor(p1.sig[1], p2.sig[1]))
+          + bit_count(xor(p1.sig[2], p2.sig[2]))
+          + bit_count(xor(p1.sig[3], p2.sig[3]))
+          + bit_count(xor(p1.sig[4], p2.sig[4])))::BIGINT AS hamming
+  FROM cand c
+  JOIN pf p1 ON p1.doc_id = c.img AND p1.is_img = 1
+  JOIN pf p2 ON p2.doc_id = c.vid AND p2.f = c.vf AND p2.is_img = 0
+ )
+SELECT img::BIGINT AS image_id, vid::BIGINT AS video_id,
+       vf::INT AS frame_idx, hamming
+FROM ham WHERE hamming <= 4
+"""
+
+
 _PQ_M = 8
 _PQ_KSUB = 16
 _PQ_SUBDIM = 8  # embeddings are 64-dim
@@ -5864,6 +5984,7 @@ QUERIES = {
     "mm_video_dups": q_mm_video_dups,
     "mm_segment_dups": q_mm_segment_dups,
     "mm_tile_dups": q_mm_tile_dups,
+    "mm_thumb_links": q_mm_thumb_links,
     "mm_frame_dups": q_mm_frame_dups,
     "text_bigram_ll": q_text_bigram_ll,
     "text_packing_bpe": q_text_packing_bpe,
@@ -5979,6 +6100,7 @@ ORACLES = {
     "mm_video_dups": sql_mm_video_dups(),
     "mm_segment_dups": sql_mm_segment_dups(),
     "mm_tile_dups": sql_mm_tile_dups(),
+    "mm_thumb_links": sql_mm_thumb_links(),
     "mm_frame_dups": sql_mm_frame_dups(),
     "text_bigram_ll": sql_text_bigram_ll(),
     "text_packing_bpe": sql_text_packing_bpe(),
@@ -6010,17 +6132,18 @@ ORACLES = {
 # head round 5's rotation — all are additionally bench-exercised or
 # pytest-pinned every round.
 _PRIORITY_KEYS = [
-    # r4 window plan: the driver verifies the FIRST 50 keys.  The 62
-    # keys NOT green in r03 exceed the window by 12, so the head is
-    # every never-checked round-4 query (9), every r01-stale key (8),
-    # and 33 of the 45 r02-stale keys — leaving out only the twelve
+    # r4 window plan: the driver verifies the FIRST 50 keys.  The 63
+    # keys NOT green in r03 exceed the window by 13, so the head is
+    # every never-checked round-4 query (10), every r01-stale key (8),
+    # and 32 of the 45 r02-stale keys — leaving out only the thirteen
     # most-stable untouched queries (the four TPC-H relationals, the
-    # three event-window queries, three pure-JVM text stats,
-    # dedup_simhash, and dedup_word_jaccard), all of which the
-    # interleaved A/B re-ran at HEAD this round (BENCH/BASELINE.md)
-    # and none of whose code changed since their r02 green.
+    # three event-window queries, three pure-JVM text stats, and
+    # dedup_simhash / dedup_word_jaccard / dedup_jaccard), all of
+    # which the interleaved A/B re-ran at HEAD this round
+    # (BENCH/BASELINE.md) and none of whose code changed since their
+    # r02 green.
     "mm_video_dups", "mm_frame_dups", "mm_segment_dups",
-    "mm_tile_dups",
+    "mm_tile_dups", "mm_thumb_links",
     "sim_ivfpq_topk",
     "mm_image_dups", "mm_audio_dups", "text_bigram_ll",
     "text_packing_bpe", "curation_stats", "curation_decontam",

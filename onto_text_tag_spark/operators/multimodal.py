@@ -1129,3 +1129,114 @@ def synthesize_tiled_media(docs: DataFrame,
             )
 
     return src.mapInPandas(batches, schema=MEDIA)
+
+
+def thumbnail_links(
+    media: DataFrame,
+    max_dist: int = 4,
+    frame_stride: int = 1,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Cross-modal thumbnail linking: images that appear as FRAMES of
+    videos — preview/thumbnail attribution, video-source discovery
+    for crawled stills, dedup across modalities.  Works because the
+    whole-image dHash and the per-frame video dHash are the SAME
+    64-bit spatial hash: one banded pass over the union of the image
+    hash relation and the ``media_id#frame_idx``-keyed frame relation
+    surfaces image↔frame candidates, exact Hamming verify keeps pairs
+    ``<= max_dist``, and only cross-modal pairs (exactly one side
+    carrying a frame key) survive.  Same scale shape as every banded
+    pass: one (band, bucket) shuffle, capped joinless in-bucket
+    pairs, verify joins candidates only.  Output: (image_id,
+    video_id, frame_idx, hamming).  Image media_ids must not contain
+    ``#`` (the frame-key separator)."""
+    from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
+
+    imgs = image_dhash(media)
+    frames = video_frame_sigs(media, frame_stride)
+    keyed = imgs.unionByName(frames)
+    pairs = lsh_candidate_pairs(
+        keyed, id_col="media_id", num_hashes=4, bands=4,
+        max_bucket_size=max_bucket_size, signatures=keyed,
+    )
+    verified = verify_hamming_pairs(pairs, keyed, max_dist)
+    a_is_frame = F.col("id_a").contains("#")
+    b_is_frame = F.col("id_b").contains("#")
+    cross = verified.where(a_is_frame != b_is_frame)
+    frame_key = F.when(a_is_frame, F.col("id_a")).otherwise(
+        F.col("id_b"))
+    image_id = F.when(a_is_frame, F.col("id_b")).otherwise(
+        F.col("id_a"))
+    return cross.select(
+        image_id.alias("image_id"),
+        F.split(frame_key, "#").getItem(0).alias("video_id"),
+        F.split(frame_key, "#").getItem(1).cast("int")
+        .alias("frame_idx"),
+        "hamming",
+    )
+
+
+def synthesize_thumb_media(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """documents → a mixed image+video corpus for cross-modal
+    thumbnail tests: ids with id % 3 == 2 become footage videos under
+    EXACTLY the ``synthesize_footage_media`` contract (12×8,
+    nf = 6 + id%10 frames, avalanche-noise pixels, every 5th video
+    re-embedding frames 0-2 of video id-2); ids with id % 3 == 0
+    become 12×8 PNG THUMBNAILS of video id+2 — pixel-identical to its
+    frame 0 (including the re-embedding rule, so a thumbnail of a
+    clip-reusing video also links to the clip's source video).  Ids
+    with id % 3 == 1 are skipped (no audio in this corpus).  The
+    mm_thumb_links oracle replays both sides arithmetically."""
+    import numpy as np
+
+    from onto_text_tag_spark.functions import media_codecs as mc
+
+    m32 = np.uint64(0xFFFFFFFF)
+
+    def mix32(v: "np.ndarray") -> "np.ndarray":
+        v = v & m32
+        v ^= v >> np.uint64(16)
+        v = (v * np.uint64(0x85EBCA6B)) & m32
+        v ^= v >> np.uint64(13)
+        v = (v * np.uint64(0xC2B2AE35)) & m32
+        v ^= v >> np.uint64(16)
+        return v
+
+    src = docs.select(F.col(id_col).cast("long").alias("_id"))
+    w, h = 12, 8
+
+    def frame_pixels(video_id: int, f: int) -> "np.ndarray":
+        src_id = video_id - 2 if (video_id % 5 == 4 and f < 3) \
+            else video_id
+        g = np.uint64(src_id * 1000003 + f)
+        yy, xx = np.mgrid[0:h, 0:w]
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for c in range(3):
+            v = (g * np.uint64(0x9E3779B1)
+                 + xx.astype(np.uint64) * np.uint64(0x85EBCA77)
+                 + yy.astype(np.uint64) * np.uint64(0xC2B2AE3D)
+                 + np.uint64(c) * np.uint64(0x27D4EB2F))
+            out[:, :, c] = (mix32(v) % 256).astype(np.uint8)
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for media_id in batch["_id"]:
+                i = int(media_id)
+                if i % 3 == 2:
+                    nf = 6 + i % 10
+                    frames = np.stack(
+                        [frame_pixels(i, f) for f in range(nf)],
+                        axis=0)
+                    rows.append((str(i), "video", "avi",
+                                 mc.encode_avi(frames, fps=10)))
+                elif i % 3 == 0:
+                    rows.append((str(i), "image", "png",
+                                 mc.encode_png(frame_pixels(i + 2, 0))))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload"]
+            )
+
+    return src.mapInPandas(batches, schema=MEDIA)

@@ -899,3 +899,34 @@ def test_image_shared_tiles_planted_region(spark):
 
     with pytest.raises(ValueError, match="grid"):
         image_tile_sigs(media, grid=(0, 2))
+
+
+def test_thumbnail_links_cross_modal(spark):
+    """Cross-modal linking: a PNG pixel-identical to a video's frame 0
+    links (image_id, video_id, 0, hamming 0) through the shared
+    banded pass; unrelated images and frames never link; same-modal
+    pairs are excluded from the output."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.multimodal import (
+        synthesize_thumb_media,
+        thumbnail_links,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(20)], "doc_id long, text string"
+    )
+    media = synthesize_thumb_media(docs)
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
+    assert kinds["2"] == "video" and kinds["0"] == "image"
+    assert "1" not in kinds  # audio slots skipped in this corpus
+
+    links = {
+        (r["image_id"], r["video_id"]): (r["frame_idx"], r["hamming"])
+        for r in thumbnail_links(
+            media, max_dist=4, max_bucket_size=None).collect()
+    }
+    # one link per image whose video exists: 0->2, 3->5, ..., 15->17
+    assert links == {
+        (str(i), str(i + 2)): (0, 0) for i in range(0, 16, 3)
+    }
