@@ -29,6 +29,8 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from onto_text_tag_spark.functions.hashing import md5_long
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -500,14 +502,8 @@ def image_near_duplicates(
     hamming) with id_a < id_b (string order, the banding machinery's
     contract).
     """
-    from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
-
-    hashes = image_dhash(media)
-    pairs = lsh_candidate_pairs(
-        media, id_col="media_id", num_hashes=4, bands=4,
-        max_bucket_size=max_bucket_size, signatures=hashes,
-    )
-    return verify_hamming_pairs(pairs, hashes, max_dist)
+    return banded_hamming_pairs(
+        image_dhash(media), max_dist, max_bucket_size=max_bucket_size)
 
 
 def sig_hamming_col() -> "F.Column":
@@ -608,14 +604,8 @@ def audio_near_duplicates(
     Hamming verify — the same scale shape as ``image_near_duplicates``
     (one banded shuffle, capped joinless pair generation, verify joins
     only candidates)."""
-    from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
-
-    hashes = audio_dhash(media)
-    pairs = lsh_candidate_pairs(
-        media, id_col="media_id", num_hashes=4, bands=4,
-        max_bucket_size=max_bucket_size, signatures=hashes,
-    )
-    return verify_hamming_pairs(pairs, hashes, max_dist)
+    return banded_hamming_pairs(
+        audio_dhash(media), max_dist, max_bucket_size=max_bucket_size)
 
 
 def video_dhash(media: DataFrame) -> DataFrame:
@@ -684,14 +674,8 @@ def video_near_duplicates(
     ``image_near_duplicates``/``audio_near_duplicates`` (one banded
     shuffle, capped joinless pair generation, verify joins only
     candidates — never all-pairs over the store)."""
-    from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
-
-    hashes = video_dhash(media)
-    pairs = lsh_candidate_pairs(
-        media, id_col="media_id", num_hashes=4, bands=4,
-        max_bucket_size=max_bucket_size, signatures=hashes,
-    )
-    return verify_hamming_pairs(pairs, hashes, max_dist)
+    return banded_hamming_pairs(
+        video_dhash(media), max_dist, max_bucket_size=max_bucket_size)
 
 
 FRAME_DHASH = StructType(
@@ -774,14 +758,9 @@ def video_shared_frames(
     as a separator because the banding contract only needs ids unique
     and consistently ordered.
     """
-    from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
-
-    keyed = video_frame_sigs(media, frame_stride)
-    pairs = lsh_candidate_pairs(
-        keyed, id_col="media_id", num_hashes=4, bands=4,
-        max_bucket_size=max_bucket_size, signatures=keyed,
-    )
-    verified = verify_hamming_pairs(pairs, keyed, max_dist)
+    verified = banded_hamming_pairs(
+        video_frame_sigs(media, frame_stride), max_dist,
+        max_bucket_size=max_bucket_size)
     return aggregate_frame_pairs(verified, min_frames)
 
 
@@ -966,14 +945,9 @@ def audio_shared_segments(
     in-bucket pairs, exact Hamming verify on candidates only,
     cross-audio aggregation.  Output: (id_a, id_b,
     n_shared_segments, min_hamming)."""
-    from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
-
-    keyed = audio_segment_sigs(media, segment_samples)
-    pairs = lsh_candidate_pairs(
-        keyed, id_col="media_id", num_hashes=4, bands=4,
-        max_bucket_size=max_bucket_size, signatures=keyed,
-    )
-    verified = verify_hamming_pairs(pairs, keyed, max_dist)
+    verified = banded_hamming_pairs(
+        audio_segment_sigs(media, segment_samples), max_dist,
+        max_bucket_size=max_bucket_size)
     return aggregate_frame_pairs(
         verified, min_segments, count_col="n_shared_segments")
 
@@ -1054,14 +1028,9 @@ def image_shared_tiles(
     store, capped joinless in-bucket pairs, exact Hamming verify on
     candidates only, cross-image aggregation.  Output: (id_a, id_b,
     n_shared_tiles, min_hamming)."""
-    from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
-
-    keyed = image_tile_sigs(media, grid)
-    pairs = lsh_candidate_pairs(
-        keyed, id_col="media_id", num_hashes=4, bands=4,
-        max_bucket_size=max_bucket_size, signatures=keyed,
-    )
-    verified = verify_hamming_pairs(pairs, keyed, max_dist)
+    verified = banded_hamming_pairs(
+        image_tile_sigs(media, grid), max_dist,
+        max_bucket_size=max_bucket_size)
     return aggregate_frame_pairs(
         verified, min_tiles, count_col="n_shared_tiles")
 
@@ -1150,16 +1119,11 @@ def thumbnail_links(
     pairs, verify joins candidates only.  Output: (image_id,
     video_id, frame_idx, hamming).  Image media_ids must not contain
     ``#`` (the frame-key separator)."""
-    from onto_text_tag_spark.operators.dedup import lsh_candidate_pairs
-
     imgs = image_dhash(media)
     frames = video_frame_sigs(media, frame_stride)
-    keyed = imgs.unionByName(frames)
-    pairs = lsh_candidate_pairs(
-        keyed, id_col="media_id", num_hashes=4, bands=4,
-        max_bucket_size=max_bucket_size, signatures=keyed,
-    )
-    verified = verify_hamming_pairs(pairs, keyed, max_dist)
+    verified = banded_hamming_pairs(
+        imgs.unionByName(frames), max_dist,
+        max_bucket_size=max_bucket_size)
     a_is_frame = F.col("id_a").contains("#")
     b_is_frame = F.col("id_b").contains("#")
     cross = verified.where(a_is_frame != b_is_frame)
@@ -1240,3 +1204,81 @@ def synthesize_thumb_media(docs: DataFrame,
             )
 
     return src.mapInPandas(batches, schema=MEDIA)
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    max_dist: int,
+    num_hashes: int = 4,
+    bands: int = 4,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Fused banding + verify for perceptual-hash relations: one pass
+    from (media_id, sig) to verified (id_a, id_b, hamming <=
+    max_dist) pairs.
+
+    Value-identical to ``dedup.lsh_candidate_pairs`` followed by
+    ``verify_hamming_pairs`` (same band keys via ``_band_rows``'s md5
+    bucket, same bucket cap, same id-ordered pair generation, same
+    Hamming filter) — but the SIGNATURES RIDE THE BANDING SHUFFLE
+    (32 bytes/row) and the Hamming distance is computed in-bucket, so
+    the plan has exactly ONE consumer of the hash relation.  The
+    compose-then-join form evaluates the decode+hash Python kernel up
+    to three times (banding + both verify join sides — Spark cannot
+    reuse exchanges across differently-shaped consumers); at corpus
+    scale, re-decoding every payload twice more costs far beyond
+    shipping 4 longs per band row.  All pair work stays JVM-side.
+    """
+    sigs = hashes.select(F.col("media_id").alias("id"), "sig")
+    rows_per_band = num_hashes // bands
+    band_rows = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        md5_long(
+                            F.expr(
+                                f"array_join(transform(slice(sig, "
+                                f"{b * rows_per_band + 1}, "
+                                f"{rows_per_band}), "
+                                f"x -> cast(x as string)), ',')"
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    buckets = band_rows.groupBy("band", "bucket").agg(
+        F.array_sort(
+            F.collect_list(F.struct("id", "sig"))
+        ).alias("items")
+    )
+    buckets = buckets.where(F.size("items") > 1)
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("items") <= max_bucket_size)
+    ham = " + ".join(
+        f"bit_count(element_at(a.sig, {i + 1}) ^ "
+        f"element_at(b.sig, {i + 1}))"
+        for i in range(bands)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (a, i) -> "
+                "transform(slice(items, i + 2, size(items) - i - 1), "
+                f"b -> struct(a.id AS id_a, b.id AS id_b, "
+                f"cast({ham} as bigint) AS hamming))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.id_a", "p.id_b", "p.hamming")
+        .distinct()
+        .where(F.col("hamming") <= max_dist)
+    )

@@ -930,3 +930,35 @@ def test_thumbnail_links_cross_modal(spark):
     assert links == {
         (str(i), str(i + 2)): (0, 0) for i in range(0, 16, 3)
     }
+
+
+def test_banded_pairs_hash_kernel_runs_once(spark):
+    """Scale regression pin: the fused banding+verify path must plan
+    exactly ONE decode+hash Python stage per operator — the
+    compose-then-join form re-evaluated the Arrow kernel up to three
+    times (banding + both verify join sides), re-decoding the whole
+    payload corpus at 100 TB."""
+    from onto_text_tag_spark.operators.multimodal import (
+        image_near_duplicates,
+        video_shared_frames,
+    )
+
+    rows = [(str(i), "image", "png", mc.encode_png(_gradient(8, 9, 3, i)))
+            for i in range(4)]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, format string, payload binary"
+    )
+    plan = image_near_duplicates(media, max_dist=10)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+
+    frames = ((np.mgrid[0:3, 0:6, 0:8][0] * 11) % 256).astype(np.uint8)
+    frames = np.stack([frames] * 3, axis=3)
+    vrows = [(str(i), "video", "avi", mc.encode_avi(frames))
+             for i in range(3)]
+    vmedia = spark.createDataFrame(
+        vrows, "media_id string, kind string, format string, payload binary"
+    )
+    vplan = video_shared_frames(vmedia, max_dist=4)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert vplan.count("MapInPandas") == 1, vplan
