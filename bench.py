@@ -3065,6 +3065,104 @@ def run_segment_dedup_scaling(low: int = 2, high: int = 8) -> dict:
     }
 
 
+def run_redirect_scaling(low: int = 2, high: int = 8) -> dict:
+    """Two-parallelism-level run of pointer-doubling redirect
+    resolution (operators/weblinks.py:resolve_redirects) over the SAME
+    synthetic crawl redirect map — the north_rule two-cluster-size
+    evidence for the iterative-self-join operator family.
+
+    Corpus: REDIRECT_DOCS urls in blocks of 1024 — an 8-url redirect
+    loop, a 504-url chain feeding it, a 511-url chain to a terminal,
+    one isolated terminal per block — synthesized as pure column
+    expressions over ``spark.range`` (deterministic, no data files).
+    Chains this long are why doubling matters: naive one-hop-per-round
+    resolution needs 504 shuffle rounds; doubling needs
+    ⌈log2(1024)⌉ = 10 (``max_doubling=11`` caps the operator's
+    corpus-size-derived round count, the documented chain-bound knob).
+    Interleaved repeats min-of-N; outputs asserted identical across
+    levels via full-result count + hash."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.weblinks import resolve_redirects
+
+    n_urls = int(os.environ.get("SPARK_GRAFT_REDIRECT_DOCS", "1000000"))
+
+    def corpus(spark, cores):
+        i = F.col("id")
+        k = i % 1024
+        g = i - k
+
+        def url_of(idx):
+            return F.concat(
+                F.lit("https://h"), (idx % 97).cast("string"),
+                F.lit(".example.com/r/"), idx.cast("string"),
+            )
+
+        dst_id = (
+            F.when(k <= 7, g + (k + 1) % 8)
+            .when((k >= 8) & (k <= 511), i - 1)
+            .when(k >= 513, i - 1)
+        )
+        ids = spark.range(n_urls).repartition(cores * 4)
+        edges = ids.where(dst_id.isNotNull()).select(
+            url_of(i).alias("src_url"), url_of(dst_id).alias("dst_url")
+        )
+        nodes = ids.select(url_of(i).alias("url"))
+        return edges, nodes
+
+    best: dict[int, float] = {}
+    sigs: dict[int, tuple] = {}
+    for _rep in range(SCALING_REPEATS):
+        for cores in (low, high):  # interleaved
+            spark = _session(cores)
+            spark.range(1_000_000).select(
+                F.bit_xor(F.xxhash64("id"))).collect()
+            # untimed same-shape warmup on a slice: the ~12 join
+            # rounds each trigger codegen/AQE planning whose cold
+            # cost would otherwise floor the high-core wall time
+            we, wn = corpus(spark, cores)
+            resolve_redirects(
+                we.limit(4000), nodes=wn.limit(4000), max_doubling=11
+            ).count()
+            edges, nodes = corpus(spark, cores)
+            t0 = time.perf_counter()
+            out = resolve_redirects(edges, nodes=nodes, max_doubling=11)
+            row = out.select(
+                F.count("*").alias("n"),
+                F.sum(F.col("is_loop").cast("long")).alias("loops"),
+                F.bit_xor(
+                    F.xxhash64("url", "resolved_url", "is_loop")
+                ).alias("h"),
+            ).collect()[0]
+            sec = round(time.perf_counter() - t0, 2)
+            spark.stop()
+            sig = (row["n"], row["loops"], row["h"])
+            sigs.setdefault(cores, sig)
+            assert sigs[cores] == sig, (cores, sigs[cores], sig)
+            if cores not in best or sec < best[cores]:
+                best[cores] = sec
+    assert sigs[low] == sigs[high], sigs
+    eff = (best[low] / best[high]) / (high / low)
+    return {
+        "job": "resolve_redirects (pointer-doubling chain resolution "
+               "+ loop detection, 504-hop chains in 11 join rounds)",
+        "corpus_urls": n_urls,
+        "loop_urls": sigs[low][1],
+        "low_cores": low,
+        "high_cores": high,
+        "low_sec": best[low],
+        "high_sec": best[high],
+        "low_urls_per_sec": round(n_urls / best[low], 1),
+        "high_urls_per_sec": round(n_urls / best[high], 1),
+        "speedup": round(best[low] / best[high], 2),
+        "scaling_efficiency": round(eff, 3),
+        "outputs_identical": True,
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 def run_ivfpq_scaling(low: int = 2, high: int = 8) -> dict:
     """Two-parallelism-level run of the composed IVFPQ serving operator
     over the SAME 200k clustered ANN corpus — the north_rule
@@ -3682,6 +3780,34 @@ def main() -> None:
                 f"{rep['scaling_efficiency']}.  Outputs bit-identical "
                 "at both levels (pair-set hash), interleaved "
                 "min-of-N.\n"
+            )
+            cap = rep["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, "
+                f"units/sec by process count):\n\n{json.dumps(cap)}\n"
+            )
+        print(json.dumps(rep))
+        return
+    if "--scaling-redirects" in sys.argv:
+        low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
+        high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
+        rep = run_redirect_scaling(low=low, high=high)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Scaling run — {rep['job']}, "
+                f"{rep['corpus_urls']} urls "
+                f"({rep['loop_urls']} resolve into loops)\n\n"
+                f"| cores | sec | urls/sec |\n|---|---|---|\n"
+                f"| local[{rep['low_cores']}] | {rep['low_sec']} | "
+                f"{rep['low_urls_per_sec']} |\n"
+                f"| local[{rep['high_cores']}] | {rep['high_sec']} | "
+                f"{rep['high_urls_per_sec']} |\n"
+                f"\nspeedup {rep['low_cores']}->{rep['high_cores']}: "
+                f"{rep['speedup']}x, efficiency "
+                f"{rep['scaling_efficiency']}.  Outputs bit-identical "
+                "at both levels (full-result hash incl. loop flags), "
+                "interleaved min-of-N.\n"
             )
             cap = rep["host_capacity_units_per_sec"]
             fh.write(

@@ -2771,6 +2771,231 @@ FROM h{rounds} h JOIN a{rounds} a ON h.node = a.node
 """
 
 
+def q_web_spam_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank-style seeded propagation over the DIRECTED weighted
+    host graph (Gyöngyi et al. 2004 inverted: mass starts at labeled
+    BAD hosts and flows along out-links, so a high score means "linked
+    from spam") — the host-level curation signal a Common-Crawl
+    pipeline uses to down-weight spam neighborhoods before any
+    per-document gate runs.  Reuses graph_metrics.pagerank's
+    personalized walk (undirected=False, weight_col): teleport AND
+    dangling mass restart at the seed set; edge mass flows
+    proportionally to link counts.  Seeds here: the two
+    lexicographically-smallest hosts (deterministic at every sf — in
+    production the seed set is a labeled blocklist).  The oracle
+    replays all 10 rounds with unrolled CTEs including the per-round
+    dangling-mass scalar (host5/host6 receive links but never link
+    out, so the dangling path is genuinely exercised)."""
+    from onto_text_tag_spark.operators.graph_metrics import pagerank
+    from onto_text_tag_spark.operators.weblinks import (
+        extract_links,
+        host_graph,
+    )
+
+    hg = host_graph(extract_links(_linked_docs(spark, sf_dir)))
+    edges = hg.select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        "weight",
+    )
+    seeds = [
+        r["node"]
+        for r in edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .orderBy("node")
+        .limit(2)
+        .collect()
+    ]
+    return pagerank(
+        edges, iterations=10, undirected=False,
+        weight_col="weight", seeds=seeds,
+    ).select(
+        F.col("node").alias("host"),
+        F.round("rank", 6).alias("spam_rank"),
+    )
+
+
+def sql_web_spam_hosts(rounds: int = 10) -> str:
+    """Unrolled twin of the seeded directed weighted walk: per round a
+    dangling-mass scalar (rank on hosts with no out-edge), a
+    weight-proportional contribution aggregate, and a seed-cased
+    recombine.  (1.0 - 0.85) is written as a SUBTRACTION to mirror the
+    engine's double arithmetic exactly."""
+    ctes = [
+        """hg AS MATERIALIZED (
+   SELECT src_host AS src, dst_host AS dst, count(*)::DOUBLE AS w FROM (
+     SELECT regexp_extract(src_url, '^https?://([^/:]+)', 1) AS src_host,
+            regexp_extract(dst_url, '^https?://([^/:]+)', 1) AS dst_host
+     FROM links
+   ) WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+   GROUP BY src_host, dst_host
+ )""",
+        "outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM hg GROUP BY src)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM hg "
+        "UNION SELECT dst FROM hg)",
+        "seeds AS MATERIALIZED (SELECT node FROM nodes ORDER BY node LIMIT 2)",
+        "ns AS (SELECT count(*)::DOUBLE AS s FROM seeds)",
+        "r0 AS MATERIALIZED (SELECT node, "
+        "CASE WHEN node IN (SELECT node FROM seeds) "
+        "THEN 1.0/(SELECT s FROM ns) ELSE 0.0 END AS rank FROM nodes)",
+    ]
+    # every per-round CTE is MATERIALIZED: r{i} is referenced twice
+    # (dangling scalar + contribution aggregate) — inlined, the plan
+    # tree doubles per round and the 10-round unroll never finishes
+    # (the sql_web_host_hits lesson)
+    for i in range(rounds):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS dm "
+            f"FROM r{i} r "
+            f"LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL)"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED "
+            f"(SELECT e.dst AS node, sum(r.rank * e.w / o.ow) AS s "
+            f"FROM hg e JOIN r{i} r ON e.src = r.node "
+            f"JOIN outw o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT n.node, "
+            f"CASE WHEN n.node IN (SELECT node FROM seeds) "
+            f"THEN (1.0 - 0.85)/(SELECT s FROM ns) "
+            f"+ 0.85*(SELECT dm FROM d{i})/(SELECT s FROM ns) "
+            f"ELSE 0.0 END + 0.85*coalesce(c.s, 0.0) AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    chain = ",\n ".join(ctes)
+    return f"""
+WITH {_LINKED_PAGES_CTE},
+ {chain}
+SELECT node AS host, round(rank, 6) AS spam_rank FROM r{rounds}
+"""
+
+
+def q_web_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution with loop detection over a synthetic
+    HTTP 301 map (operators/weblinks.py:resolve_redirects — pointer
+    doubling, O(log n) self-join rounds): every url resolves to its
+    chain's terminal, or to the lexicographically-smallest member of
+    its redirect LOOP.  The planted map covers every case in each
+    20-url block: a 3-cycle, a 7-url chain feeding it, a 4-url chain
+    to a terminal, and isolated urls.  The oracle replays resolution
+    set-theoretically: reach = recursive closure, loop members = urls
+    reachable from their own redirect target, resolution =
+    terminal-in-reach else min(reach ∩ loop-members)."""
+    from onto_text_tag_spark.operators.weblinks import resolve_redirects
+
+    d = _docs(spark, sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    i = F.col("doc_id")
+    k = i % 20
+    g = i - k
+    url = F.concat(F.lit("https://h"), s(i % 5),
+                   F.lit(".example.com/r/"), s(i))
+    dst_id = (
+        F.when(k <= 2, g + (k + 1) % 3)
+        .when((k >= 3) & (k <= 9), i - 1)
+        .when((k >= 11) & (k <= 14), i - 1)
+    )
+    dst_url = F.concat(F.lit("https://h"), s(dst_id % 5),
+                       F.lit(".example.com/r/"), s(dst_id))
+    nodes = d.select(url.alias("url"))
+    edges = d.where(dst_id.isNotNull()).select(
+        url.alias("src_url"), dst_url.alias("dst_url")
+    )
+    return resolve_redirects(edges, nodes=nodes)
+
+
+def sql_web_redirects() -> str:
+    return """
+WITH RECURSIVE base AS (
+  SELECT doc_id AS i, doc_id % 20 AS k, doc_id - (doc_id % 20) AS g
+  FROM documents
+),
+ rid AS (
+   SELECT i, CASE WHEN k <= 2 THEN g + (k + 1) % 3
+                  WHEN k BETWEEN 3 AND 9 THEN i - 1
+                  WHEN k BETWEEN 11 AND 14 THEN i - 1
+                  ELSE NULL END AS j
+   FROM base
+ ),
+ u AS (SELECT i, 'https://h' || (i % 5)::VARCHAR || '.example.com/r/'
+                 || i::VARCHAR AS url FROM base),
+ redirects AS (
+   SELECT a.url AS src,
+          min('https://h' || (r.j % 5)::VARCHAR || '.example.com/r/'
+              || r.j::VARCHAR) AS dst
+   FROM rid r JOIN u a ON a.i = r.i WHERE r.j IS NOT NULL
+   GROUP BY a.url
+ ),
+ nodes AS (SELECT DISTINCT url FROM (
+   SELECT url FROM u UNION ALL SELECT src FROM redirects
+   UNION ALL SELECT dst FROM redirects)),
+ reach(v, node) AS (
+   SELECT url, url FROM nodes
+   UNION
+   SELECT r.v, e.dst FROM reach r JOIN redirects e ON r.node = e.src
+ ),
+ cyc AS (SELECT DISTINCT e.src AS node FROM redirects e
+         JOIN reach r ON r.v = e.dst AND r.node = e.src),
+ term AS (SELECT r.v, min(r.node) AS t FROM reach r
+          LEFT JOIN redirects e ON r.node = e.src
+          WHERE e.src IS NULL GROUP BY r.v),
+ loopmin AS (SELECT r.v, min(r.node) AS m FROM reach r
+             JOIN cyc c ON r.node = c.node GROUP BY r.v)
+SELECT n.url, coalesce(t.t, lm.m) AS resolved_url,
+       (t.t IS NULL) AS is_loop
+FROM nodes n LEFT JOIN term t ON t.v = n.url
+LEFT JOIN loopmin lm ON lm.v = n.url
+"""
+
+
+def q_kg_isa_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology-QA cycle gate (operators/closure.py:cycle_members):
+    classes on an is-a cycle, detected as closure self-pairs.  The
+    reference's recursive descendant walk (app.py:116-151) has no
+    visited set — a cyclic release (a real failure mode of merged
+    ontology imports) recurses forever there; this engine's
+    path-doubling closure saturates and SURFACES the cycle instead.
+    Input: the driver ontology with two planted back-edges (root →
+    grandchild and a 2-cycle), exactly the shape a bad import
+    produces."""
+    from onto_text_tag_spark.operators.closure import cycle_members
+    from onto_text_tag_spark.session import local_df
+
+    onto = driver_ontology_df(spark)
+    edges = onto.where(F.col("parent_curie").isNotNull()).select(
+        F.col("curie").alias("child_curie"),
+        F.col("parent_curie"),
+    )
+    planted = local_df(
+        spark,
+        [
+            {"child_curie": "OP:0001", "parent_curie": "OP:0003"},
+            {"child_curie": "STREAM:0001", "parent_curie": "STREAM:0002"},
+        ],
+        "child_curie string, parent_curie string",
+    )
+    return cycle_members(edges.unionByName(planted))
+
+
+def sql_kg_isa_cycles() -> str:
+    return f"""
+WITH RECURSIVE edges(child, parent) AS (
+  VALUES {_ISA_EDGES_SQL}, ('OP:0001', 'OP:0003'),
+         ('STREAM:0001', 'STREAM:0002')
+),
+closure(descendant, ancestor) AS (
+  SELECT child, parent FROM edges
+  UNION
+  SELECT c.descendant, e.parent
+  FROM closure c JOIN edges e ON c.ancestor = e.child
+)
+SELECT DISTINCT descendant AS curie FROM closure
+WHERE descendant = ancestor
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -3950,6 +4175,60 @@ WITH words AS (
 SELECT d.doc_id, coalesce(s.n_words, 0)::BIGINT AS n_words,
        coalesce(s.mean_logloss, 0.0) AS mean_logloss
 FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail tiers (operators/textstats.py:
+    perplexity_buckets, exact path): each language's documents split
+    into perplexity thirds over the corpus-own unigram LM — the
+    partitioning CCNet publishes its corpus in and training mixes
+    sample from.  The rank arithmetic is all-integer over the
+    4-decimal-rounded score, so the oracle's window replay is
+    bit-identical; the operator's `sketch` path (percentile_approx
+    thresholds, no per-language sort) is the 100-TB twin, pinned
+    against this one by pytest."""
+    from onto_text_tag_spark.operators.textstats import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir))
+
+
+def sql_text_ccnet_buckets() -> str:
+    return """
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t != ''))
+    AS word
+  FROM documents
+),
+ counts AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+ tot AS (SELECT sum(n) AS tot, count(*) AS n_distinct FROM counts),
+ lm AS (
+   SELECT word,
+          -ln((n + 1) / (tot.tot + tot.n_distinct)::DOUBLE) AS ll
+   FROM counts, tot
+ ),
+ scored AS (
+   SELECT w.doc_id, round(avg(l.ll), 4) AS mean_logloss
+   FROM words w JOIN lm l ON l.word = w.word
+   GROUP BY w.doc_id
+ ),
+ f AS (
+   SELECT d.doc_id, d.lang,
+          coalesce(s.mean_logloss, 0.0) AS mean_logloss
+   FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+ ),
+ ranked AS (
+   SELECT doc_id, lang, mean_logloss,
+          row_number() OVER (
+            PARTITION BY lang ORDER BY mean_logloss, doc_id) AS rn,
+          count(*) OVER (PARTITION BY lang) AS n
+   FROM f
+ )
+SELECT doc_id, lang, mean_logloss,
+       CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head'
+            WHEN 2 THEN 'tail' ELSE 'middle' END AS ppl_bucket
+FROM ranked
 """
 
 
@@ -5885,6 +6164,10 @@ FROM ranked WHERE rank <= {_TOPK}
 
 
 QUERIES = {
+    "web_redirects": q_web_redirects,
+    "web_spam_hosts": q_web_spam_hosts,
+    "text_ccnet_buckets": q_text_ccnet_buckets,
+    "kg_isa_cycles": q_kg_isa_cycles,
     "kg_dictionary": q_kg_dictionary,
     "kg_mentions": q_kg_mentions,
     "kg_mentions_lang": q_kg_mentions_lang,
@@ -6001,6 +6284,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "web_redirects": sql_web_redirects(),
+    "web_spam_hosts": sql_web_spam_hosts(),
+    "text_ccnet_buckets": sql_text_ccnet_buckets(),
+    "kg_isa_cycles": sql_kg_isa_cycles(),
     "kg_dictionary": sql_kg_dictionary(),
     "kg_mentions": sql_kg_mentions(),
     "kg_mentions_lang": sql_kg_mentions_lang(),
@@ -6132,16 +6419,20 @@ ORACLES = {
 # head round 5's rotation — all are additionally bench-exercised or
 # pytest-pinned every round.
 _PRIORITY_KEYS = [
-    # r4 window plan: the driver verifies the FIRST 50 keys.  The 63
-    # keys NOT green in r03 exceed the window by 13, so the head is
-    # every never-checked round-4 query (10), every r01-stale key (8),
-    # and 32 of the 45 r02-stale keys — leaving out only the thirteen
-    # most-stable untouched queries (the four TPC-H relationals, the
-    # three event-window queries, three pure-JVM text stats, and
-    # dedup_simhash / dedup_word_jaccard / dedup_jaccard), all of
-    # which the interleaved A/B re-ran at HEAD this round
-    # (BENCH/BASELINE.md) and none of whose code changed since their
-    # r02 green.
+    # r4 window plan: the driver verifies the FIRST 50 keys.  Head =
+    # every never-checked round-4 query (the four late-round additions
+    # web_redirects / web_spam_hosts / text_ccnet_buckets /
+    # kg_isa_cycles first, then the ten mid-round ones), every
+    # r01-stale key (8), and the r02-stale keys that fit — leaving out
+    # only the most-stable untouched queries (the four TPC-H
+    # relationals, the three event-window queries, pure-JVM text
+    # stats, and the bench-exercised dedup family: dedup_simhash /
+    # dedup_word_jaccard / dedup_jaccard / dedup_lsh_pairs /
+    # dedup_minhash_sig / text_profile), all of which the interleaved
+    # A/B re-ran at HEAD this round (BENCH/BASELINE.md) and none of
+    # whose code changed since their r02 green.
+    "web_redirects", "web_spam_hosts", "text_ccnet_buckets",
+    "kg_isa_cycles",
     "mm_video_dups", "mm_frame_dups", "mm_segment_dups",
     "mm_tile_dups", "mm_thumb_links",
     "sim_ivfpq_topk",
@@ -6158,9 +6449,7 @@ _PRIORITY_KEYS = [
     "canon_components", "graph_components", "dedup_exact",
     "sim_topk", "kg_cooccur_retract", "web_host_rank",
     "web_anchor_mentions", "web_canonical_urls", "web_host_hits",
-    "web_latest_capture", "dedup_clusters_incremental", "text_profile",
-    "dedup_minhash_sig", "dedup_lsh_pairs", "dedup_jaccard",
-   
+    "web_latest_capture", "dedup_clusters_incremental",
 ]
 
 QUERIES = {

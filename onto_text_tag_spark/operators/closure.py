@@ -169,3 +169,28 @@ def isa_triples(edges: DataFrame) -> DataFrame:
         F.col("parent_curie").alias("obj"),
         F.lit(None).cast("long").alias("weight"),
     )
+
+
+def cycle_members(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
+    """Classes on an is-a CYCLE — the ontology-QA gate closure-based
+    reasoning needs before it runs.
+
+    The reference walks SubClassOf axioms recursively with no visited
+    set (app.py:116-151) — a cyclic release (two classes declared
+    subclasses of each other, a real failure mode of merged ontology
+    imports) recurses forever there.  ``transitive_closure`` is safe
+    (pair-set fixpoint saturates), and on a cyclic input the closure
+    contains (c, c) exactly for the classes on a cycle: c reaches
+    itself via ≥1 edge.  This operator surfaces those classes so a
+    build can fail loudly / quarantine the cycle instead of silently
+    producing a reflexive "descendant of itself" hierarchy.
+
+    Scale shape: inherits path-doubling closure (O(log depth) self-join
+    rounds); the self-pair filter is a narrow predicate on the closure.
+    """
+    return (
+        transitive_closure(edges, max_iterations=max_iterations)
+        .where(F.col("descendant") == F.col("ancestor"))
+        .select(F.col("descendant").alias("curie"))
+        .distinct()
+    )

@@ -557,3 +557,83 @@ def bigram_logloss(documents: DataFrame, lam: float = 0.7,
             F.coalesce("mean_logloss", F.lit(0.0)).alias("mean_logloss"),
         )
     )
+
+
+def perplexity_buckets(documents: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", lang_col: str = "lang",
+                       buckets: int = 3,
+                       method: str = "exact") -> DataFrame:
+    """CCNet head/middle/tail corpus partitioning: split each
+    language's documents into ``buckets`` equal-count tiers by LM
+    perplexity (Wenzek et al. 2020 §4.3 — the public pipeline cuts
+    each language shard into head/middle/tail thirds by KenLM
+    perplexity; downstream training mixes sample the tiers at
+    different rates).  The LM is ``unigram_logloss``'s corpus-own
+    Laplace model; bucket 'head' = lowest mean log-loss (most fluent).
+
+    ``method='exact'``: rank-based — ``bucket = ⌊(rank−1)·B / n⌋``
+    over ``(mean_logloss, id)`` within each language.  All-integer
+    arithmetic on a 4-decimal-rounded score, so the tier boundary is
+    bit-identical on any engine (the DuckDB oracle replays it).
+
+    ``method='sketch'``: the 100-TB path.  The exact path sorts every
+    language shard inside one window partition — the same single-task
+    hot-partition hazard the paragraph-dedup de-skew removed; at web
+    scale a language IS the corpus (English ≈ half of Common Crawl).
+    CCNet itself does not rank globally either — it derives fixed
+    perplexity THRESHOLDS from a sample and assigns tiers by
+    comparison.  Here: per-language ``percentile_approx`` quantiles
+    (a map-side-combinable sketch aggregate, one tiny shuffle), a
+    languages-sized broadcast join, and a pure comparison per row —
+    no global sort, no window, skew-immune.  Tier populations are
+    approximate at the boundaries (sketch accuracy 1e-4 relative
+    rank), which is exactly the CCNet trade.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    scored = unigram_logloss(documents, id_col=id_col, text_col=text_col)
+    scored = scored.join(
+        documents.select(id_col, lang_col), id_col
+    )
+    names = (
+        F.when(F.col("_b") == 0, F.lit("head"))
+        .when(F.col("_b") == buckets - 1, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    if method == "exact":
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(lang_col).orderBy("mean_logloss", id_col)
+        ranked = scored.select(
+            id_col, lang_col, "mean_logloss",
+            F.row_number().over(win).alias("_rn"),
+            F.count("*").over(Window.partitionBy(lang_col)).alias("_n"),
+        )
+        return ranked.select(
+            id_col, lang_col, "mean_logloss",
+            ((F.col("_rn") - 1) * buckets / F.col("_n"))
+            .cast("long").alias("_b"),
+        ).select(
+            id_col, lang_col, "mean_logloss",
+            names.alias("ppl_bucket"),
+        )
+    if method == "sketch":
+        qs = [i / buckets for i in range(1, buckets)]
+        cuts = scored.groupBy(lang_col).agg(
+            F.percentile_approx(
+                "mean_logloss", qs, 10_000
+            ).alias("_cuts")
+        )
+        assigned = scored.join(F.broadcast(cuts), lang_col).select(
+            id_col, lang_col, "mean_logloss",
+            F.aggregate(
+                "_cuts", F.lit(0).cast("long"),
+                lambda acc, c: acc + F.when(
+                    F.col("mean_logloss") > c, F.lit(1).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ).alias("_b"),
+        )
+        return assigned.select(
+            id_col, lang_col, "mean_logloss", names.alias("ppl_bucket")
+        )
+    raise ValueError(f"unknown method {method!r}")

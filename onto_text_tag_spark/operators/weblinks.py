@@ -158,3 +158,100 @@ def host_graph(links: DataFrame) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("weight"))
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src_url",
+    dst: str = "dst_url",
+    node_col: str = "url",
+    max_doubling: int = 20,
+) -> DataFrame:
+    """Resolve every url's redirect chain to its final destination and
+    flag redirect loops — (url, resolved_url, is_loop).
+
+    A crawl's HTTP 301/302 map is a functional graph (at most one
+    out-edge per url once normalized); canonical-identity resolution
+    must follow chains (a → b → c) to the terminal AND terminate on
+    loops (a → b → a), which real crawls always contain.  Following
+    chains one hop per round is O(longest chain) shuffles; POINTER
+    DOUBLING is O(log n): each round every node's pointer jumps to its
+    pointer's pointer, so after k rounds ptr = f^(2^k)(url).  With
+    2^k ≥ n the pointer has entered the chain's terminal cycle — a
+    terminal url (no out-edge, modeled as a self-loop f(t)=t) or a
+    real redirect loop.  Alongside the pointer, each round folds a
+    running min over the visited orbit (min_{i<2^k} f^i(url)); the
+    orbit of a node ON a cycle is exactly the cycle, so joining the
+    settled pointer to its orbit-min yields a deterministic loop
+    representative: the lexicographically smallest url of the loop.
+
+    Resolution: ``resolved_url`` = the terminal url, or the loop's
+    smallest url; ``is_loop`` = the settled pointer still has a real
+    out-edge (true self-redirects u→u are loops of length 1).
+
+    Multi-valued redirect rows are normalized to min(dst) per src
+    first, keeping the graph functional and the result deterministic.
+
+    Scale shape: each doubling round is ONE self-equi-join of the
+    (url, ptr, orbit_min) state on ptr = url — shuffle-partitioned by
+    the join key, no window, no driver data path; ``localCheckpoint``
+    caps the lineage per round (the iterative-join trap).  Round
+    count is ⌈log2(n)⌉ capped at ``max_doubling`` (2^20 ≈ 10^6 hops
+    covers any real redirect chain; crawl frontiers cap at ~10-30).
+    """
+    f = (
+        redirects.groupBy(F.col(src).alias("url"))
+        .agg(F.min(dst).alias("next"))
+    )
+    universe = (
+        redirects.select(F.col(src).alias("url"))
+        .unionByName(redirects.select(F.col(dst).alias("url")))
+    )
+    if nodes is not None:
+        universe = universe.unionByName(nodes.select(F.col(node_col).alias("url")))
+    universe = universe.distinct()
+
+    # state invariant after k rounds: ptr = f^(2^k)(url),
+    # mn = min over {f^0(url) .. f^(2^k - 1)(url)}
+    state = (
+        universe.join(f, "url", "left")
+        .select(
+            "url",
+            F.coalesce("next", F.col("url")).alias("ptr"),
+            F.col("url").alias("mn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = state.count()
+    rounds = max(1, min(max_doubling, int(n).bit_length()))
+    for _ in range(rounds):
+        hop = state.select(
+            F.col("url").alias("_u2"),
+            F.col("ptr").alias("_p2"),
+            F.col("mn").alias("_m2"),
+        )
+        state = (
+            state.join(hop, state["ptr"] == hop["_u2"])
+            .select(
+                "url",
+                F.col("_p2").alias("ptr"),
+                F.least("mn", "_m2").alias("mn"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # settled pointer -> its orbit-min (= cycle min, or the terminal
+    # itself); is_loop = the settled pointer still redirects somewhere
+    orbit = state.select(
+        F.col("url").alias("_ou"), F.col("mn").alias("_omin")
+    )
+    looped = f.select(F.col("url").alias("_lu"), F.lit(True).alias("_has_out"))
+    return (
+        state.join(orbit, state["ptr"] == orbit["_ou"])
+        .join(looped, state["ptr"] == looped["_lu"], "left")
+        .select(
+            "url",
+            F.col("_omin").alias("resolved_url"),
+            F.coalesce("_has_out", F.lit(False)).alias("is_loop"),
+        )
+    )

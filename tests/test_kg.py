@@ -557,3 +557,29 @@ def test_stage_incremental_reads(spark, tmp_path):
     batch([(10, "y")]).write.mode("append").parquet(f"{root}/s/data")
     sinks.commit_stage(root, "s", input_fingerprint="f5")
     assert ids(sinks.read_stage_increment(spark, root, "s", 4)) == {10}
+
+
+def test_cycle_members_flags_only_cycle_classes(spark):
+    """Planted 3-cycle + 2-cycle: exactly the on-cycle classes are
+    flagged; chains INTO a cycle are not (they reach the cycle but
+    never themselves)."""
+    from onto_text_tag_spark.operators.closure import cycle_members
+    from onto_text_tag_spark.session import local_df
+
+    edges = local_df(spark, [
+        ("a", "b"), ("b", "c"), ("c", "a"),       # 3-cycle
+        ("x", "y"), ("y", "x"),                   # 2-cycle
+        ("in1", "a"), ("in2", "in1"),             # chain into the cycle
+        ("t1", "t2"),                             # acyclic tail
+    ], "child_curie string, parent_curie string")
+    got = {r["curie"] for r in cycle_members(edges).collect()}
+    assert got == {"a", "b", "c", "x", "y"}
+
+
+def test_cycle_members_empty_on_dag(spark):
+    from onto_text_tag_spark.operators.closure import cycle_members
+    from onto_text_tag_spark.session import local_df
+
+    edges = local_df(spark, [("a", "b"), ("b", "c"), ("a", "c")],
+                     "child_curie string, parent_curie string")
+    assert cycle_members(edges).count() == 0

@@ -381,3 +381,62 @@ def test_unigram_logloss_hand_computed(spark):
                                "mean_logloss": 0.0}
     # rare-word docs must score above common-word docs
     assert out[2]["mean_logloss"] > out[1]["mean_logloss"]
+
+
+def test_perplexity_buckets_exact_thirds(spark):
+    """Rank arithmetic: 6 docs in one lang split 2/2/2 by mean
+    logloss; repeated rare words push docs up the perplexity order
+    deterministically."""
+    from onto_text_tag_spark.operators.textstats import perplexity_buckets
+
+    # 'a' dominates the corpus; docs with more distinct rare words
+    # score higher mean logloss
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a", "en"), (2, "a a a b", "en"),
+            (3, "a a b c", "en"), (4, "a b c d", "en"),
+            (5, "b c d e", "en"), (6, "c d e f", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in perplexity_buckets(docs).collect()}
+    assert out == {1: "head", 2: "head", 3: "middle",
+                   4: "middle", 5: "tail", 6: "tail"}
+
+
+def test_perplexity_buckets_per_language_and_sketch_agreement(spark):
+    """Tiers are computed WITHIN each language; the percentile-sketch
+    scale path assigns the same tiers as the exact sort on
+    well-separated scores."""
+    from onto_text_tag_spark.operators.textstats import perplexity_buckets
+
+    rows = []
+    for lang, shift in (("en", 0), ("de", 100)):
+        for i in range(9):
+            # 3 clearly-separated score groups per language
+            word = ["common common common", "common rare1 rare2",
+                    "rare3 rare4 rare5"][i // 3]
+            rows.append((shift + i, word, lang))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    exact = {(r["doc_id"], r["lang"]): r["ppl_bucket"]
+             for r in perplexity_buckets(docs, method="exact").collect()}
+    sketch = {(r["doc_id"], r["lang"]): r["ppl_bucket"]
+              for r in perplexity_buckets(docs, method="sketch").collect()}
+    assert exact == sketch
+    for lang in ("en", "de"):
+        tiers = [v for (d, lg), v in exact.items() if lg == lang]
+        assert sorted(tiers) == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+
+
+def test_perplexity_buckets_rejects_bad_args(spark):
+    from onto_text_tag_spark.operators.textstats import perplexity_buckets
+
+    docs = spark.createDataFrame([(1, "a", "en")],
+                                 ["doc_id", "text", "lang"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        perplexity_buckets(docs, buckets=1)
+    with pytest.raises(ValueError):
+        perplexity_buckets(docs, method="nope")

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from onto_text_tag_spark.operators.weblinks import (
     extract_links,
     host_graph,
+    resolve_redirects,
 )
 from onto_text_tag_spark.session import local_df
 
@@ -141,3 +142,56 @@ def test_canonical_url_sql_twin_matches(spark):
         f"SELECT {canonical_url_sql('u')} FROM (VALUES {vals}) t(u)"
     ).fetchall()]
     assert spark_out == duck_out
+
+
+# ---------------------------------------------------------------------------
+# resolve_redirects — pointer-doubling chain resolution + loop detection
+# ---------------------------------------------------------------------------
+
+def _redirects(spark, pairs):
+    return local_df(spark, pairs, "src_url string, dst_url string")
+
+
+def test_resolve_redirects_chain_loop_terminal_isolated(spark):
+    # a -> b -> c (terminal); p -> q -> r -> p (3-loop); s -> s
+    # (self-redirect = 1-loop); z isolated (appears only via nodes)
+    edges = _redirects(spark, [
+        ("u:a", "u:b"), ("u:b", "u:c"),
+        ("u:p", "u:q"), ("u:q", "u:r"), ("u:r", "u:p"),
+        ("u:s", "u:s"),
+    ])
+    nodes = local_df(spark, [("u:z",)], "url string")
+    got = {
+        r["url"]: (r["resolved_url"], r["is_loop"])
+        for r in resolve_redirects(edges, nodes=nodes).collect()
+    }
+    assert got == {
+        "u:a": ("u:c", False),
+        "u:b": ("u:c", False),
+        "u:c": ("u:c", False),        # terminal resolves to itself
+        "u:p": ("u:p", True),         # loop representative = min url
+        "u:q": ("u:p", True),
+        "u:r": ("u:p", True),
+        "u:s": ("u:s", True),         # self-redirect IS a loop
+        "u:z": ("u:z", False),        # isolated = its own terminal
+    }
+
+
+def test_resolve_redirects_chain_into_loop_resolves_to_cycle_min(spark):
+    # long chain c9 -> c8 -> ... -> c0 -> L1 -> L0 -> L1 (2-loop):
+    # every chain member resolves to the LOOP min, never a chain url
+    # (the chain prefix must not leak into the representative)
+    chain = [(f"u:c{i}", f"u:c{i-1}") for i in range(9, 0, -1)]
+    edges = _redirects(spark, chain + [
+        ("u:c0", "u:L1"), ("u:L1", "u:L0"), ("u:L0", "u:L1"),
+    ])
+    rows = resolve_redirects(edges).collect()
+    assert all(r["resolved_url"] == "u:L0" and r["is_loop"] for r in rows)
+
+
+def test_resolve_redirects_normalizes_multivalued_src(spark):
+    # two contradictory redirect records for the same src: min(dst) wins
+    edges = _redirects(spark, [("u:a", "u:y"), ("u:a", "u:x")])
+    got = {r["url"]: r["resolved_url"]
+           for r in resolve_redirects(edges).collect()}
+    assert got["u:a"] == "u:x"
