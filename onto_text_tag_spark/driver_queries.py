@@ -6419,18 +6419,21 @@ ORACLES = {
 # head round 5's rotation — all are additionally bench-exercised or
 # pytest-pinned every round.
 _PRIORITY_KEYS = [
-    # r4 window plan: the driver verifies the FIRST 50 keys.  Head =
-    # every never-checked round-4 query (the four late-round additions
-    # web_redirects / web_spam_hosts / text_ccnet_buckets /
-    # kg_isa_cycles first, then the ten mid-round ones), every
-    # r01-stale key (8), and the r02-stale keys that fit — leaving out
-    # only the most-stable untouched queries (the four TPC-H
-    # relationals, the three event-window queries, pure-JVM text
-    # stats, and the bench-exercised dedup family: dedup_simhash /
-    # dedup_word_jaccard / dedup_jaccard / dedup_lsh_pairs /
-    # dedup_minhash_sig / text_profile), all of which the interleaved
-    # A/B re-ran at HEAD this round (BENCH/BASELINE.md) and none of
-    # whose code changed since their r02 green.
+    # r4 window plan: the driver verifies the FIRST 50 keys, and all
+    # 50 below are keys with NO r03-green row — full window
+    # utilization.  Head = every never-checked round-4 query (the four
+    # late-round additions web_redirects / web_spam_hosts /
+    # text_ccnet_buckets / kg_isa_cycles first, then the ten mid-round
+    # ones), every r01-stale key (8), then the r02-stale keys that
+    # fit.  The 17 r02-stale keys left outside (the four TPC-H
+    # relationals, the three event-window queries, the dedup family
+    # dedup_simhash / dedup_word_jaccard / dedup_jaccard /
+    # dedup_lsh_pairs / dedup_minhash_sig / dedup_clusters_incremental,
+    # and text_profile / text_chunks / text_word_freqs /
+    # corpus_quantiles) are all bench-exercised or pytest-parity-
+    # pinned every round, re-ran at HEAD in the interleaved A/B
+    # (BENCH/BASELINE.md), and none of their code changed since their
+    # r02 green; they head round 5's rotation.
     "web_redirects", "web_spam_hosts", "text_ccnet_buckets",
     "kg_isa_cycles",
     "mm_video_dups", "mm_frame_dups", "mm_segment_dups",

@@ -225,21 +225,26 @@ def resolve_redirects(
     )
     n = state.count()
     rounds = max(1, min(max_doubling, int(n).bit_length()))
-    for _ in range(rounds):
+    for r in range(rounds):
         hop = state.select(
             F.col("url").alias("_u2"),
             F.col("ptr").alias("_p2"),
             F.col("mn").alias("_m2"),
         )
-        state = (
-            state.join(hop, state["ptr"] == hop["_u2"])
-            .select(
-                "url",
-                F.col("_p2").alias("ptr"),
-                F.least("mn", "_m2").alias("mn"),
-            )
-            .localCheckpoint(eager=True)
+        state = state.join(hop, state["ptr"] == hop["_u2"]).select(
+            "url",
+            F.col("_p2").alias("ptr"),
+            F.least("mn", "_m2").alias("mn"),
         )
+        # Checkpoint every SECOND round (and at the end): each eager
+        # checkpoint is a driver-synchronized job, and that per-round
+        # barrier is the measured serial fraction of the whole
+        # operator (bench: 11 rounds over 4M urls).  One uncheckpointed
+        # level quadruples the leaf references in the plan — still
+        # trivially small — while halving the barrier count; deeper
+        # batching grows the plan exponentially for no further win.
+        if r % 2 == 1 or r == rounds - 1:
+            state = state.localCheckpoint(eager=True)
     # settled pointer -> its orbit-min (= cycle min, or the terminal
     # itself); is_loop = the settled pointer still redirects somewhere
     orbit = state.select(

@@ -74,6 +74,11 @@ BNLJ_ALLOWED = {
     "sim_pq_topk",     # PQ ADC: tiny probe-LUT set x compressed
                        # store — the sim_topk brute-force shape over
                        # codes instead of raw vectors
+    "text_ccnet_buckets",  # inherits text_unigram_ll's 1-ROW broadcast
+                           # scalar (vocab total + distinct for the
+                           # Laplace LM) crossed onto the vocabulary
+                           # relation; the tier assignment itself adds
+                           # only windows / a percentile sketch
     "curation_nbquality",  # 1-ROW broadcast scalar (class priors /
                            # token totals) crossed onto the per-doc
                            # score relation — the kg_assoc
