@@ -4178,6 +4178,82 @@ FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 """
 
 
+# Pinned WordPiece vocabulary over the driver corpus's 31-word
+# vocabulary: whole-word pieces, 2- and 3-piece splits via '##'
+# continuations, two adversarial SHORT prefixes ('so', 'w') that a
+# longest-match implementation must ignore in favor of 'sort'/'win',
+# and 'dup' deliberately absent -> [UNK].
+_WORDPIECE_VOCAB = [
+    "a", "agg", "big", "data", "fast", "hash", "join", "key", "line",
+    "part", "row", "scan", "slow", "sort", "the",
+    "so", "w",
+    "win", "##dow", "or", "##der", "col", "##umn", "val", "##ue",
+    "qu", "##ery", "gr", "##oup", "str", "##eam", "fil", "##ter",
+    "sp", "##ark", "ba", "##tch", "ta", "##ble", "sm", "##all",
+    "mer", "##ge", "vec", "##tor", "cus", "##tom", "##er",
+]
+
+
+def q_text_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document WordPiece token + [UNK] counts under the pinned
+    vocabulary (operators/bpe.py:wordpiece_token_counts — BERT runtime
+    semantics: greedy longest-match-first, '##' continuations, whole
+    word -> [UNK] on any failure).  The vocab-driven runtime-tokenizer
+    family next to the merge-table-driven BPE apply; the oracle
+    replays the greedy automaton as a recursive CTE whose per-step
+    aggregate picks the longest matching piece."""
+    from onto_text_tag_spark.operators.bpe import wordpiece_token_counts
+
+    return wordpiece_token_counts(
+        _docs(spark, sf_dir), _WORDPIECE_VOCAB
+    )
+
+
+def sql_text_wordpiece_tokens() -> str:
+    vocab_sql = ", ".join(f"('{p}')" for p in _WORDPIECE_VOCAB)
+    return f"""
+WITH RECURSIVE vocab(piece) AS (VALUES {vocab_sql}),
+ words AS (
+   SELECT doc_id, unnest(list_filter(
+     string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t != ''))
+     AS word
+   FROM documents
+ ),
+ dw AS (SELECT DISTINCT word FROM words),
+ seg(word, rest, n) AS (
+   SELECT word, word, 0 FROM dw WHERE len(word) <= 32
+   UNION
+   SELECT word, substr(rest, l + 1), n + 1 FROM (
+     SELECT s.word, s.rest, s.n,
+            max(CASE WHEN s.n = 0 THEN len(v.piece)
+                     ELSE len(v.piece) - 2 END) AS l
+     FROM seg s JOIN vocab v
+       ON (s.n = 0 AND v.piece NOT LIKE '##%'
+           AND starts_with(s.rest, v.piece))
+       OR (s.n > 0 AND v.piece LIKE '##%'
+           AND starts_with(s.rest, substr(v.piece, 3)))
+     WHERE s.rest <> ''
+     GROUP BY s.word, s.rest, s.n
+   )
+ ),
+ done AS (SELECT word, n AS pieces FROM seg WHERE rest = ''),
+ per_word AS (
+   SELECT word, pieces, 0 AS unk FROM done
+   UNION ALL
+   SELECT word, 1, 1 FROM dw
+   WHERE word NOT IN (SELECT word FROM done)
+ ),
+ sums AS (
+   SELECT w.doc_id, sum(p.pieces) AS wp_tokens, sum(p.unk) AS unk_words
+   FROM words w JOIN per_word p USING (word)
+   GROUP BY w.doc_id
+ )
+SELECT d.doc_id, coalesce(s.wp_tokens, 0)::BIGINT AS wp_tokens,
+       coalesce(s.unk_words, 0)::BIGINT AS unk_words
+FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
+"""
+
+
 def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail tiers (operators/textstats.py:
     perplexity_buckets, exact path): each language's documents split
@@ -6164,6 +6240,7 @@ FROM ranked WHERE rank <= {_TOPK}
 
 
 QUERIES = {
+    "text_wordpiece_tokens": q_text_wordpiece_tokens,
     "web_redirects": q_web_redirects,
     "web_spam_hosts": q_web_spam_hosts,
     "text_ccnet_buckets": q_text_ccnet_buckets,
@@ -6284,6 +6361,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_wordpiece_tokens": sql_text_wordpiece_tokens(),
     "web_redirects": sql_web_redirects(),
     "web_spam_hosts": sql_web_spam_hosts(),
     "text_ccnet_buckets": sql_text_ccnet_buckets(),
@@ -6425,15 +6503,16 @@ _PRIORITY_KEYS = [
     # late-round additions web_redirects / web_spam_hosts /
     # text_ccnet_buckets / kg_isa_cycles first, then the ten mid-round
     # ones), every r01-stale key (8), then the r02-stale keys that
-    # fit.  The 17 r02-stale keys left outside (the four TPC-H
+    # fit.  The 18 r02-stale keys left outside (the four TPC-H
     # relationals, the three event-window queries, the dedup family
     # dedup_simhash / dedup_word_jaccard / dedup_jaccard /
     # dedup_lsh_pairs / dedup_minhash_sig / dedup_clusters_incremental,
     # and text_profile / text_chunks / text_word_freqs /
-    # corpus_quantiles) are all bench-exercised or pytest-parity-
-    # pinned every round, re-ran at HEAD in the interleaved A/B
-    # (BENCH/BASELINE.md), and none of their code changed since their
-    # r02 green; they head round 5's rotation.
+    # corpus_quantiles / web_latest_capture) are all bench-exercised
+    # or pytest-parity-pinned every round, re-ran at HEAD in the
+    # interleaved A/B (BENCH/BASELINE.md), and none of their code
+    # changed since their r02 green; they head round 5's rotation.
+    "text_wordpiece_tokens",
     "web_redirects", "web_spam_hosts", "text_ccnet_buckets",
     "kg_isa_cycles",
     "mm_video_dups", "mm_frame_dups", "mm_segment_dups",

@@ -273,3 +273,100 @@ def bpe_token_counts(
         *extra,
         _count(F.col("_words")).alias("bpe_tokens"),
     )
+
+
+def wordpiece_segment_count(
+    word: str,
+    vocab_first: set,
+    vocab_cont: set,
+    max_chars: int = 32,
+) -> tuple:
+    """(piece_count, unk) for one word under BERT's runtime WordPiece
+    semantics (Devlin et al. 2019 / the original `tokenization.py`
+    WordpieceTokenizer): greedy LONGEST-match-first left to right,
+    pieces after the first drawn from the '##'-continuation vocab,
+    and on ANY failure — no matching prefix, or the word exceeding
+    ``max_chars`` — the WHOLE word collapses to a single [UNK] token
+    (greedy does not backtrack; partial segmentations are discarded).
+
+    ``vocab_first``: pieces usable at word start (no '##');
+    ``vocab_cont``: continuation pieces with the '##' already
+    stripped."""
+    if len(word) > max_chars:
+        return (1, 1)
+    n = 0
+    start = 0
+    while start < len(word):
+        table = vocab_first if start == 0 else vocab_cont
+        end = len(word)
+        match = 0
+        while end > start:
+            if word[start:end] in table:
+                match = end
+                break
+            end -= 1
+        if match == 0:
+            return (1, 1)
+        n += 1
+        start = match
+    return (n, 0)
+
+
+def wordpiece_token_counts(
+    documents: DataFrame,
+    vocab: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 32,
+) -> DataFrame:
+    """``(doc_id, wp_tokens, unk_words)`` — per-document WordPiece
+    token counts + unknown-word counts under a FIXED vocabulary: the
+    runtime-tokenizer twin of ``bpe_token_counts`` for the
+    vocab-driven (BERT-style) tokenizer family, where deployment ships
+    a vocab file rather than a merge table.  The sequence-length and
+    OOV accounting curation runs when the training tokenizer is a
+    published one, not corpus-fit.
+
+    Same scale shape as the BPE apply: ONE corpus scan, the vocab
+    rides in the closure (vocab files are 30k-200k entries), a
+    per-batch word→counts cache exploits the Zipf distribution, no
+    shuffle, no join.
+    """
+    vocab_first = {p for p in vocab if not p.startswith("##")}
+    vocab_cont = {p[2:] for p in vocab if p.startswith("##")}
+    src = documents.select(
+        F.col(id_col),
+        F.expr(
+            f"filter(split(lower({text_col}), \"[^a-z0-9']+\"), "
+            "t -> t != '')"
+        ).alias("_words"),
+    )
+
+    @F.pandas_udf("wp_tokens long, unk_words long")
+    def _count(words: pd.Series) -> pd.DataFrame:
+        cache: dict = {}
+
+        def doc_count(ws):
+            toks = 0
+            unks = 0
+            for w in ws:
+                c = cache.get(w)
+                if c is None:
+                    c = wordpiece_segment_count(
+                        w, vocab_first, vocab_cont, max_chars
+                    )
+                    cache[w] = c
+                toks += c[0]
+                unks += c[1]
+            return (toks, unks)
+
+        out = [doc_count(ws) for ws in words]
+        return pd.DataFrame(out, columns=["wp_tokens", "unk_words"])
+
+    return src.select(
+        id_col, _count(F.col("_words")).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.wp_tokens").alias("wp_tokens"),
+        F.col("_c.unk_words").alias("unk_words"),
+    )

@@ -170,3 +170,62 @@ def test_packing_on_bpe_counts_pins_bin_boundaries(spark):
     # bin = (cum - tokens) // 10 -> 0, 0, 1, 1; fill = cum - bin*10
     assert packed == {0: (0, 6, 6), 1: (0, 8, 14 - 0),
                       2: (1, 3, 17 - 10), 3: (1, 9, 26 - 10)}
+
+
+# ---------------------------------------------------------------------------
+# WordPiece runtime apply — greedy longest-match, '##' continuations, [UNK]
+# ---------------------------------------------------------------------------
+
+def test_wordpiece_segment_count_semantics():
+    from onto_text_tag_spark.operators.bpe import wordpiece_segment_count
+
+    vf = {"un", "sort", "so", "run", "r"}
+    vc = {"able", "ning", "t"}
+    # greedy longest FIRST piece: 'sort' beats 'so' ('so' + '##rt'
+    # would fail -> any shortest-first implementation returns UNK here)
+    assert wordpiece_segment_count("sort", vf, vc) == (1, 0)
+    # multi-piece with continuations: un + ##able
+    assert wordpiece_segment_count("unable", vf, vc) == (2, 0)
+    # run + ##ning
+    assert wordpiece_segment_count("running", vf, vc) == (2, 0)
+    # greedy does NOT backtrack: 'runt' -> 'run' leaves 't' which IS a
+    # continuation -> (2, 0); but 'rust' -> 'r' + 'ust' has no
+    # continuation for 'us...' -> whole word UNK even though no other
+    # split exists either
+    assert wordpiece_segment_count("runt", vf, vc) == (2, 0)
+    assert wordpiece_segment_count("rust", vf, vc) == (1, 1)
+    # unknown word -> single [UNK]
+    assert wordpiece_segment_count("xyz", vf, vc) == (1, 1)
+    # over max_chars -> [UNK] without scanning
+    assert wordpiece_segment_count("a" * 33, {"a"}, {"a"}) == (1, 1)
+    assert wordpiece_segment_count("a" * 32, {"a"}, {"a"}) == (32, 0)
+
+
+def test_wordpiece_token_counts_on_spark(spark):
+    from onto_text_tag_spark.operators.bpe import wordpiece_token_counts
+
+    vocab = ["win", "##dow", "sort", "so", "w", "the"]
+    docs = spark.createDataFrame(
+        [
+            (0, "window sort the"),   # 2 + 1 + 1 tokens, 0 unk
+            (1, "window dup window"), # 2 + 1(UNK) + 2, 1 unk
+            (2, ""),                  # empty -> 0 / 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["wp_tokens"], r["unk_words"])
+        for r in wordpiece_token_counts(docs, vocab).collect()
+    }
+    assert got == {0: (4, 0), 1: (5, 1), 2: (0, 0)}
+
+
+def test_wordpiece_plan_single_python_stage(spark):
+    from onto_text_tag_spark.operators.bpe import wordpiece_token_counts
+
+    docs = spark.createDataFrame(
+        [(0, "window sort")], "doc_id long, text string")
+    plan = wordpiece_token_counts(docs, ["win", "##dow", "sort"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan  # one scan, no shuffle, no join

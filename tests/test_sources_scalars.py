@@ -440,3 +440,27 @@ def test_perplexity_buckets_rejects_bad_args(spark):
         perplexity_buckets(docs, buckets=1)
     with pytest.raises(ValueError):
         perplexity_buckets(docs, method="nope")
+
+
+def test_perplexity_buckets_sketch_plan_is_windowless(spark):
+    """The sketch path is the 100-TB twin BECAUSE it has no
+    per-language window sort: pin the executed plan — no Window
+    operator, no Python stage; thresholds come from a (partial-
+    aggregable) percentile sketch + a broadcast join."""
+    from onto_text_tag_spark.operators.textstats import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i * 3) % 11} common", "en") for i in range(40)],
+        ["doc_id", "text", "lang"],
+    )
+    plan = perplexity_buckets(docs, method="sketch")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "percentile_approx" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # and the exact path DOES rank inside a per-language window — the
+    # contrast this pin documents
+    plan_exact = perplexity_buckets(docs, method="exact")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Window" in plan_exact
