@@ -4254,6 +4254,75 @@ FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
 """
 
 
+def q_text_wp_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source WordPiece vocabulary-health report: fertility
+    (subword tokens per word) and OOV rate (share of words that
+    collapse to [UNK]) under the pinned vocab — THE metrics that
+    decide whether a published tokenizer fits a corpus slice, read
+    per source so a curation mix can see which slice the vocab
+    underserves.  keep_cols passthrough on the single tokenizer scan
+    (no join back to the corpus), one source-keyed rollup."""
+    from onto_text_tag_spark.operators.bpe import wordpiece_token_counts
+
+    counts = wordpiece_token_counts(
+        _docs(spark, sf_dir), _WORDPIECE_VOCAB,
+        keep_cols=("source",), with_word_counts=True,
+    )
+    return counts.groupBy("source").agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("wp_tokens").cast("long").alias("wp_tokens"),
+        F.sum("unk_words").cast("long").alias("unk_words"),
+        F.round(F.sum("wp_tokens") / F.sum("n_words"), 4)
+        .alias("fertility"),
+        F.round(F.sum("unk_words") / F.sum("n_words"), 6)
+        .alias("unk_rate"),
+    )
+
+
+def sql_text_wp_fertility() -> str:
+    vocab_sql = ", ".join(f"('{p}')" for p in _WORDPIECE_VOCAB)
+    return f"""
+WITH RECURSIVE vocab(piece) AS (VALUES {vocab_sql}),
+ words AS (
+   SELECT doc_id, source, unnest(list_filter(
+     string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t != ''))
+     AS word
+   FROM documents
+ ),
+ dw AS (SELECT DISTINCT word FROM words),
+ seg(word, rest, n) AS (
+   SELECT word, word, 0 FROM dw WHERE len(word) <= 32
+   UNION
+   SELECT word, substr(rest, l + 1), n + 1 FROM (
+     SELECT s.word, s.rest, s.n,
+            max(CASE WHEN s.n = 0 THEN len(v.piece)
+                     ELSE len(v.piece) - 2 END) AS l
+     FROM seg s JOIN vocab v
+       ON (s.n = 0 AND v.piece NOT LIKE '##%'
+           AND starts_with(s.rest, v.piece))
+       OR (s.n > 0 AND v.piece LIKE '##%'
+           AND starts_with(s.rest, substr(v.piece, 3)))
+     WHERE s.rest <> ''
+     GROUP BY s.word, s.rest, s.n
+   )
+ ),
+ done AS (SELECT word, n AS pieces FROM seg WHERE rest = ''),
+ per_word AS (
+   SELECT word, pieces, 0 AS unk FROM done
+   UNION ALL
+   SELECT word, 1, 1 FROM dw
+   WHERE word NOT IN (SELECT word FROM done)
+ )
+SELECT w.source, count(*)::BIGINT AS n_words,
+       sum(p.pieces)::BIGINT AS wp_tokens,
+       sum(p.unk)::BIGINT AS unk_words,
+       round(sum(p.pieces) / count(*)::DOUBLE, 4) AS fertility,
+       round(sum(p.unk) / count(*)::DOUBLE, 6) AS unk_rate
+FROM words w JOIN per_word p USING (word)
+GROUP BY w.source
+"""
+
+
 def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail tiers (operators/textstats.py:
     perplexity_buckets, exact path): each language's documents split
@@ -6241,6 +6310,7 @@ FROM ranked WHERE rank <= {_TOPK}
 
 QUERIES = {
     "text_wordpiece_tokens": q_text_wordpiece_tokens,
+    "text_wp_fertility": q_text_wp_fertility,
     "web_redirects": q_web_redirects,
     "web_spam_hosts": q_web_spam_hosts,
     "text_ccnet_buckets": q_text_ccnet_buckets,
@@ -6362,6 +6432,7 @@ QUERIES = {
 
 ORACLES = {
     "text_wordpiece_tokens": sql_text_wordpiece_tokens(),
+    "text_wp_fertility": sql_text_wp_fertility(),
     "web_redirects": sql_web_redirects(),
     "web_spam_hosts": sql_web_spam_hosts(),
     "text_ccnet_buckets": sql_text_ccnet_buckets(),
@@ -6503,16 +6574,17 @@ _PRIORITY_KEYS = [
     # late-round additions web_redirects / web_spam_hosts /
     # text_ccnet_buckets / kg_isa_cycles first, then the ten mid-round
     # ones), every r01-stale key (8), then the r02-stale keys that
-    # fit.  The 18 r02-stale keys left outside (the four TPC-H
+    # fit.  The 19 r02-stale keys left outside (the four TPC-H
     # relationals, the three event-window queries, the dedup family
     # dedup_simhash / dedup_word_jaccard / dedup_jaccard /
     # dedup_lsh_pairs / dedup_minhash_sig / dedup_clusters_incremental,
     # and text_profile / text_chunks / text_word_freqs /
-    # corpus_quantiles / web_latest_capture) are all bench-exercised
+    # corpus_quantiles / web_latest_capture / web_host_hits) are all
+    # bench-exercised
     # or pytest-parity-pinned every round, re-ran at HEAD in the
     # interleaved A/B (BENCH/BASELINE.md), and none of their code
     # changed since their r02 green; they head round 5's rotation.
-    "text_wordpiece_tokens",
+    "text_wordpiece_tokens", "text_wp_fertility",
     "web_redirects", "web_spam_hosts", "text_ccnet_buckets",
     "kg_isa_cycles",
     "mm_video_dups", "mm_frame_dups", "mm_segment_dups",

@@ -318,6 +318,8 @@ def wordpiece_token_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_chars: int = 32,
+    keep_cols: tuple = (),
+    with_word_counts: bool = False,
 ) -> DataFrame:
     """``(doc_id, wp_tokens, unk_words)`` — per-document WordPiece
     token counts + unknown-word counts under a FIXED vocabulary: the
@@ -331,11 +333,17 @@ def wordpiece_token_counts(
     rides in the closure (vocab files are 30k-200k entries), a
     per-batch word→counts cache exploits the Zipf distribution, no
     shuffle, no join.
+
+    ``keep_cols`` passes source columns through on the same scan;
+    ``with_word_counts=True`` adds ``n_words`` (pre-subword token
+    count), the denominator fertility / OOV-rate diagnostics divide
+    by — mirroring ``bpe_token_counts``.
     """
     vocab_first = {p for p in vocab if not p.startswith("##")}
     vocab_cont = {p[2:] for p in vocab if p.startswith("##")}
     src = documents.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.expr(
             f"filter(split(lower({text_col}), \"[^a-z0-9']+\"), "
             "t -> t != '')"
@@ -363,10 +371,19 @@ def wordpiece_token_counts(
         out = [doc_count(ws) for ws in words]
         return pd.DataFrame(out, columns=["wp_tokens", "unk_words"])
 
+    extra = (
+        [F.size("_words").cast("long").alias("n_words")]
+        if with_word_counts else []
+    )
     return src.select(
-        id_col, _count(F.col("_words")).alias("_c")
+        id_col,
+        *[F.col(c) for c in keep_cols],
+        *extra,
+        _count(F.col("_words")).alias("_c"),
     ).select(
         id_col,
+        *[F.col(c) for c in keep_cols],
+        *([F.col("n_words")] if with_word_counts else []),
         F.col("_c.wp_tokens").alias("wp_tokens"),
         F.col("_c.unk_words").alias("unk_words"),
     )

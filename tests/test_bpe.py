@@ -229,3 +229,21 @@ def test_wordpiece_plan_single_python_stage(spark):
         .queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan  # one scan, no shuffle, no join
+
+
+def test_wordpiece_keep_cols_and_word_counts(spark):
+    from onto_text_tag_spark.operators.bpe import wordpiece_token_counts
+
+    docs = spark.createDataFrame(
+        [(0, "s1", "window sort"), (1, "s2", "dup")],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["source"], r["n_words"], r["wp_tokens"],
+                      r["unk_words"])
+        for r in wordpiece_token_counts(
+            docs, ["win", "##dow", "sort"],
+            keep_cols=("source",), with_word_counts=True,
+        ).collect()
+    }
+    assert got == {0: ("s1", 2, 3, 0), 1: ("s2", 1, 1, 1)}
