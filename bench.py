@@ -3163,6 +3163,129 @@ def run_redirect_scaling(low: int = 2, high: int = 8) -> dict:
     }
 
 
+def _session_cluster(execs: int, mem_mb: int = 3072):
+    """A ``local-cluster[execs, 1, mem]`` session: real executor JVM
+    PROCESSES, one core each — the honest stand-in for an N-executor
+    cluster.  Needed because this microVM serializes java.util.regex
+    across JVM THREADS: a literal-space ``split`` scales 3.4x from
+    local[2] to local[8], the identical pipeline with the tokenizer
+    regex ``[^a-z0-9']+`` ANTI-scales (25.7 s -> 27.5 s), and the
+    same regex pipeline under 2 vs 8 executor processes scales 2.3x
+    (measured, this host).  Cluster executors are processes, so
+    thread-level regex benching under-measures regex-heavy operators
+    here."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder
+        .master(f"local-cluster[{execs},1,{mem_mb}]")
+        .appName(f"bench-lc{execs}")
+        .config("spark.sql.shuffle.partitions", str(max(2 * execs, 8)))
+        .config("spark.executor.memory", f"{mem_mb}m")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def run_ccnet_scaling(low: int = 2, high: int = 8) -> dict:
+    """Two-CLUSTER-SIZE run of CCNet perplexity-tier bucketing
+    (operators/textstats.py:perplexity_buckets, ``discrete`` mode) —
+    the north_rule N-vs-4N-executors evidence for the corpus-quality
+    partitioning family, on the DETERMINISTIC scale path: the exact
+    rank path would sort each language inside one window partition
+    (a language IS the corpus at web scale), while the discrete path's
+    only window runs over the bounded (lang, rounded-score) count
+    relation, so outputs can be asserted bit-identical across levels.
+
+    Runs under ``local-cluster`` executor PROCESSES (N=low vs 4N=high
+    single-core executors), not local[N] threads — see
+    ``_session_cluster`` for the measured thread-regex pathology that
+    makes thread-mode numbers dishonest for tokenizer-regex-bound
+    operators on this host.
+
+    Corpus: CCNET_DOCS 20-word docs over 4 languages, 70% of word
+    draws from a 50-word common pool and 30% from a 5000-word tail
+    (pure column expressions over ``spark.range`` — deterministic,
+    no data files), so per-doc mean log-loss genuinely spreads."""
+    from pyspark.sql import functions as F
+
+    from onto_text_tag_spark.operators.textstats import perplexity_buckets
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_CCNET_DOCS", "2000000"))
+
+    def corpus(spark, cores):
+        word = (
+            "transform(sequence(0, 19), i -> concat('w', CAST("
+            "CASE WHEN pmod(xxhash64(id * 20 + i), 10) < 7 "
+            "THEN pmod(xxhash64(id * 20 + i + 1000000007), 50) "
+            "ELSE 500 + pmod(xxhash64(id * 20 + i + 2000000011), 5000) "
+            "END AS STRING)))"
+        )
+        return (
+            spark.range(n_docs).repartition(cores * 4)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.element_at(
+                    F.array(F.lit("en"), F.lit("de"),
+                            F.lit("fr"), F.lit("es")),
+                    (F.col("id") % 4 + 1).cast("int"),
+                ).alias("lang"),
+                F.array_join(F.expr(word), " ").alias("text"),
+            )
+        )
+
+    best: dict[int, float] = {}
+    sigs: dict[int, tuple] = {}
+    for _rep in range(SCALING_REPEATS):
+        for cores in (low, high):  # interleaved
+            spark = _session_cluster(cores)
+            spark.range(1_000_000).select(
+                F.bit_xor(F.xxhash64("id"))).collect()
+            perplexity_buckets(
+                corpus(spark, cores).limit(4000), method="discrete"
+            ).count()  # untimed same-shape warmup
+            docs = corpus(spark, cores)
+            t0 = time.perf_counter()
+            out = perplexity_buckets(docs, method="discrete")
+            row = out.select(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(F.col("ppl_bucket") == "head", 1).otherwise(0)
+                ).alias("heads"),
+                F.bit_xor(
+                    F.xxhash64("doc_id", "lang", "ppl_bucket",
+                               "mean_logloss")
+                ).alias("h"),
+            ).collect()[0]
+            sec = round(time.perf_counter() - t0, 2)
+            spark.stop()
+            sig = (row["n"], row["heads"], row["h"])
+            sigs.setdefault(cores, sig)
+            assert sigs[cores] == sig, (cores, sigs[cores], sig)
+            if cores not in best or sec < best[cores]:
+                best[cores] = sec
+    assert sigs[low] == sigs[high], sigs
+    eff = (best[low] / best[high]) / (high / low)
+    return {
+        "job": "perplexity_buckets discrete (CCNet tier partitioning, "
+               "deterministic value-threshold scale path)",
+        "corpus_docs": n_docs,
+        "head_docs": sigs[low][1],
+        "low_cores": low,
+        "high_cores": high,
+        "low_sec": best[low],
+        "high_sec": best[high],
+        "low_docs_per_sec": round(n_docs / best[low], 1),
+        "high_docs_per_sec": round(n_docs / best[high], 1),
+        "speedup": round(best[low] / best[high], 2),
+        "scaling_efficiency": round(eff, 3),
+        "outputs_identical": True,
+        "host_capacity_units_per_sec": {
+            str(k): v for k, v in _host_capacity().items()
+        },
+    }
+
+
 def run_ivfpq_scaling(low: int = 2, high: int = 8) -> dict:
     """Two-parallelism-level run of the composed IVFPQ serving operator
     over the SAME 200k clustered ANN corpus — the north_rule
@@ -3780,6 +3903,37 @@ def main() -> None:
                 f"{rep['scaling_efficiency']}.  Outputs bit-identical "
                 "at both levels (pair-set hash), interleaved "
                 "min-of-N.\n"
+            )
+            cap = rep["host_capacity_units_per_sec"]
+            fh.write(
+                "\nHost capacity check (pure-Python busy-loop, "
+                f"units/sec by process count):\n\n{json.dumps(cap)}\n"
+            )
+        print(json.dumps(rep))
+        return
+    if "--scaling-ccnet" in sys.argv:
+        low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
+        high = int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", str(low * 4)))
+        rep = run_ccnet_scaling(low=low, high=high)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as fh:
+            fh.write(
+                f"\n## Scaling run — {rep['job']}, "
+                f"{rep['corpus_docs']} docs across 4 languages "
+                f"({rep['head_docs']} land in 'head')\n\n"
+                f"| executors | sec | docs/sec |\n|---|---|---|\n"
+                f"| local-cluster[{rep['low_cores']},1] | "
+                f"{rep['low_sec']} | {rep['low_docs_per_sec']} |\n"
+                f"| local-cluster[{rep['high_cores']},1] | "
+                f"{rep['high_sec']} | {rep['high_docs_per_sec']} |\n"
+                f"\nspeedup {rep['low_cores']}->{rep['high_cores']} "
+                f"executors: "
+                f"{rep['speedup']}x, efficiency "
+                f"{rep['scaling_efficiency']}.  Outputs bit-identical "
+                "at both levels (full-assignment hash incl. scores), "
+                "interleaved min-of-N — the determinism the sketch "
+                "path cannot promise across cluster sizes, at exact "
+                "thresholds.\n"
             )
             cap = rep["host_capacity_units_per_sec"]
             fh.write(

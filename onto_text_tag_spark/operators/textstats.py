@@ -416,7 +416,8 @@ def repetition_signals(documents: DataFrame, id_col: str = "doc_id",
 
 
 def unigram_logloss(documents: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    keep_cols: tuple = ()) -> DataFrame:
     """Per-document unigram cross-entropy against the corpus's own
     unigram LM — the CCNet-style perplexity quality signal (Wenzek et
     al. 2020 rank pages by LM perplexity; the unigram LM is the
@@ -433,6 +434,13 @@ def unigram_logloss(documents: DataFrame, id_col: str = "doc_id",
     (map-side combined), one shuffle join of the exploded corpus
     against it keyed on the word (NOT broadcast — a web vocabulary is
     not broadcast-scale), one doc-keyed aggregate.
+
+    ``keep_cols`` passes document columns through on the SAME final
+    doc-keyed projection — the consumer never joins back to the
+    corpus to re-attach them (a corpus-sized equi-join that a stats
+    misestimate can turn into a corpus-sized broadcast; observed: a
+    3.7 GiB HashedRelation at 2M docs before perplexity_buckets
+    switched to this passthrough).
     """
     w = f"filter(split(lower({text_col}), '[^a-z0-9\\']+'), t -> t != '')"
     words = documents.select(
@@ -460,10 +468,11 @@ def unigram_logloss(documents: DataFrame, id_col: str = "doc_id",
         )
     )
     return (
-        documents.select(id_col)
+        documents.select(id_col, *[F.col(c) for c in keep_cols])
         .join(scored, id_col, "left")
         .select(
             id_col,
+            *[F.col(c) for c in keep_cols],
             F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
             F.coalesce("mean_logloss", F.lit(0.0)).alias("mean_logloss"),
         )
@@ -588,13 +597,30 @@ def perplexity_buckets(documents: DataFrame, id_col: str = "doc_id",
     no global sort, no window, skew-immune.  Tier populations are
     approximate at the boundaries (sketch accuracy 1e-4 relative
     rank), which is exactly the CCNet trade.
+
+    ``method='discrete'``: the 100-TB path when determinism matters
+    (resume contracts, cross-cluster-size reproducibility — the
+    sketch's partial merge order is partition-dependent).  The score
+    is ROUNDED to 4 decimals, so its domain is bounded (~10^5
+    distinct values) regardless of corpus size: one map-side-combined
+    count per (lang, score), EXACT cumulative thresholds over that
+    domain-sized relation (the window here sorts ≤ domain rows per
+    language, corpus-size-independent), then a broadcast join assigns
+    every doc the tier of its score group's first member in the exact
+    ranking.  Identical to ``exact`` whenever no score group spans a
+    tier boundary; when one does, the whole group takes the earlier
+    tier (value-threshold semantics — CCNet's own).  Bit-identical at
+    any parallelism.
     """
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
-    scored = unigram_logloss(documents, id_col=id_col, text_col=text_col)
-    scored = scored.join(
-        documents.select(id_col, lang_col), id_col
-    )
+    # lang rides the scorer's own doc-keyed projection (keep_cols) —
+    # re-attaching it with a corpus self-join here measured as a
+    # 3.7 GiB mis-broadcast at 2M docs
+    scored = unigram_logloss(
+        documents, id_col=id_col, text_col=text_col,
+        keep_cols=(lang_col,),
+    ).select(id_col, lang_col, "mean_logloss")
     names = (
         F.when(F.col("_b") == 0, F.lit("head"))
         .when(F.col("_b") == buckets - 1, F.lit("tail"))
@@ -634,6 +660,28 @@ def perplexity_buckets(documents: DataFrame, id_col: str = "doc_id",
             ).alias("_b"),
         )
         return assigned.select(
+            id_col, lang_col, "mean_logloss", names.alias("ppl_bucket")
+        )
+    if method == "discrete":
+        from pyspark.sql import Window
+
+        counts = scored.groupBy(lang_col, "mean_logloss").agg(
+            F.count("*").alias("_c")
+        )
+        wlang = Window.partitionBy(lang_col)
+        worder = wlang.orderBy("mean_logloss")
+        # tier of the score GROUP = tier its first member holds in the
+        # exact ranking: floor(cum_before * B / n), all-integer
+        assign = counts.select(
+            lang_col, "mean_logloss",
+            (
+                (F.sum("_c").over(worder) - F.col("_c")) * buckets
+                / F.sum("_c").over(wlang)
+            ).cast("long").alias("_b"),
+        )
+        return scored.join(
+            F.broadcast(assign), [lang_col, "mean_logloss"]
+        ).select(
             id_col, lang_col, "mean_logloss", names.alias("ppl_bucket")
         )
     raise ValueError(f"unknown method {method!r}")

@@ -464,3 +464,64 @@ def test_perplexity_buckets_sketch_plan_is_windowless(spark):
     plan_exact = perplexity_buckets(docs, method="exact")._jdf \
         .queryExecution().executedPlan().toString()
     assert "Window" in plan_exact
+
+
+def test_perplexity_buckets_discrete_matches_exact_when_tie_free(spark):
+    """The deterministic discrete (value-threshold) path equals the
+    exact rank path whenever no score group spans a tier boundary."""
+    from onto_text_tag_spark.operators.textstats import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a", "en"), (2, "a a a b", "en"),
+            (3, "a a b c", "en"), (4, "a b c d", "en"),
+            (5, "b c d e", "en"), (6, "c d e f", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    exact = {r["doc_id"]: r["ppl_bucket"]
+             for r in perplexity_buckets(docs, method="exact").collect()}
+    disc = {r["doc_id"]: r["ppl_bucket"]
+            for r in perplexity_buckets(docs, method="discrete").collect()}
+    assert disc == exact
+
+
+def test_perplexity_buckets_discrete_keeps_tied_group_together(spark):
+    """A score group spanning a tier boundary takes ONE tier (that of
+    its first member in the exact ranking) — value-threshold
+    semantics; the exact path would split it by doc_id."""
+    from onto_text_tag_spark.operators.textstats import perplexity_buckets
+
+    # 6 identical docs -> one score group covering all three tiers
+    docs = spark.createDataFrame(
+        [(i, "a b c", "en") for i in range(6)],
+        ["doc_id", "text", "lang"],
+    )
+    disc = {r["ppl_bucket"]
+            for r in perplexity_buckets(docs, method="discrete").collect()}
+    assert disc == {"head"}  # cum_before = 0 -> tier 0 for the group
+    exact = sorted(
+        r["ppl_bucket"]
+        for r in perplexity_buckets(docs, method="exact").collect()
+    )
+    assert exact == ["head", "head", "middle", "middle", "tail", "tail"]
+
+
+def test_perplexity_buckets_discrete_plan_domain_sized_window(spark):
+    """The discrete path's window runs over the (lang, score) COUNT
+    relation (domain-sized), never the corpus: pin that the plan's
+    Window sits above a HashAggregate and the doc-level assignment is
+    a broadcast join with no Python stage."""
+    from onto_text_tag_spark.operators.textstats import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i * 7) % 11}", "en") for i in range(60)],
+        ["doc_id", "text", "lang"],
+    )
+    plan = perplexity_buckets(docs, method="discrete")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
+    # window input is the aggregated (lang, score, count) relation
+    win_idx = plan.index("Window")
+    assert "HashAggregate" in plan[win_idx:]
