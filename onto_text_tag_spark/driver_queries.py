@@ -2771,6 +2771,141 @@ FROM h{rounds} h JOIN a{rounds} a ON h.node = a.node
 """
 
 
+# JSON-LD page synthesis: name pool mixes exact labels, a plural
+# surface, two synonyms, and one unlinkable name (negative case for
+# the schema-triples composition)
+_JSONLD_NAMES = [
+    "hash join", "sort", "filters", "order", "embedding",
+    "table scan", "merge", "spark", "dup term",
+]
+_JSONLD_TYPES = ["Product", "Article", "Dataset"]
+
+
+def _jsonld_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (url, html) pages carrying schema.org JSON-LD
+    blocks — one per page, two when doc_id % 7 == 0 (multi-entity
+    pages) — a pure function of doc_id/text the SQL oracle
+    reconstructs identically."""
+    d = _docs(spark, sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://host"), s(i % 5),
+                   F.lit(".example.com/page/"), s(i))
+    name1 = F.element_at(
+        F.array(*[F.lit(n) for n in _JSONLD_NAMES]),
+        (i % 9 + 1).cast("int"),
+    )
+    type1 = F.element_at(
+        F.array(*[F.lit(t) for t in _JSONLD_TYPES]),
+        (i % 3 + 1).cast("int"),
+    )
+    name2 = F.element_at(
+        F.array(*[F.lit(n) for n in _JSONLD_NAMES]),
+        ((i + 3) % 9 + 1).cast("int"),
+    )
+    block = lambda t, n: F.concat(  # noqa: E731
+        F.lit('<script type="application/ld+json">{"@type": "'), t,
+        F.lit('", "name": "'), n, F.lit('"}</script>'),
+    )
+    html = F.concat(
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        block(type1, name1),
+        F.when(i % 7 == 0, block(F.lit("Organization"), name2))
+        .otherwise(F.lit("")),
+    )
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def _jsonld_pages_cte() -> str:
+    names = ", ".join(f"'{n}'" for n in _JSONLD_NAMES)
+    types = ", ".join(f"'{t}'" for t in _JSONLD_TYPES)
+    return f"""
+jpages AS (
+  SELECT 'https://host' || (doc_id % 5)::VARCHAR || '.example.com/page/'
+           || doc_id::VARCHAR AS url,
+         '<p>' || text || '</p>'
+           || '<script type="application/ld+json">{{"@type": "'
+           || ([{types}])[(doc_id % 3) + 1] || '", "name": "'
+           || ([{names}])[(doc_id % 9) + 1] || '"}}</script>'
+           || CASE WHEN doc_id % 7 = 0 THEN
+                '<script type="application/ld+json">{{"@type": '
+                || '"Organization", "name": "'
+                || ([{names}])[((doc_id + 3) % 9) + 1] || '"}}</script>'
+              ELSE '' END AS html
+  FROM documents
+),
+jblocks AS (
+  SELECT url, unnest(regexp_extract_all(html,
+    '<script type="application/ld\\+json">(.*?)</script>', 1)) AS b
+  FROM jpages
+),
+jents AS (
+  SELECT url,
+         json_extract_string(b, '$."@type"') AS entity_type,
+         json_extract_string(b, '$.name') AS name
+  FROM jblocks
+  WHERE json_extract_string(b, '$."@type"') IS NOT NULL
+    AND json_extract_string(b, '$.name') IS NOT NULL
+)"""
+
+
+def q_web_jsonld_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD entity extraction from raw pages
+    (operators/weblinks.py:extract_jsonld — regexp_extract_all +
+    explode + from_json, zero UDFs): the structured-data channel of
+    web KG construction (the blocks Web Data Commons mines from
+    Common Crawl), yielding typed entity names next to the
+    dictionary-tagging channel's untyped mentions."""
+    from onto_text_tag_spark.operators.weblinks import extract_jsonld
+
+    return extract_jsonld(_jsonld_docs(spark, sf_dir))
+
+
+def sql_web_jsonld_entities() -> str:
+    return f"""
+WITH {_jsonld_pages_cte()}
+SELECT url, entity_type, name FROM jents
+"""
+
+
+def q_kg_schema_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-data entity linking: JSON-LD entity names resolved
+    against the broadcast ontology dictionary (lower-trim surface
+    match, collision policy A5 already applied) → (url, schema:about,
+    curie) triples.  The microdata channel and the tagging channel
+    land in the same triple space; names with no dictionary surface
+    ('dup term') produce nothing — candidate filtering, not a crash."""
+    from onto_text_tag_spark.operators.weblinks import extract_jsonld
+
+    ents = extract_jsonld(_jsonld_docs(spark, sf_dir))
+    dic = driver_dictionary(spark).select(
+        F.col("surface"), F.col("id")
+    ).distinct()
+    return (
+        ents.join(
+            F.broadcast(dic),
+            F.lower(F.trim(F.col("name"))) == F.col("surface"),
+        )
+        .select(
+            "url",
+            F.lit("schema:about").alias("pred"),
+            F.col("id").alias("curie"),
+            "entity_type",
+            "name",
+        )
+    )
+
+
+def sql_kg_schema_triples() -> str:
+    return f"""
+WITH {_jsonld_pages_cte()},
+ dict AS ({sql_kg_dictionary()})
+SELECT e.url, 'schema:about' AS pred, d.id AS curie,
+       e.entity_type, e.name
+FROM jents e JOIN dict d ON lower(trim(e.name)) = d.surface
+"""
+
+
 def q_web_spam_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank-style seeded propagation over the DIRECTED weighted
     host graph (Gyöngyi et al. 2004 inverted: mass starts at labeled
@@ -6311,6 +6446,8 @@ FROM ranked WHERE rank <= {_TOPK}
 QUERIES = {
     "text_wordpiece_tokens": q_text_wordpiece_tokens,
     "text_wp_fertility": q_text_wp_fertility,
+    "web_jsonld_entities": q_web_jsonld_entities,
+    "kg_schema_triples": q_kg_schema_triples,
     "web_redirects": q_web_redirects,
     "web_spam_hosts": q_web_spam_hosts,
     "text_ccnet_buckets": q_text_ccnet_buckets,
@@ -6433,6 +6570,8 @@ QUERIES = {
 ORACLES = {
     "text_wordpiece_tokens": sql_text_wordpiece_tokens(),
     "text_wp_fertility": sql_text_wp_fertility(),
+    "web_jsonld_entities": sql_web_jsonld_entities(),
+    "kg_schema_triples": sql_kg_schema_triples(),
     "web_redirects": sql_web_redirects(),
     "web_spam_hosts": sql_web_spam_hosts(),
     "text_ccnet_buckets": sql_text_ccnet_buckets(),
@@ -6574,17 +6713,19 @@ _PRIORITY_KEYS = [
     # late-round additions web_redirects / web_spam_hosts /
     # text_ccnet_buckets / kg_isa_cycles first, then the ten mid-round
     # ones), every r01-stale key (8), then the r02-stale keys that
-    # fit.  The 19 r02-stale keys left outside (the four TPC-H
+    # fit.  The 21 r02-stale keys left outside (the four TPC-H
     # relationals, the three event-window queries, the dedup family
     # dedup_simhash / dedup_word_jaccard / dedup_jaccard /
     # dedup_lsh_pairs / dedup_minhash_sig / dedup_clusters_incremental,
     # and text_profile / text_chunks / text_word_freqs /
-    # corpus_quantiles / web_latest_capture / web_host_hits) are all
-    # bench-exercised
-    # or pytest-parity-pinned every round, re-ran at HEAD in the
-    # interleaved A/B (BENCH/BASELINE.md), and none of their code
-    # changed since their r02 green; they head round 5's rotation.
+    # corpus_quantiles / web_latest_capture / web_host_hits /
+    # web_anchor_mentions / web_canonical_urls) are all
+    # bench-exercised or pytest-parity-pinned every round, re-ran at
+    # HEAD in the interleaved A/B (BENCH/BASELINE.md), and none of
+    # their code changed since their r02 green; they head round 5's
+    # rotation.
     "text_wordpiece_tokens", "text_wp_fertility",
+    "web_jsonld_entities", "kg_schema_triples",
     "web_redirects", "web_spam_hosts", "text_ccnet_buckets",
     "kg_isa_cycles",
     "mm_video_dups", "mm_frame_dups", "mm_segment_dups",

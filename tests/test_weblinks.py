@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from onto_text_tag_spark.operators.weblinks import (
+    extract_jsonld,
     extract_links,
     host_graph,
     resolve_redirects,
@@ -195,3 +196,43 @@ def test_resolve_redirects_normalizes_multivalued_src(spark):
     got = {r["url"]: r["resolved_url"]
            for r in resolve_redirects(edges).collect()}
     assert got["u:a"] == "u:x"
+
+
+# ---------------------------------------------------------------------------
+# extract_jsonld — schema.org microdata blocks
+# ---------------------------------------------------------------------------
+
+def test_extract_jsonld_blocks_and_malformed(spark):
+    docs = _docs(spark, [
+        (
+            "https://a.example.com/1",
+            '<p>x</p>'
+            '<script type="application/ld+json">'
+            '{"@type": "Product", "name": "hash join"}</script>'
+            '<script type="application/ld+json">'
+            '{"@type": "Organization", "name": "acme"}</script>'
+            # malformed json -> PERMISSIVE nulls -> dropped, not fatal
+            '<script type="application/ld+json">{oops</script>'
+            # missing name -> dropped
+            '<script type="application/ld+json">'
+            '{"@type": "Article"}</script>'
+            # plain script (wrong type attr) -> never extracted
+            '<script>var x = {"@type": "No", "name": "no"}</script>',
+        ),
+    ])
+    got = {
+        (r["url"], r["entity_type"], r["name"])
+        for r in extract_jsonld(docs).collect()
+    }
+    assert got == {
+        ("https://a.example.com/1", "Product", "hash join"),
+        ("https://a.example.com/1", "Organization", "acme"),
+    }
+
+
+def test_extract_jsonld_plan_stays_jvm_side(spark):
+    docs = _docs(spark, [("u", '<script type="application/ld+json">'
+                               '{"@type": "T", "name": "n"}</script>')])
+    plan = extract_jsonld(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
