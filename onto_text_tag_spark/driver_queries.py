@@ -2836,7 +2836,7 @@ jpages AS (
 ),
 jblocks AS (
   SELECT url, unnest(regexp_extract_all(html,
-    '<script type="application/ld\\+json">(.*?)</script>', 1)) AS b
+    '(?s)<script type="application/ld\\+json">(.*?)</script>', 1)) AS b
   FROM jpages
 ),
 jents AS (
@@ -4344,80 +4344,14 @@ def q_text_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_text_wordpiece_tokens() -> str:
+def _wordpiece_seg_cte() -> str:
+    """Shared recursive-CTE replay of the greedy WordPiece automaton
+    (vocab → words → distinct-word seg states → per_word piece/unk
+    counts) — composed by BOTH sql_text_wordpiece_tokens and
+    sql_text_wp_fertility so the longest-match / max_chars logic can
+    never silently diverge between them."""
     vocab_sql = ", ".join(f"('{p}')" for p in _WORDPIECE_VOCAB)
-    return f"""
-WITH RECURSIVE vocab(piece) AS (VALUES {vocab_sql}),
- words AS (
-   SELECT doc_id, unnest(list_filter(
-     string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t != ''))
-     AS word
-   FROM documents
- ),
- dw AS (SELECT DISTINCT word FROM words),
- seg(word, rest, n) AS (
-   SELECT word, word, 0 FROM dw WHERE len(word) <= 32
-   UNION
-   SELECT word, substr(rest, l + 1), n + 1 FROM (
-     SELECT s.word, s.rest, s.n,
-            max(CASE WHEN s.n = 0 THEN len(v.piece)
-                     ELSE len(v.piece) - 2 END) AS l
-     FROM seg s JOIN vocab v
-       ON (s.n = 0 AND v.piece NOT LIKE '##%'
-           AND starts_with(s.rest, v.piece))
-       OR (s.n > 0 AND v.piece LIKE '##%'
-           AND starts_with(s.rest, substr(v.piece, 3)))
-     WHERE s.rest <> ''
-     GROUP BY s.word, s.rest, s.n
-   )
- ),
- done AS (SELECT word, n AS pieces FROM seg WHERE rest = ''),
- per_word AS (
-   SELECT word, pieces, 0 AS unk FROM done
-   UNION ALL
-   SELECT word, 1, 1 FROM dw
-   WHERE word NOT IN (SELECT word FROM done)
- ),
- sums AS (
-   SELECT w.doc_id, sum(p.pieces) AS wp_tokens, sum(p.unk) AS unk_words
-   FROM words w JOIN per_word p USING (word)
-   GROUP BY w.doc_id
- )
-SELECT d.doc_id, coalesce(s.wp_tokens, 0)::BIGINT AS wp_tokens,
-       coalesce(s.unk_words, 0)::BIGINT AS unk_words
-FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
-"""
-
-
-def q_text_wp_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source WordPiece vocabulary-health report: fertility
-    (subword tokens per word) and OOV rate (share of words that
-    collapse to [UNK]) under the pinned vocab — THE metrics that
-    decide whether a published tokenizer fits a corpus slice, read
-    per source so a curation mix can see which slice the vocab
-    underserves.  keep_cols passthrough on the single tokenizer scan
-    (no join back to the corpus), one source-keyed rollup."""
-    from onto_text_tag_spark.operators.bpe import wordpiece_token_counts
-
-    counts = wordpiece_token_counts(
-        _docs(spark, sf_dir), _WORDPIECE_VOCAB,
-        keep_cols=("source",), with_word_counts=True,
-    )
-    return counts.groupBy("source").agg(
-        F.sum("n_words").cast("long").alias("n_words"),
-        F.sum("wp_tokens").cast("long").alias("wp_tokens"),
-        F.sum("unk_words").cast("long").alias("unk_words"),
-        F.round(F.sum("wp_tokens") / F.sum("n_words"), 4)
-        .alias("fertility"),
-        F.round(F.sum("unk_words") / F.sum("n_words"), 6)
-        .alias("unk_rate"),
-    )
-
-
-def sql_text_wp_fertility() -> str:
-    vocab_sql = ", ".join(f"('{p}')" for p in _WORDPIECE_VOCAB)
-    return f"""
-WITH RECURSIVE vocab(piece) AS (VALUES {vocab_sql}),
+    return f"""vocab(piece) AS (VALUES {vocab_sql}),
  words AS (
    SELECT doc_id, source, unnest(list_filter(
      string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t != ''))
@@ -4447,14 +4381,74 @@ WITH RECURSIVE vocab(piece) AS (VALUES {vocab_sql}),
    UNION ALL
    SELECT word, 1, 1 FROM dw
    WHERE word NOT IN (SELECT word FROM done)
+ )"""
+
+
+def sql_text_wordpiece_tokens() -> str:
+    return f"""
+WITH RECURSIVE {_wordpiece_seg_cte()},
+ sums AS (
+   SELECT w.doc_id, sum(p.pieces) AS wp_tokens, sum(p.unk) AS unk_words
+   FROM words w JOIN per_word p USING (word)
+   GROUP BY w.doc_id
  )
-SELECT w.source, count(*)::BIGINT AS n_words,
-       sum(p.pieces)::BIGINT AS wp_tokens,
-       sum(p.unk)::BIGINT AS unk_words,
-       round(sum(p.pieces) / count(*)::DOUBLE, 4) AS fertility,
-       round(sum(p.unk) / count(*)::DOUBLE, 6) AS unk_rate
-FROM words w JOIN per_word p USING (word)
-GROUP BY w.source
+SELECT d.doc_id, coalesce(s.wp_tokens, 0)::BIGINT AS wp_tokens,
+       coalesce(s.unk_words, 0)::BIGINT AS unk_words
+FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
+"""
+
+
+def q_text_wp_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source WordPiece vocabulary-health report: fertility
+    (subword tokens per word) and OOV rate (share of words that
+    collapse to [UNK]) under the pinned vocab — THE metrics that
+    decide whether a published tokenizer fits a corpus slice, read
+    per source so a curation mix can see which slice the vocab
+    underserves.  keep_cols passthrough on the single tokenizer scan
+    (no join back to the corpus), one source-keyed rollup."""
+    from onto_text_tag_spark.operators.bpe import wordpiece_token_counts
+
+    counts = wordpiece_token_counts(
+        _docs(spark, sf_dir), _WORDPIECE_VOCAB,
+        keep_cols=("source",), with_word_counts=True,
+    )
+    # try_divide: a source of word-less docs reports NULL fertility
+    # instead of an ANSI divide-by-zero failure (oracle: nullif twin)
+    return counts.groupBy("source").agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("wp_tokens").cast("long").alias("wp_tokens"),
+        F.sum("unk_words").cast("long").alias("unk_words"),
+        F.round(F.try_divide(F.sum("wp_tokens"), F.sum("n_words")), 4)
+        .alias("fertility"),
+        F.round(F.try_divide(F.sum("unk_words"), F.sum("n_words")), 6)
+        .alias("unk_rate"),
+    )
+
+
+def sql_text_wp_fertility() -> str:
+    return f"""
+WITH RECURSIVE {_wordpiece_seg_cte()},
+ per_doc AS (
+   SELECT w.doc_id, count(*) AS n_words,
+          sum(p.pieces) AS wp, sum(p.unk) AS unk
+   FROM words w JOIN per_word p USING (word)
+   GROUP BY w.doc_id
+ ),
+ -- aggregate from DOCUMENTS, not the word stream: a source whose
+ -- docs are all word-less still emits a row (NULL fertility), the
+ -- same row the Spark side produces
+ all_docs AS (
+   SELECT d.source, coalesce(p.n_words, 0) AS n_words,
+          coalesce(p.wp, 0) AS wp, coalesce(p.unk, 0) AS unk
+   FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ )
+SELECT source, sum(n_words)::BIGINT AS n_words,
+       sum(wp)::BIGINT AS wp_tokens,
+       sum(unk)::BIGINT AS unk_words,
+       round(sum(wp) / nullif(sum(n_words), 0)::DOUBLE, 4) AS fertility,
+       round(sum(unk) / nullif(sum(n_words), 0)::DOUBLE, 6) AS unk_rate
+FROM all_docs
+GROUP BY source
 """
 
 

@@ -650,7 +650,15 @@ def perplexity_buckets(documents: DataFrame, id_col: str = "doc_id",
                 "mean_logloss", qs, 10_000
             ).alias("_cuts")
         )
-        assigned = scored.join(F.broadcast(cuts), lang_col).select(
+        cuts = cuts.select(
+            F.col(lang_col).alias("_lang2"), "_cuts"
+        )
+        # null-safe join key: docs whose lang-ID failed (NULL lang)
+        # form their own tier group instead of silently vanishing
+        assigned = scored.join(
+            F.broadcast(cuts),
+            scored[lang_col].eqNullSafe(cuts["_lang2"]),
+        ).select(
             id_col, lang_col, "mean_logloss",
             F.aggregate(
                 "_cuts", F.lit(0).cast("long"),
@@ -673,14 +681,19 @@ def perplexity_buckets(documents: DataFrame, id_col: str = "doc_id",
         # tier of the score GROUP = tier its first member holds in the
         # exact ranking: floor(cum_before * B / n), all-integer
         assign = counts.select(
-            lang_col, "mean_logloss",
+            F.col(lang_col).alias("_lang2"),
+            F.col("mean_logloss").alias("_mll2"),
             (
                 (F.sum("_c").over(worder) - F.col("_c")) * buckets
                 / F.sum("_c").over(wlang)
             ).cast("long").alias("_b"),
         )
+        # null-safe keys: a NULL-lang group buckets like any other
+        # (the exact path already keeps it — methods must agree)
         return scored.join(
-            F.broadcast(assign), [lang_col, "mean_logloss"]
+            F.broadcast(assign),
+            scored[lang_col].eqNullSafe(assign["_lang2"])
+            & scored["mean_logloss"].eqNullSafe(assign["_mll2"]),
         ).select(
             id_col, lang_col, "mean_logloss", names.alias("ppl_bucket")
         )

@@ -263,8 +263,10 @@ def resolve_redirects(
 
 
 # one embedded JSON-LD block: schema.org microdata carried in a script
-# tag (non-greedy to the first closing tag; blocks never nest)
-JSONLD_PATTERN = '<script type="application/ld\\+json">(.*?)</script>'
+# tag (non-greedy to the first closing tag; blocks never nest).
+# (?s): real pages pretty-print the JSON across lines — without DOTALL
+# every multi-line block (i.e. most of them) silently fails to match
+JSONLD_PATTERN = '(?s)<script type="application/ld\\+json">(.*?)</script>'
 
 
 def extract_jsonld(

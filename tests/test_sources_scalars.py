@@ -525,3 +525,19 @@ def test_perplexity_buckets_discrete_plan_domain_sized_window(spark):
     # window input is the aggregated (lang, score, count) relation
     win_idx = plan.index("Window")
     assert "HashAggregate" in plan[win_idx:]
+
+
+def test_perplexity_buckets_null_lang_kept_by_all_methods(spark):
+    """Docs whose lang-ID failed (lang=NULL) must bucket — not vanish —
+    under every method (the sketch/discrete joins are null-safe)."""
+    from onto_text_tag_spark.operators.textstats import perplexity_buckets
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, ["a a a", "a a b", "b c d"][i % 3],
+             None if i < 6 else "en") for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    for method in ("exact", "sketch", "discrete"):
+        out = perplexity_buckets(docs, method=method)
+        assert out.count() == 12, method
+        assert out.where(F.col("lang").isNull()).count() == 6, method

@@ -236,3 +236,17 @@ def test_extract_jsonld_plan_stays_jvm_side(spark):
     plan = extract_jsonld(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_extract_jsonld_multiline_block(spark):
+    """Real pages pretty-print JSON-LD across lines — the (?s) DOTALL
+    flag must keep multi-line blocks extractable."""
+    docs = _docs(spark, [(
+        "https://a.example.com/2",
+        '<script type="application/ld+json">\n'
+        '{\n  "@type": "Product",\n  "name": "hash join"\n}\n'
+        '</script>',
+    )])
+    got = [(r["entity_type"], r["name"])
+           for r in extract_jsonld(docs).collect()]
+    assert got == [("Product", "hash join")]
