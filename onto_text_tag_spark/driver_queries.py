@@ -2906,6 +2906,60 @@ FROM jents e JOIN dict d ON lower(trim(e.name)) = d.surface
 """
 
 
+def q_kg_channel_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-channel KG QA: every (page, curie) claim from the
+    STRUCTURED-DATA channel (JSON-LD entity linking) checked against
+    the TEXT channel (dictionary tagging of the same corpus) — the
+    distant-supervision agreement signal that calibrates how much to
+    trust microdata publishers before their triples enter the KG.
+    Output: one row per schema-channel pair with ``confirmed`` = the
+    tagger independently found the same class in the document's text.
+    Both sides reduce to (doc, curie) pair sets before the join — a
+    pair-keyed left join, never a mention-row×entity-row blowup."""
+    from onto_text_tag_spark.operators.weblinks import extract_jsonld
+
+    ents = extract_jsonld(_jsonld_docs(spark, sf_dir))
+    dic = driver_dictionary(spark).select("surface", "id").distinct()
+    spairs = (
+        ents.join(
+            F.broadcast(dic),
+            F.lower(F.trim(F.col("name"))) == F.col("surface"),
+        )
+        .select(
+            F.regexp_extract("url", "([0-9]+)$", 1).alias("doc_id"),
+            F.col("id").alias("curie"),
+        )
+        .distinct()
+    )
+    tpairs = (
+        _mentions(spark, sf_dir)
+        .select(F.col("url").alias("doc_id"), "curie")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return spairs.join(tpairs, ["doc_id", "curie"], "left").select(
+        "doc_id", "curie",
+        F.coalesce("_hit", F.lit(False)).alias("confirmed"),
+    )
+
+
+def sql_kg_channel_agreement() -> str:
+    return f"""
+WITH {_jsonld_pages_cte()},
+ sdict AS ({sql_kg_dictionary()}),
+ {_MENTIONS_CTE},
+ spairs AS (
+   SELECT DISTINCT regexp_extract(e.url, '([0-9]+)$', 1) AS doc_id,
+          d.id AS curie
+   FROM jents e JOIN sdict d ON lower(trim(e.name)) = d.surface
+ ),
+ tpairs AS (SELECT DISTINCT doc_id, curie FROM mention_rows)
+SELECT s.doc_id, s.curie, (t.curie IS NOT NULL) AS confirmed
+FROM spairs s LEFT JOIN tpairs t
+  ON s.doc_id = t.doc_id AND s.curie = t.curie
+"""
+
+
 def q_web_spam_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank-style seeded propagation over the DIRECTED weighted
     host graph (Gyöngyi et al. 2004 inverted: mass starts at labeled
@@ -6442,6 +6496,7 @@ QUERIES = {
     "text_wp_fertility": q_text_wp_fertility,
     "web_jsonld_entities": q_web_jsonld_entities,
     "kg_schema_triples": q_kg_schema_triples,
+    "kg_channel_agreement": q_kg_channel_agreement,
     "web_redirects": q_web_redirects,
     "web_spam_hosts": q_web_spam_hosts,
     "text_ccnet_buckets": q_text_ccnet_buckets,
@@ -6566,6 +6621,7 @@ ORACLES = {
     "text_wp_fertility": sql_text_wp_fertility(),
     "web_jsonld_entities": sql_web_jsonld_entities(),
     "kg_schema_triples": sql_kg_schema_triples(),
+    "kg_channel_agreement": sql_kg_channel_agreement(),
     "web_redirects": sql_web_redirects(),
     "web_spam_hosts": sql_web_spam_hosts(),
     "text_ccnet_buckets": sql_text_ccnet_buckets(),
@@ -6707,19 +6763,20 @@ _PRIORITY_KEYS = [
     # late-round additions web_redirects / web_spam_hosts /
     # text_ccnet_buckets / kg_isa_cycles first, then the ten mid-round
     # ones), every r01-stale key (8), then the r02-stale keys that
-    # fit.  The 21 r02-stale keys left outside (the four TPC-H
+    # fit.  The 22 r02-stale keys left outside (the four TPC-H
     # relationals, the three event-window queries, the dedup family
     # dedup_simhash / dedup_word_jaccard / dedup_jaccard /
     # dedup_lsh_pairs / dedup_minhash_sig / dedup_clusters_incremental,
     # and text_profile / text_chunks / text_word_freqs /
     # corpus_quantiles / web_latest_capture / web_host_hits /
-    # web_anchor_mentions / web_canonical_urls) are all
+    # web_anchor_mentions / web_canonical_urls / web_host_rank) are all
     # bench-exercised or pytest-parity-pinned every round, re-ran at
     # HEAD in the interleaved A/B (BENCH/BASELINE.md), and none of
     # their code changed since their r02 green; they head round 5's
     # rotation.
     "text_wordpiece_tokens", "text_wp_fertility",
     "web_jsonld_entities", "kg_schema_triples",
+    "kg_channel_agreement",
     "web_redirects", "web_spam_hosts", "text_ccnet_buckets",
     "kg_isa_cycles",
     "mm_video_dups", "mm_frame_dups", "mm_segment_dups",
